@@ -1,0 +1,76 @@
+"""HITS hubs & authorities — alternating power iteration.
+
+Reference: apps/hits/hits.h (.gs_conf.yaml:123-130), NetworkX-style:
+per round  auth[v] = Σ_{u→v} hub[u];  hub[u] = Σ_{u→v} auth[v];
+each vector normalized by its SUM each round (L1), fixed-round variant
+(tolerance loop in the reference; we expose max_iter and an optional
+L1 tolerance on the hub vector).
+
+Spark plan: two join-aggs per round (one along dst, one along src) +
+one small normalization aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+
+def hits(
+    g: Graph,
+    max_iter: int = 20,
+    tol: float | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns (vid long, hub double, auth double), each summing to 1."""
+    spark = g.edges.sparkSession
+    edges = g.distinct_edges().cache()
+    n = g.num_vertices()
+
+    def init() -> DataFrame:
+        return g.vertices.select(
+            VID, F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+        )
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        auth_raw = (
+            edges.join(state.select(VID, "hub"), edges[SRC] == F.col(VID))
+            .select(F.col(DST).alias(VID), F.col("hub").alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("auth_raw"))
+        )
+        a_norm = auth_raw.agg(F.sum("auth_raw")).collect()[0][0] or 1.0
+        auth = auth_raw.select(VID, (F.col("auth_raw") / a_norm).alias("new_auth"))
+        hub_raw = (
+            edges.join(auth, edges[DST] == F.col(VID))
+            .select(F.col(SRC).alias(VID), F.col("new_auth").alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("hub_raw"))
+        )
+        h_norm = hub_raw.agg(F.sum("hub_raw")).collect()[0][0] or 1.0
+        hub = hub_raw.select(VID, (F.col("hub_raw") / h_norm).alias("new_hub"))
+        nxt = (
+            state.select(VID, "hub")
+            .join(auth, VID, "left")
+            .join(hub, VID, "left")
+            .select(
+                VID,
+                F.coalesce("new_hub", F.lit(0.0)).alias("new_hub"),
+                F.coalesce("new_auth", F.lit(0.0)).alias("auth"),
+                F.col("hub").alias("old_hub"),
+            )
+        )
+        delta = None
+        if tol is not None:
+            delta = nxt.agg(F.sum(F.abs(F.col("new_hub") - F.col("old_hub")))).collect()[0][0]
+        return StepResult(
+            nxt.select(VID, F.col("new_hub").alias("hub"), "auth"), delta=delta
+        )
+
+    run = SuperstepRunner(spark, "hits", checkpoint_dir=checkpoint_dir)
+    final = run.run(init, step, max_iterations=max_iter, tol=tol)
+    edges.unpersist()
+    return final.select(VID, "hub", "auth")

@@ -1,0 +1,116 @@
+"""PageRank — NetworkX power iteration with dangling-mass pool.
+
+Reference semantics (apps/pagerank/pagerank_networkx.h:54-163):
+    init r = 1/N
+    per round:
+        dangling = Σ r[u] over u with outdeg(u)==0        (:76-87)
+        r'[v] = alpha·Σ_{u→v} r[u]/outdeg(u)
+                + (1-alpha)/N + alpha·dangling/N           (:135-147)
+    stop when Σ|r' − r| < tol·N  or  round ≥ max_iter      (:147)
+Python binding defaults alpha=0.85, max_iter=100, tol=1e-6
+(python/graphscope/analytical/app/pagerank.py:91-121).  The LDBC
+fixed-round form (grape::PageRankOpt, .gs_conf.yaml:2-9) is the same
+recurrence with tol=None and max_iter=max_round.
+
+Spark plan per superstep (one job):
+    scatter: edges ⋈ state on src            (state reshuffled to edge
+                                              partitioning — edges stay put)
+    gather:  groupBy(dst).sum(rank/out_deg)  (map-side partial agg; AQE
+                                              skew-join splits hub keys)
+    apply:   alpha·contrib + teleport + dangling share
+    all-reduce: one small agg → driver collects (delta, next dangling)
+The dangling sum for round k+1 is computed in the same aggregate as the
+convergence delta, so each superstep runs exactly one action plus the
+checkpoint write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+
+def pagerank(
+    g: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Returns (vid long, rank double); ranks sum to 1.
+
+    ``tol=None`` selects the LDBC fixed-round convention (run exactly
+    ``max_iter`` rounds, no convergence test).
+    """
+    spark: SparkSession = g.edges.sparkSession
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    edges = edges.cache()
+
+    n = g.num_vertices()
+    if n == 0:
+        return g.vertices.select(VID, F.lit(0.0).alias("rank"))
+
+    degrees = g.out_degrees() if g.directed else (
+        edges.groupBy(F.col(SRC).alias(VID))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .join(g.vertices.select(VID), VID, "right")
+        .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+    )
+
+    def init() -> DataFrame:
+        r0 = F.lit(1.0 / n)
+        return degrees.select(VID, r0.alias("rank"), r0.alias("old_rank"), "out_deg")
+
+    # driver-held scalar carried between supersteps (the reference's
+    # MPI all-reduce'd dangling_sum, pagerank_networkx.h:85)
+    carry: dict[str, float | None] = {"dangling": None}
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        if carry["dangling"] is None:  # first round or resumed run
+            carry["dangling"] = (
+                state.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
+        dangling = carry["dangling"]
+        contribs = (
+            edges.join(state, edges[SRC] == state[VID])
+            .select(F.col(DST).alias(VID), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(VID)
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        nxt = state.join(contribs, VID, "left").select(
+            VID,
+            (alpha * F.coalesce("contrib", F.lit(0.0)) + F.lit(base)).alias("rank"),
+            state["rank"].alias("old_rank"),
+            "out_deg",
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            # one cheap aggregate on the MATERIALIZED state:
+            # L1 delta + next round's dangling mass (the all-reduce)
+            row = m.agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+                F.sum(
+                    F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)
+                ).alias("d"),
+            ).collect()[0]
+            carry["dangling"] = row["d"] or 0.0
+            return row["l1"]
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = runner or SuperstepRunner(
+        spark, "pagerank", checkpoint_dir=checkpoint_dir, resume=resume
+    )
+    final = run.run(
+        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+    )
+    result = final.select(VID, "rank")
+    edges.unpersist()
+    return result

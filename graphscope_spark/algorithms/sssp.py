@@ -1,0 +1,75 @@
+"""SSSP — Bellman-Ford-style frontier relaxation.
+
+Reference: grape::SSSPOpt / gs::SSSPProjected
+(apps/projected/sssp_projected.h, .gs_conf.yaml:34-41): single-source
+shortest paths over non-negative edge weights; distance DOUBLE;
+unreachable = +inf (we emit NULL→infinity as a literal
+``double('inf')``).
+
+Spark plan: state (vid, dist); each round relaxes only edges out of
+vertices improved last round (frontier-incremental, matching the
+reference's curr_modified set), groupBy(dst).min(dist+w), keep the
+smaller.  Converges when no distance improves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+INF = float("inf")
+
+
+def sssp(
+    g: Graph,
+    source: int,
+    weight: str | None = "weight",
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns (vid long, dist double); inf for unreachable."""
+    spark = g.edges.sparkSession
+    cols = g.edges.columns
+    if weight and weight in cols:
+        edges = g.edges.select(SRC, DST, F.col(weight).cast("double").alias("w"))
+    else:
+        edges = g.edges.select(SRC, DST, F.lit(1.0).alias("w"))
+    if not g.directed:
+        edges = edges.unionByName(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+        )
+    edges = edges.cache()
+
+    def init() -> DataFrame:
+        return g.vertices.select(
+            VID,
+            F.when(F.col(VID) == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("dist"),
+            (F.col(VID) == source).alias("changed"),
+        )
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        frontier = state.where(F.col("changed")).select(VID, "dist")
+        relaxed = (
+            edges.join(frontier, edges[SRC] == frontier[VID])
+            .select(F.col(DST).alias(VID), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy(VID)
+            .agg(F.min("cand").alias("cand"))
+        )
+        nxt = state.select(VID, "dist").join(relaxed, VID, "left").select(
+            VID,
+            F.least(F.col("dist"), F.coalesce("cand", F.lit(INF))).alias("dist"),
+            (F.coalesce("cand", F.lit(INF)) < F.col("dist")).alias("changed"),
+        )
+        def delta_fn(m: DataFrame) -> float:
+            updated = m.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0] or 0
+            return float(updated)
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "sssp", checkpoint_dir=checkpoint_dir)
+    final = run.run(init, step, max_iterations=max_iter, tol=0.0)
+    edges.unpersist()
+    return final.select(VID, "dist")

@@ -1,0 +1,79 @@
+"""Weakly-connected components — min-id label propagation with an
+incremental frontier.
+
+Reference semantics (apps/projected/wcc_projected.h:70-182): component
+id = min vertex id in the component (LDBC convention, verified against
+the p2p-31-WCC golden, tests/conftest.py:748-750); init comp=vid
+(:76-81); each round only *modified* vertices rescan adjacency and send
+their comp id to neighbors (:140-166); converged when nothing changed.
+
+Spark plan: state (vid, comp, changed).  Each superstep joins ONLY the
+changed frontier against the symmetrized edge table (the reference's
+curr_modified set), aggregates min per dst, and keeps the smaller id.
+FLASH's sparse/dense switch (api.h:361-369: dense when |U| > |V|/50)
+maps to a broadcast hint on the frontier when it is small — the
+previous round's update count is already on the driver, so the switch
+is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+DENSE_FRACTION = 50  # dense when frontier > |V|/50 (flash_utils.h:36)
+
+
+def wcc(
+    g: Graph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Returns (vid long, comp long) with comp = min vid in component."""
+    spark = g.edges.sparkSession
+    sym = g.symmetrized().cache()
+    n = g.num_vertices()
+
+    def init() -> DataFrame:
+        return g.vertices.select(
+            VID, F.col(VID).alias("comp"), F.lit(True).alias("changed")
+        )
+
+    carry: dict[str, float | None] = {"frontier": None}
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        frontier = state.where(F.col("changed")).select(VID, "comp")
+        fsize = carry["frontier"]
+        if fsize is not None and fsize <= max(1, n // DENSE_FRACTION):
+            frontier = F.broadcast(frontier)  # sparse mode (EdgeMapSparse)
+        msgs = (
+            sym.join(frontier, sym[SRC] == frontier[VID])
+            .select(F.col(DST).alias(VID), "comp")
+            .groupBy(VID)
+            .agg(F.min("comp").alias("msg"))
+        )
+        nxt = (
+            state.select(VID, "comp")
+            .join(msgs, VID, "left")
+            .select(
+                VID,
+                F.least(F.col("comp"), F.coalesce("msg", F.col("comp"))).alias("comp"),
+                (F.coalesce("msg", F.lit(2**62)) < F.col("comp")).alias("changed"),
+            )
+        )
+        def delta_fn(m: DataFrame) -> float:
+            updated = m.agg(F.sum(F.col("changed").cast("long"))).collect()[0][0] or 0
+            carry["frontier"] = float(updated)
+            return float(updated)
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir, resume=resume)
+    final = run.run(init, step, max_iterations=max_iter, tol=0.0)
+    out = final.select(VID, "comp")
+    sym.unpersist()
+    return out

@@ -1,0 +1,193 @@
+"""Graph: the DataFrame-based property/simple graph abstraction.
+
+Reference analog: ``vineyard::ArrowFragment`` + ``ArrowProjectedFragment``
+(analytical_engine/core/fragment/arrow_projected_fragment.h:696-830) —
+columnar, hash edge-cut partitioned, with a vertex map oid→dense id
+(docs/analytical_engine/performance_tuning.md:20-41).
+
+Spark-native translation (SURVEY.md §1.5):
+- vertices: DataFrame ``(vid long, ...props)``; ``vid`` is a dense or
+  stable long id (the "oid→gid" dictionary is :func:`build_vertex_ids`).
+- edges: DataFrame ``(src long, dst long, [weight double])``,
+  hash-repartitioned by ``src`` — the edge-cut.  CSR adjacency is an
+  optional materialization (:meth:`Graph.adjacency`) per the north star;
+  normal supersteps use the flat edge table so Catalyst/AQE keep
+  freedom to pick shuffle strategies.
+- inner/outer mirror vertices + message channels collapse into the
+  shuffle performed by join/groupBy.
+
+Scale notes: at 10^12 documents the edge table is the only large
+object.  Everything here keeps it columnar, pruned to (src, dst
+[,weight]), partitioned on the join key used every superstep, and never
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SRC, DST, VID = "src", "dst", "vid"
+
+
+def build_vertex_ids(df: DataFrame, key: str, out: str = VID) -> DataFrame:
+    """Dense vertex dictionary ``key → vid`` (long), deterministic.
+
+    Reference analog: per-label vertex map o2g / oid_arrays
+    (performance_tuning.md:20-41).  Deterministic dense ids via global
+    sort + row ordering; at 100TB scale ``zipWithIndex``-style dense ids
+    would shuffle-sort once — acceptable because the dictionary is built
+    once per graph load, and dense longs keep all downstream state
+    narrow (16 bytes/row vs url strings).
+    """
+    from pyspark.sql.window import Window
+
+    keys = df.select(F.col(key)).distinct()
+    w = Window.orderBy(F.col(key))
+    # row_number over a global ordering is a single total-order sort of
+    # the (small relative to edges) distinct-key set; stable across runs.
+    return keys.select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias(out), F.col(key)
+    )
+
+
+@dataclass(frozen=True)
+class Graph:
+    """Simple graph over DataFrames.
+
+    ``edges``    (src long, dst long [, weight double])
+    ``vertices`` (vid long [, ...props])
+    ``directed`` whether edges are directed (reference: session.g(directed=...))
+    """
+
+    edges: DataFrame
+    vertices: DataFrame
+    directed: bool = True
+    num_partitions: int = 32
+    _cached: bool = field(default=False, compare=False)
+
+    # -- constructors -------------------------------------------------
+    @staticmethod
+    def from_edges(
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        directed: bool = True,
+        num_partitions: int = 32,
+        weight: str | None = None,
+    ) -> "Graph":
+        """Build from an edge table; vertices deduced from endpoints when
+        absent (reference: graph.py:565-577 deduces vertices from edges)."""
+        cols = [F.col(SRC).cast("long"), F.col(DST).cast("long")]
+        if weight:
+            cols.append(F.col(weight).cast("double").alias("weight"))
+        e = edges.select(*cols)
+        if vertices is None:
+            vertices = (
+                e.select(F.col(SRC).alias(VID))
+                .unionByName(e.select(F.col(DST).alias(VID)))
+                .distinct()
+            )
+        else:
+            vertices = vertices.withColumn(VID, F.col(VID).cast("long"))
+        # hash edge-cut: co-locate all out-edges of a vertex
+        # (arrow_fragment_loader.h:351-390 HASH_PARTITION analog)
+        e = e.repartition(num_partitions, SRC)
+        return Graph(e, vertices, directed=directed, num_partitions=num_partitions)
+
+    # -- views ---------------------------------------------------------
+    def symmetrized(self) -> DataFrame:
+        """Undirected view of the edge table: each edge in both
+        directions, deduplicated, self-loops dropped.
+
+        Reference: TO_UNDIRECTED (dag_utils.py:583-638); the LDBC algos
+        (WCC/CDLP/triangles) all run on the symmetrized graph.
+        """
+        e = self.edges.select(SRC, DST)
+        if not self.directed:
+            both = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        else:
+            both = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        return (
+            both.where(F.col(SRC) != F.col(DST))
+            .distinct()
+            .repartition(self.num_partitions, SRC)
+        )
+
+    def distinct_edges(self) -> DataFrame:
+        """Directed edges deduplicated, self-loops removed."""
+        return (
+            self.edges.select(SRC, DST)
+            .where(F.col(SRC) != F.col(DST))
+            .distinct()
+            .repartition(self.num_partitions, SRC)
+        )
+
+    def out_degrees(self) -> DataFrame:
+        """(vid, out_deg) for every vertex, 0 for dangling.
+
+        groupBy benefits from map-side partial aggregation; the
+        left join fills vertices with no out-edges (the dangling set
+        that PageRank redistributes, pagerank_networkx.h:76-87).
+        """
+        deg = self.edges.groupBy(F.col(SRC).alias(VID)).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        return self.vertices.select(VID).join(deg, VID, "left").select(
+            VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        deg = self.edges.groupBy(F.col(DST).alias(VID)).agg(
+            F.count(F.lit(1)).alias("in_deg")
+        )
+        return self.vertices.select(VID).join(deg, VID, "left").select(
+            VID, F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg")
+        )
+
+    def degrees(self) -> DataFrame:
+        """Undirected degree over the symmetrized, dedup'd graph."""
+        sym = self.symmetrized()
+        deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("deg"))
+        return self.vertices.select(VID).join(deg, VID, "left").select(
+            VID, F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+        )
+
+    def adjacency(self) -> DataFrame:
+        """Explicit CSR-style adjacency: (src, dsts sorted array, deg).
+
+        Reference: per-fragment CSR oe_lists/oe_offsets
+        (performance_tuning.md:42-80).  In Spark this is an *optional*
+        materialization — useful when one vertex's full neighbor list is
+        consumed at once (triangle intersection); the flat edge table is
+        better for join-agg supersteps.
+        """
+        return self.edges.groupBy(SRC).agg(
+            F.sort_array(F.collect_list(DST)).alias("dsts"),
+            F.count(F.lit(1)).cast("long").alias("deg"),
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    def cache(self) -> "Graph":
+        """Cache edge + vertex tables (they are re-scanned every superstep)."""
+        if self._cached:
+            return self
+        self.edges.cache()
+        self.vertices.cache()
+        return replace(self, _cached=True)
+
+    def unpersist(self) -> "Graph":
+        self.edges.unpersist()
+        self.vertices.unpersist()
+        return replace(self, _cached=False)
+
+
+def report_graph(g: Graph) -> dict:
+    """REPORT_GRAPH analog (dag_utils.py:413-489): node/edge counts."""
+    return {"num_vertices": g.num_vertices(), "num_edges": g.num_edges()}

@@ -1,0 +1,167 @@
+"""Superstep runner: the BSP driver loop with checkpoint/resume.
+
+Reference analog: the PIE worker loop — ``PEval`` then ``IncEval`` until
+no messages (analytical_engine/core/worker/default_worker.h:89-131),
+with MPI all-reduce for convergence scalars (pagerank_networkx.h:85,146).
+
+Spark-native translation: each superstep is ONE job — a join + groupBy
+aggregation over the edge table producing the next vertex-state
+DataFrame; the driver loop (here) owns convergence and termination.
+
+Execution discipline per iteration (this is what keeps iterative
+DataFrame jobs viable at scale — naive chaining re-executes the whole
+history every action):
+
+1. build the next state lazily (``step``),
+2. MATERIALIZE it — Parquet checkpoint (durable, resumable) or
+   ``localCheckpoint`` (in-memory, lineage truncation only),
+3. compute the convergence delta with a small aggregate over the
+   materialized state (the reference's MPI all-reduce),
+4. append per-iteration metrics + per-partition lineage (file-level row
+   counts from the Parquet footers — no extra Spark job) to
+   ``metrics.jsonl``.
+
+Unlike the reference (pure in-memory MPI, failure = rerun from scratch,
+SURVEY.md §4), a run with a checkpoint_dir is *resumable
+mid-algorithm*: a restarted runner finds the last complete iteration on
+disk and continues from it.  At cluster scale the checkpoint dir is
+HDFS/S3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StepResult:
+    """Next state + convergence signal.
+
+    Exactly one of ``delta`` / ``delta_fn`` should be set (or neither,
+    for fixed-round algorithms):
+    - ``delta``: already-known scalar (e.g. computed from carried state).
+    - ``delta_fn``: called with the MATERIALIZED next state; should run
+      a small aggregate and return the metric.  Prefer this — it costs
+      one cheap scan of cached/checkpointed data instead of recomputing
+      the superstep.
+    """
+
+    state: DataFrame
+    delta: float | None = None
+    delta_fn: Callable[[DataFrame], float] | None = None
+
+
+class SuperstepRunner:
+    """Drives ``state_{k+1} = step(state_k, k)`` to convergence."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.resume = resume
+        self.metrics: list[dict] = []
+
+    # -- checkpoint layout --------------------------------------------
+    def _iter_path(self, k: int) -> str:
+        return os.path.join(self.dir, f"iter_{k:05d}")
+
+    def latest_checkpoint(self) -> int | None:
+        """Last complete iteration on disk (validated by _SUCCESS)."""
+        if not self.dir or not os.path.isdir(self.dir):
+            return None
+        best = None
+        for d in os.listdir(self.dir):
+            if d.startswith("iter_") and os.path.exists(
+                os.path.join(self.dir, d, "_SUCCESS")
+            ):
+                k = int(d.split("_")[1])
+                best = k if best is None else max(best, k)
+        return best
+
+    def _partition_lineage(self, path: str) -> list[dict]:
+        """Per-partition (file) row counts from Parquet footers — the
+        north rule's per-partition lineage, without an extra job."""
+        try:
+            import pyarrow.parquet as pq
+
+            out = []
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(path, f)).metadata
+                    out.append({"file": f, "rows": md.num_rows})
+            return out
+        except Exception:  # pragma: no cover - lineage is best-effort
+            return []
+
+    def _record(self, rec: dict) -> None:
+        self.metrics.append(rec)
+        if self.dir:
+            with open(os.path.join(self.dir, "metrics.jsonl"), "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+
+    # -- main loop ------------------------------------------------------
+    def run(
+        self,
+        init: Callable[[], DataFrame],
+        step: Callable[[DataFrame, int], StepResult],
+        max_iterations: int,
+        tol: float | None = None,
+    ) -> DataFrame:
+        """Run the loop; stop when ``delta <= tol`` or iterations exhaust."""
+        start_k = 0
+        state = None
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+            last = self.latest_checkpoint() if self.resume else None
+            if last is not None:
+                state = self.spark.read.parquet(self._iter_path(last))
+                start_k = last + 1
+        if state is None:
+            state = init()
+
+        for k in range(start_k, max_iterations):
+            t0 = time.time()
+            res = step(state, k)
+            lineage: list[dict] = []
+            if self.dir and (k % self.checkpoint_every == 0 or k == max_iterations - 1):
+                path = self._iter_path(k)
+                res.state.write.mode("overwrite").parquet(path)
+                state = self.spark.read.parquet(path)
+                lineage = self._partition_lineage(path)
+                # prune older checkpoints, keep previous one for safety
+                for d in os.listdir(self.dir):
+                    if d.startswith("iter_") and int(d.split("_")[1]) < k - 1:
+                        shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+            else:
+                state = res.state.localCheckpoint(eager=True)
+            delta = res.delta
+            if delta is None and res.delta_fn is not None:
+                delta = res.delta_fn(state)
+            self._record(
+                {
+                    "algorithm": self.name,
+                    "iteration": k,
+                    "delta": delta,
+                    "seconds": round(time.time() - t0, 4),
+                    "partitions": lineage,
+                    "ts": time.time(),
+                }
+            )
+            if tol is not None and delta is not None and delta <= tol:
+                break
+        return state

@@ -1,0 +1,214 @@
+"""Independent pure-Python oracles for the graph algorithms.
+
+Each oracle implements the reference semantics cited in SURVEY.md §2.5
+directly (no Spark, no shared code with the engine), mirroring the
+reference's golden-output test strategy (analytical_engine/test/
+app_tests.sh:115-126; python/graphscope/tests/test_app.py:136-234).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+
+def _adj(edges: list[tuple[int, int]], directed: bool) -> dict[int, list[int]]:
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+        if not directed:
+            out[d].append(s)
+    return out
+
+
+def pagerank_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+) -> dict[int, float]:
+    """apps/pagerank/pagerank_networkx.h:54-163 (dangling pool, L1 tol)."""
+    n = len(vertices)
+    outdeg = Counter(s for s, _ in edges)
+    r = {v: 1.0 / n for v in vertices}
+    for _ in range(max_iter):
+        dangling = sum(r[v] for v in vertices if outdeg[v] == 0)
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += r[s] / outdeg[s]
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        new = {v: alpha * contrib[v] + base for v in vertices}
+        err = sum(abs(new[v] - r[v]) for v in vertices)
+        r = new
+        if tol is not None and err <= tol * n:
+            break
+    return r
+
+
+def wcc_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> dict[int, int]:
+    """Component id = min vertex id (wcc_projected.h:70-182)."""
+    parent = {v: v for v in vertices}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in vertices}
+
+
+def cdlp_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    max_round: int = 10,
+    directed: bool = True,
+) -> dict[int, int]:
+    """LDBC CDLP: synchronous rounds, most-frequent label, min tie-break
+    (analytical/app/lpa.py:27-55; performance_and_benchmark.md:14).
+    Directed: neighbors along both directions with multiplicity."""
+    nbrs = defaultdict(list)
+    seen = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        if directed:
+            nbrs[d].append(s)
+            nbrs[s].append(d)
+        else:
+            if (s, d) not in seen and (d, s) not in seen:
+                seen.add((s, d))
+                nbrs[d].append(s)
+                nbrs[s].append(d)
+    label = {v: v for v in vertices}
+    for _ in range(max_round):
+        new = {}
+        for v in vertices:
+            if not nbrs[v]:
+                new[v] = label[v]
+                continue
+            cnt = Counter(label[u] for u in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        label = new
+    return label
+
+
+def triangles_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """Per-vertex triangle counts, undirected simple graph
+    (apps/clustering/triangles.h:43-158)."""
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    tri = {v: 0 for v in vertices}
+    for v in vertices:
+        for u in nbr[v]:
+            if u > v:
+                common = nbr[v] & nbr[u]
+                for w in common:
+                    if w > u:
+                        tri[v] += 1
+                        tri[u] += 1
+                        tri[w] += 1
+    return tri
+
+
+def lcc_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> dict[int, float]:
+    tri = triangles_oracle(edges, vertices)
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    out = {}
+    for v in vertices:
+        d = len(nbr[v])
+        out[v] = 2.0 * tri[v] / (d * (d - 1)) if d >= 2 else 0.0
+    return out
+
+
+def bfs_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], source: int, directed: bool = True
+) -> dict[int, int]:
+    adj = _adj(edges, directed)
+    depth = {v: -1 for v in vertices}
+    depth[source] = 0
+    frontier = [source]
+    d = 0
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in adj[v]:
+                if depth[u] == -1:
+                    depth[u] = d + 1
+                    nxt.append(u)
+        frontier = nxt
+        d += 1
+    return depth
+
+
+def sssp_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: list[int],
+    source: int,
+    directed: bool = True,
+) -> dict[int, float]:
+    dist = {v: math.inf for v in vertices}
+    dist[source] = 0.0
+    es = list(edges) + ([] if directed else [(d, s, w) for s, d, w in edges])
+    for _ in range(len(vertices)):
+        changed = False
+        for s, d, w in es:
+            if dist[s] + w < dist[d]:
+                dist[d] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+def hits_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], max_iter: int = 20
+) -> dict[int, tuple[float, float]]:
+    es = sorted({(s, d) for s, d in edges if s != d})
+    n = len(vertices)
+    hub = {v: 1.0 / n for v in vertices}
+    auth = {v: 1.0 / n for v in vertices}
+    for _ in range(max_iter):
+        a = defaultdict(float)
+        for s, d in es:
+            a[d] += hub[s]
+        norm = sum(a.values()) or 1.0
+        auth = {v: a[v] / norm for v in vertices}
+        h = defaultdict(float)
+        for s, d in es:
+            h[s] += auth[d]
+        norm = sum(h.values()) or 1.0
+        hub = {v: h[v] / norm for v in vertices}
+    return {v: (hub[v], auth[v]) for v in vertices}
+
+
+def kcore_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], k: int
+) -> dict[int, bool]:
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    active = set(vertices)
+    while True:
+        drop = {v for v in active if len(nbr[v] & active) < k}
+        if not drop:
+            break
+        active -= drop
+    return {v: v in active for v in vertices}
