@@ -32,24 +32,54 @@ from pyspark.sql import functions as F
 SRC, DST, VID = "src", "dst", "vid"
 
 
-def build_vertex_ids(df: DataFrame, key: str, out: str = VID) -> DataFrame:
-    """Dense vertex dictionary ``key → vid`` (long), deterministic.
+def build_vertex_ids(
+    df: DataFrame, key: str, out: str = VID, num_partitions: int = 32
+) -> DataFrame:
+    """Dense vertex dictionary ``key → vid`` (long), deterministic:
+    vid = rank of ``key`` in the global sort order.
 
     Reference analog: per-label vertex map o2g / oid_arrays
-    (performance_tuning.md:20-41).  Deterministic dense ids via global
-    sort + row ordering; at 100TB scale ``zipWithIndex``-style dense ids
-    would shuffle-sort once — acceptable because the dictionary is built
-    once per graph load, and dense longs keep all downstream state
-    narrow (16 bytes/row vs url strings).
+    (performance_tuning.md:20-41).
+
+    Scalable dense-rank assignment WITHOUT a single-partition window:
+    range-partition the distinct keys, sort within partitions, then
+    vid = per-partition row_number + exclusive prefix-sum of partition
+    sizes (a tiny broadcast).  The result is invariant to the sampled
+    range boundaries — vid is always the global rank — so ids are
+    deterministic across runs and parallelism levels.  One sort shuffle,
+    paid once per graph load; dense longs keep every superstep's state
+    narrow (vs shuffling url strings ~60B each).
     """
     from pyspark.sql.window import Window
 
-    keys = df.select(F.col(key)).distinct()
-    w = Window.orderBy(F.col(key))
-    # row_number over a global ordering is a single total-order sort of
-    # the (small relative to edges) distinct-key set; stable across runs.
-    return keys.select(
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias(out), F.col(key)
+    keys = (
+        df.select(F.col(key))
+        .distinct()
+        .repartitionByRange(num_partitions, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+    ).cache()  # pin the sampled range boundaries: the offsets collected
+    # below must describe the SAME partitioning the final job reads
+    sizes = keys.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    offset = {}
+    acc = 0
+    for r in sorted(sizes, key=lambda r: r["_pid"]):
+        offset[r["_pid"]] = acc
+        acc += r["n"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offset.items()], "_pid int, _off long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col(key))
+    return (
+        keys.join(off_df, "_pid")
+        .select(
+            (F.row_number().over(w) - F.lit(1) + F.col("_off"))
+            .cast("long")
+            .alias(out),
+            F.col(key),
+        )
     )
 
 

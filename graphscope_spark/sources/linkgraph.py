@@ -1,0 +1,53 @@
+"""pages → link Graph: the end-to-end loader (north-star pipeline).
+
+pages (url, warc_ts, html, text, lang)
+  → links (src_url, dst_url)                 [vectorized UDF extraction]
+  → vertices (vid, url)                      [dense dictionary ids]
+  → edges (src, dst)                         [hash edge-cut by src]
+  → Graph
+
+Reference analog: CREATE_GRAPH/ADD_LABELS + ArrowFragmentLoader hash
+partitioning (graph.py:477-713, arrow_fragment_loader.h:351-390).
+
+Scale notes: the two dictionary joins (src_url→vid, dst_url→vid) are
+the standard dimension-join pattern; at 10^12 pages the dictionary is
+large, so both joins shuffle on url — done ONCE at load, after which
+every superstep works on narrow longs.  Dangling link targets (urls
+never crawled) still get vertex ids (union of endpoints), matching the
+reference's deduce-vertices-from-edges path (graph.py:565-577).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph, build_vertex_ids
+from graphscope_spark.sources.extract import links_from_pages
+
+
+def graph_from_pages(
+    pages: DataFrame, num_partitions: int = 32, include_uncrawled: bool = True
+) -> tuple[Graph, DataFrame]:
+    """Returns (graph, vertices-with-urls).
+
+    ``include_uncrawled``: give vertex ids to link targets that have no
+    page row (the open-web case); False restricts to crawled pages.
+    """
+    links = links_from_pages(pages)
+    urls = pages.select(F.col("url"))
+    if include_uncrawled:
+        urls = urls.unionByName(links.select(F.col("dst_url").alias("url"))).distinct()
+    vertex_map = build_vertex_ids(urls, "url").cache()
+
+    src_ids = vertex_map.select(F.col("url").alias("src_url"), F.col("vid").alias("src"))
+    dst_ids = vertex_map.select(F.col("url").alias("dst_url"), F.col("vid").alias("dst"))
+    edges = (
+        links.join(src_ids, "src_url")
+        .join(dst_ids, "dst_url")
+        .select("src", "dst")
+    )
+    g = Graph.from_edges(
+        edges, vertex_map.select("vid"), directed=True, num_partitions=num_partitions
+    )
+    return g, vertex_map

@@ -1,0 +1,96 @@
+"""End-to-end pages pipeline: generation, byte-identical extraction,
+link graph construction, PageRank over the crawled web."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graphscope_spark.algorithms import pagerank, wcc
+from graphscope_spark.sources.extract import extract_text, links_from_pages
+from graphscope_spark.sources.linkgraph import graph_from_pages
+from graphscope_spark.sources.pages import _page_row, generate_pages, url_of
+from pyspark.sql import functions as F
+
+from tests import oracle
+
+N_PAGES = 200
+
+
+def test_pages_deterministic(spark):
+    a = generate_pages(spark, 50, seed=42, partitions=4).collect()
+    b = generate_pages(spark, 50, seed=42, partitions=2).collect()
+    ka = sorted((r["url"], r["text"], bytes(r["html"])) for r in a)
+    kb = sorted((r["url"], r["text"], bytes(r["html"])) for r in b)
+    assert ka == kb  # partitioning-invariant determinism
+
+
+def test_extract_text_byte_identical(spark):
+    """The per-row invariant: extract_text(html) == stored text, per url."""
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    mismatches = (
+        pages.select("url", "text", extract_text("html").alias("ext"))
+        .where(F.col("text") != F.col("ext"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_links_match_generator(spark):
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    got = {
+        (r["src_url"], r["dst_url"]) for r in links_from_pages(pages).collect()
+    }
+    exp = set()
+    for i in range(N_PAGES):
+        _, _, html, _, _ = _page_row(i, N_PAGES, 42)
+        import re
+
+        for t in re.findall(r'<a\s+href="([^"]+)"', html.decode()):
+            exp.add((url_of(i), t))
+    assert got == exp
+
+
+def test_linkgraph_pagerank(spark):
+    """PageRank over the extracted link graph matches the oracle run on
+    the generator's ground-truth edge set."""
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    g, vertex_map = graph_from_pages(pages, num_partitions=4)
+
+    url2vid = {r["url"]: r["vid"] for r in vertex_map.collect()}
+    edges, vset = set(), set(url2vid.values())
+    for i in range(N_PAGES):
+        _, _, html, _, _ = _page_row(i, N_PAGES, 42)
+        import re
+
+        for t in re.findall(r'<a\s+href="([^"]+)"', html.decode()):
+            edges.add((url2vid[url_of(i)], url2vid[t]))
+    exp = oracle.pagerank_oracle(sorted(edges), sorted(vset))
+
+    got = {r["vid"]: r["rank"] for r in pagerank(g).collect()}
+    assert set(got) == set(exp)
+    gv = np.array([got[v] for v in sorted(got)])
+    ev = np.array([exp[v] for v in sorted(exp)])
+    assert np.allclose(gv, ev, atol=1e-6)
+
+    # hubs (pages 0-2) receive ~10% of all links → all in the top-5;
+    # page 0 is the global top
+    ranked = pagerank(g).orderBy(F.desc("rank")).limit(5).collect()
+    hub_vids = {url2vid[url_of(i)] for i in range(3)}
+    assert ranked[0]["vid"] == url2vid[url_of(0)]
+    assert hub_vids <= {r["vid"] for r in ranked}
+
+
+def test_linkgraph_wcc(spark):
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    g, vertex_map = graph_from_pages(pages, num_partitions=4)
+    url2vid = {r["url"]: r["vid"] for r in vertex_map.collect()}
+    edges = set()
+    for i in range(N_PAGES):
+        _, _, html, _, _ = _page_row(i, N_PAGES, 42)
+        import re
+
+        for t in re.findall(r'<a\s+href="([^"]+)"', html.decode()):
+            edges.add((url2vid[url_of(i)], url2vid[t]))
+    exp = oracle.wcc_oracle(sorted(edges), sorted(url2vid.values()))
+    got = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+    assert got == exp
