@@ -1,0 +1,206 @@
+"""Deduplication ops: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design constraints:
+- Distributed end-to-end: no driver-side pairwise loops; candidate
+  generation is always a bucket self-join (hash-partitionable), never
+  all-pairs.
+- Cross-engine deterministic: every hash is built from md5() hex
+  strings, which Spark and DuckDB compute identically — the DuckDB
+  oracles in __spark_entry__.py replay the exact same math.
+
+Scale notes (100TB): exact dedup is one shuffle on a 32-byte key;
+MinHash/LSH shuffles shingles (≈ tokens × SHINGLE_N) once to build
+signatures, then self-joins tiny band buckets; skewed buckets (boiler-
+plate shingles) are bounded by banding and AQE skew splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import specs
+from graphscope_spark.functions.text import fingerprint, tokens
+
+
+# -- exact ------------------------------------------------------------
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_duplicate): groups rows whose
+    normalized text is identical (hash-groupBy on the md5 fingerprint);
+    canonical = min doc_id of the group."""
+    fp = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        fp.join(canon, "fp")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# -- shingles / MinHash / LSH ----------------------------------------
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int | None = None) -> DataFrame:
+    """(doc_id, shingle): distinct n-word shingles per document.
+    Documents shorter than n words yield their whole text as the
+    single shingle."""
+    n = n or specs.SHINGLE_N
+    t = tokens(text_col)
+    sh = F.when(
+        F.size(t) < n, F.array(F.concat_ws(" ", t))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", k: int | None = None) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): MinHash signature.
+
+    Permutation j of shingle s ≈ md5(j || ':' || s); the signature
+    component is the lexicographic MIN hex string — a valid min-hash
+    family, and bit-identical in any engine with md5().  One hash
+    aggregate computes all k components (k mins in a single groupBy)."""
+    k = k or specs.MINHASH_K
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int | None = None, band_width: int | None = None
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs (a < b): documents sharing
+    at least one LSH band (band = concatenation of band_width adjacent
+    signature components).  The self-join runs per band value — bucket
+    sizes are tiny for non-duplicate data, so this scales as the number
+    of true near-dups, not |docs|²."""
+    k = k or specs.MINHASH_K
+    w = band_width or specs.LSH_BAND_WIDTH
+    bands = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh_{b * w + i}") for i in range(w)]).alias("band")
+        for b in range(k // w)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+    left = banded.select(F.col("band"), F.col(id_col).alias("a"))
+    right = banded.select(F.col("band"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, "band")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) over candidate pairs (default: LSH candidates).
+
+    jaccard = |Sa ∩ Sb| / |Sa ∪ Sb| over distinct word-shingle sets,
+    computed distributively: shingle-join for the intersection size,
+    plus per-doc set sizes — no arrays collected to the driver."""
+    sh = shingles(docs, id_col, text_col).cache()
+    if candidates is None:
+        candidates = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # intersection size: join shingles of a with shingles of b on value
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        candidates.join(sa, "a").join(sb, ["b", "shingle"]).groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# -- SimHash -----------------------------------------------------------
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int | None = None) -> DataFrame:
+    """(doc_id, simhash long): n-bit SimHash over distinct tokens.
+
+    Bit j of token t is extracted from md5(t)'s hex digits with pure
+    arithmetic (digit value via instr into '0123456789abcdef'), so the
+    identical computation runs in DuckDB for the oracle.  The per-doc
+    reduction (sum of ±1 per bit, then sign) is one hash aggregate with
+    ``bits`` sum expressions."""
+    bits = bits or specs.SIMHASH_BITS
+    tok = docs.select(F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t"))
+    h = F.md5(F.col("t"))
+    digit_chars = "0123456789abcdef"
+    cols = []
+    for j in range(bits):
+        hex_pos = j // 4 + 1  # 1-based position in the hex string
+        bit_in_digit = j % 4
+        d = F.instr(F.lit(digit_chars), F.substring(h, hex_pos, 1)) - 1
+        bit = F.floor(d / (2 ** bit_in_digit)) % 2
+        cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = tok.groupBy(id_col).agg(*cols)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int | None = None,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance ≤ max_hamming.
+
+    Candidate generation: split the fingerprint into (max_hamming+1)
+    chunks — any pair within distance max_hamming shares ≥1 exact chunk
+    (pigeonhole), so candidates come from chunk-equality self-joins,
+    never an all-pairs scan."""
+    bits = bits or specs.SIMHASH_BITS
+    sh = simhash(docs, id_col, text_col, bits).cache()
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                (F.shiftright(F.col("simhash"), c * width) % (2**width)).cast("string"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    keyed = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck"))
+    a = keyed.select(F.col("ck"), F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    b = keyed.select(F.col("ck"), F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    cand = a.join(b, "ck").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

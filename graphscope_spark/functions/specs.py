@@ -1,0 +1,36 @@
+"""Shared constants for the text/dedup/similarity ops.
+
+Held in one place so the Spark implementations and the DuckDB oracle
+SQL in ``__spark_entry__.py`` are generated from the SAME parameters —
+cross-engine parity by construction (both engines share md5()).
+"""
+
+# tokenization: whitespace split of trimmed text
+TOKEN_SPLIT_RE = r"\s+"
+
+# word-shingle size for MinHash / Jaccard
+SHINGLE_N = 3
+
+# number of MinHash permutations; "hash k" of shingle s is the hex
+# string md5(k || ':' || s) — identical in Spark and DuckDB — and the
+# signature component is the lexicographic MIN of those strings.
+MINHASH_K = 8
+
+# LSH: band width 2 → 4 bands over the 8-component signature
+LSH_BAND_WIDTH = 2
+
+# SimHash: 32-bit fingerprint from per-token md5 hex digits
+SIMHASH_BITS = 32
+
+# language-ID stopword table: language → marker words (disjoint sets);
+# score = token hits, argmax wins, ties → lexicographically smaller
+# lang, zero hits → 'und'
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "was", "of"],
+    "de": ["der", "und", "ist", "nicht", "das"],
+    "es": ["el", "los", "como", "pero", "por"],
+    "fr": ["le", "les", "est", "dans", "avec"],
+}
+
+# quality score: weighted ratios, all computable in both engines
+STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it"]

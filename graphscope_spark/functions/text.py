@@ -1,0 +1,98 @@
+"""Text-analysis ops for large-scale training-data pipelines.
+
+All pure DataFrame expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.  Tokenization model: whitespace split of the
+trimmed text (specs.TOKEN_SPLIT_RE).  Every op has a DuckDB-equivalent
+oracle in ``__spark_entry__.py`` built from the same specs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import specs
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), specs.TOKEN_SPLIT_RE)
+
+
+def token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    ).cast("long")
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text: lowercase, whitespace collapsed to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is identical across Spark and DuckDB, making this fingerprint a
+    portable dedup key (and the oracle-parity anchor)."""
+    return F.md5(normalized(col))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + score.
+
+    Columns added: n_chars, n_tokens, avg_token_len, stopword_ratio,
+    uniq_token_ratio, quality_score.  The score is a fixed linear blend
+    — the point is deterministic, cheap, fully-columnar scoring at
+    100TB (a pre-filter before expensive model-based scoring).
+    """
+    t = tokens(text_col)
+    n_tok = token_count(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in specs.STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(t))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    return docs.select(
+        "*",
+        F.length(F.col(text_col)).cast("long").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        (F.length(F.col(text_col)) / safe_tok).alias("avg_token_len"),
+        (n_stop / safe_tok).alias("stopword_ratio"),
+        (n_uniq / safe_tok).alias("uniq_token_ratio"),
+    ).withColumn(
+        "quality_score",
+        (
+            0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+            + 0.3 * F.col("uniq_token_ratio")
+            + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        ),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram-free language ID: count marker-stopword hits per language,
+    argmax with (count desc, lang asc) tie-break; no hits → 'und'.
+
+    Plan: explode tokens → broadcast-join the tiny marker table →
+    two hash aggregates.  No UDF, no shuffle beyond the groupBys.
+    """
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in specs.LANG_MARKERS.items() for w in ws],
+        "cand_lang string, word string",
+    )
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    scores = (
+        tok.join(F.broadcast(markers), "word")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # min(struct(-hits, lang)) == most hits, ties → smaller lang code
+    picked = scores.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("hits")).alias("neg"), F.col("cand_lang").alias("l"))).alias("top")
+    ).select(id_col, F.col("top.l").alias("pred_lang"))
+    return docs.select(id_col).join(picked, id_col, "left").select(
+        id_col, F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+    )

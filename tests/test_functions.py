@@ -1,0 +1,215 @@
+"""Text / dedup / similarity / multimodal ops vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import specs
+from graphscope_spark.functions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_duplicates,
+)
+from graphscope_spark.functions.similarity import cosine_topk, lsh_topk
+from graphscope_spark.functions.text import fingerprint, lang_id, quality_features, token_count
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+    (2, "The  quick brown fox  jumps over the lazy DOG", "en"),  # normalized dup
+    (3, "der hund ist nicht schnell und der fuchs ist klug", "de"),
+    (4, "le chat est dans la maison avec les enfants", "fr"),
+    (5, "el perro corre por la calle pero los gatos duermen", "es"),
+    (6, "the quick brown fox jumps over the sleepy dog today", "en"),  # near-dup of 0
+    (7, "completely different words about spark engines and shuffles", "en"),
+    (8, "", "und"),
+    (9, "solo", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    )
+
+
+def _py_shingles(text: str, n: int = specs.SHINGLE_N) -> set[str]:
+    toks = text.strip().split()
+    if not toks:
+        toks = [""]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_token_count(docs_df):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs_df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    exp = {i: len(t.split()) for i, t, _ in DOCS}
+    assert got == exp
+
+
+def test_fingerprint_md5(docs_df):
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs_df.select("doc_id", fingerprint("text").alias("fp")).collect()
+    }
+    for i, t, _ in DOCS:
+        norm = " ".join(t.lower().strip().split())
+        assert got[i] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_exact_duplicates(docs_df):
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+        for r in exact_duplicates(docs_df).collect()
+    }
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[2] == (0, True)  # case/whitespace-normalized dup
+    assert got[7] == (7, False)
+
+
+def test_shingles_match_python(docs_df):
+    got = {}
+    for r in shingles(docs_df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for i, t, _ in DOCS:
+        assert got[i] == _py_shingles(t), i
+
+
+def test_minhash_lsh_finds_near_dup(docs_df):
+    sh = shingles(docs_df)
+    sig = minhash_signatures(sh)
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in pairs  # identical shingle sets always collide
+    # minhash signature of identical shingle sets is identical
+    rows = {tuple(r[1:]) for r in sig.where(F.col("doc_id").isin(0, 1)).collect()}
+    assert len(rows) == 1
+
+
+def test_jaccard_pairs(docs_df):
+    got = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs_df).collect()}
+    for (a, b), j in got.items():
+        sa, sb = _py_shingles(DOCS[a][1]), _py_shingles(DOCS[b][1])
+        exp = len(sa & sb) / len(sa | sb)
+        assert abs(j - exp) < 1e-12
+    assert got[(0, 1)] == 1.0
+
+
+def test_simhash_vs_python(docs_df):
+    def py_simhash(text: str, bits: int = specs.SIMHASH_BITS) -> int:
+        toks = sorted(set(text.strip().split() or [""]))
+        if text.strip() == "":
+            toks = [""]
+        sums = [0] * bits
+        for t in set(toks):
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(bits):
+                d = int(h[j // 4], 16)
+                bit = (d >> (j % 4)) & 1
+                sums[j] += bit * 2 - 1
+        return sum(2**j for j in range(bits) if sums[j] > 0)
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    for i, t, _ in DOCS:
+        assert got[i] == py_simhash(t), i
+
+
+def test_simhash_near_duplicates(docs_df):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_duplicates(docs_df, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0  # identical token sets → identical simhash
+
+
+def test_lang_id(docs_df):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
+    assert got[0] == "en" and got[3] == "de" and got[4] == "fr" and got[5] == "es"
+    assert got[8] == "und" and got[9] == "und"
+
+
+def test_quality_features(docs_df):
+    rows = {r["doc_id"]: r for r in quality_features(docs_df).collect()}
+    assert rows[8]["n_tokens"] == 0
+    t0 = DOCS[0][1].split()
+    assert rows[0]["n_tokens"] == len(t0)
+    assert abs(rows[0]["uniq_token_ratio"] - len(set(t0)) / len(t0)) < 1e-12
+    assert 0.0 <= rows[0]["quality_score"] <= 1.0
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.9, 0.2, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+    (5, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def _py_cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk(emb_df):
+    res = cosine_topk(emb_df, emb_df.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(res.collect(), key=lambda r: r["rank"])
+    exp = sorted(
+        ((i, _py_cosine(EMB[0][1], v)) for i, v in EMB if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [r["neighbor_id"] for r in rows] == [i for i, _ in exp]
+    for r, (_, c) in zip(rows, exp):
+        assert abs(r["cosine"] - c) < 1e-6
+
+
+def test_lsh_topk_same_bucket(emb_df):
+    """vectors 0,1,5 share the all-positive sign bucket (planes=4)."""
+    res = lsh_topk(emb_df, emb_df.where(F.col("vec_id") == 0), k=5, planes=4)
+    nbrs = {r["neighbor_id"] for r in res.collect()}
+    assert 1 in nbrs and 4 not in nbrs  # opposite-sign vector pruned
+
+
+def test_multimodal_image_features(spark):
+    from graphscope_spark.functions.multimodal import IMAGE_FEATURE_DIM, image_features
+
+    df = spark.createDataFrame(
+        [(0, b"imagebytes-0"), (1, b"imagebytes-1")], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in image_features(df).collect()}
+    assert len(rows) == 2
+    f0 = np.array(rows[0]["feature"])
+    assert f0.shape == (IMAGE_FEATURE_DIM,)
+    assert abs(np.linalg.norm(f0) - 1.0) < 1e-5
+    # determinism
+    rows2 = {r["id"]: r for r in image_features(df).collect()}
+    assert rows2[0]["feature"] == rows[0]["feature"]
+    with pytest.raises(NotImplementedError):
+        image_features(df, decoder="real")
+
+
+def test_multimodal_frame_sample(spark):
+    from graphscope_spark.functions.multimodal import frame_sample
+
+    payload = bytes(range(256)) * 25  # 25 pseudo-frames
+    df = spark.createDataFrame([(0, payload)], "id long, payload binary")
+    rows = frame_sample(df, every_n=10).collect()
+    assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == [0, 10, 20]
