@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 over
+the driver's testdata tables; ``oracle_sql()`` provides DuckDB-runnable
+ANSI SQL computing the SAME result.  Parity strategy:
+
+- Graph inputs are derived from TPC-H tables by identical relational
+  definitions on both sides (customer→supplier order graph, part
+  co-purchase graph) — see graphscope_spark/sources/tpch_graph.py.
+- Iterative algorithms are verified either at full convergence with an
+  unrolled-CTE oracle run past the empirical quiesce depth (WCC ≤4
+  rounds at sf0.01, BFS ecc ≤3, SSSP ≤5, k-core ≤3 — probed on the
+  actual data, unrolled with ≥2 rounds of margin), or as fixed-round
+  variants (PageRank/CDLP/HITS, matching the reference's fixed-round
+  LDBC forms).
+- Every hash-based op (fingerprint/MinHash/SimHash) is built from
+  md5() hex strings, which Spark and DuckDB compute identically.
+- Float columns are rounded on both sides (8 decimals for rank-scale
+  values, 6 for cosines) so summation-order noise (~1e-15) cannot flip
+  the driver's value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +25,802 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALPHA = 0.85
+PR_ROUNDS = 5
+CDLP_ROUNDS = 5
+HITS_ROUNDS = 5
+WCC_UNROLL = 8
+BFS_UNROLL = 6
+SSSP_UNROLL = 8
+KCORE_K = 30
+KCORE_UNROLL = 6
+KNN_K = 3
+KNN_QUERIES = 10
+LSH_PLANES = 4
+
+# ---------------------------------------------------------------------
+# shared SQL building blocks (DuckDB dialect; tables pre-registered)
+# ---------------------------------------------------------------------
+
+SQL_EDGES = """
+  select distinct o_custkey as src, 1000000 + l_suppkey as dst
+  from orders join lineitem on o_orderkey = l_orderkey
+"""
+SQL_WEDGES = """
+  select o_custkey as src, 1000000 + l_suppkey as dst,
+         cast(count(*) as double) as w
+  from orders join lineitem on o_orderkey = l_orderkey
+  group by 1, 2
+"""
+SQL_VERTS = "select src as vid from edges union select dst from edges"
+SQL_SYM = "select src, dst from edges union select dst, src from edges"
+
+SQL_CP_EDGES = """
+  select distinct a.l_partkey as src, b.l_partkey as dst
+  from lineitem a join lineitem b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+"""
+
+SQL_SHINGLES = r"""
+  toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') as t
+           from documents),
+  sh as (
+    select distinct doc_id, array_to_string(t[i:i+2], ' ') as shingle
+    from toks, unnest(generate_series(1, len(t)-2)) as g(i)
+    where len(t) >= 3
+    union
+    select doc_id, array_to_string(t, ' ') from toks where len(t) < 3
+  )
+"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled NetworkX-style PageRank (dangling pool), PR_ROUNDS rounds."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "deg as materialized (select src as vid, cast(count(*) as double) as od from edges group by 1)",
+        "dangv as materialized (select v.vid from verts v left join deg d using(vid) where d.od is null)",
+        "r0 as materialized (select vid, (select 1.0/n from nn) as pr from verts)",
+    ]
+    for k in range(PR_ROUNDS):
+        parts.append(
+            f"d{k} as materialized (select coalesce(sum(pr), 0.0) as s from r{k} "
+            f"where vid in (select vid from dangv))"
+        )
+        parts.append(
+            f"""r{k + 1} as materialized (
+              select v.vid,
+                     (1.0 - {ALPHA})/(select n from nn)
+                     + {ALPHA} * (select s from d{k})/(select n from nn)
+                     + {ALPHA} * coalesce(c.s, 0.0) as pr
+              from verts v left join (
+                select e.dst as vid, sum(r.pr / dg.od) as s
+                from edges e
+                join r{k} r on e.src = r.vid
+                join deg dg on dg.vid = e.src
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    parts_sql = ",\n".join(parts)
+    return f"{parts_sql}\nselect vid, round(pr, 8) as pr from r{PR_ROUNDS}"
+
+
+def _wcc_sql() -> str:
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "c0 as materialized (select vid, vid as comp from verts)",
+    ]
+    for k in range(WCC_UNROLL):
+        parts.append(
+            f"""c{k + 1} as materialized (
+              select c.vid, least(c.comp, coalesce(m.mc, c.comp)) as comp
+              from c{k} c left join (
+                select s.dst as vid, min(c2.comp) as mc
+                from sym s join c{k} c2 on s.src = c2.vid
+                group by 1
+              ) m using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, comp from c{WCC_UNROLL}"
+
+
+def _cdlp_sql() -> str:
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "l0 as materialized (select vid, vid as label from verts)",
+    ]
+    for k in range(CDLP_ROUNDS):
+        parts.append(
+            f"""l{k + 1} as materialized (
+              select l.vid, coalesce(p.label, l.label) as label
+              from l{k} l left join (
+                select vid, label from (
+                  select s.dst as vid, r.label, count(*) as c
+                  from sym s join l{k} r on s.src = r.vid
+                  group by 1, 2
+                ) qualify row_number() over (
+                  partition by vid order by c desc, label asc) = 1
+              ) p using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, label from l{CDLP_ROUNDS}"
+
+
+def _triangles_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      verts as materialized (select src as vid from cpe union select dst from cpe),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1),
+      eor as materialized (
+        select e.src as a, e.dst as b, dd.d as db
+        from cpe e
+        join deg ds on ds.vid = e.src
+        join deg dd on dd.vid = e.dst
+        where (ds.d < dd.d) or (ds.d = dd.d and e.src < e.dst)
+        union all
+        select e.dst as a, e.src as b, ds.d as db
+        from cpe e
+        join deg ds on ds.vid = e.src
+        join deg dd on dd.vid = e.dst
+        where (dd.d < ds.d) or (dd.d = ds.d and e.dst < e.src)
+      ),
+      tri as materialized (
+        select e1.a as u, e1.b as v, e2.b as w
+        from eor e1
+        join eor e2 on e1.a = e2.a
+          and ((e1.db < e2.db) or (e1.db = e2.db and e1.b < e2.b))
+        join eor e3 on e3.a = e1.b and e3.b = e2.b
+      ),
+      corners as materialized (
+        select u as vid from tri
+        union all select v from tri
+        union all select w from tri
+      )
+      select v.vid, coalesce(c.t, 0) as tri
+      from verts v left join (
+        select vid, count(*) as t from corners group by 1
+      ) c using(vid)
+    """
+
+
+def _lcc_sql() -> str:
+    tri = _triangles_sql().strip()
+    # reuse the triangle query as a subselect; add degrees
+    return f"""
+      with tpv as materialized ({tri}),
+      cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1)
+      select t.vid,
+             round(case when dg.d >= 2
+                   then 2.0 * t.tri / (dg.d * (dg.d - 1))
+                   else 0.0 end, 8) as lcc
+      from tpv t join deg dg using(vid)
+    """
+
+
+def _bfs_sql() -> str:
+    inf = 999999
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "srcv as materialized (select min(src) as s from edges)",
+        f"b0 as materialized (select vid, case when vid = (select s from srcv) then 0 else {inf} end as d from verts)",
+    ]
+    for k in range(BFS_UNROLL):
+        parts.append(
+            f"""b{k + 1} as materialized (
+              select b.vid, least(b.d, coalesce(m.md, {inf})) as d
+              from b{k} b left join (
+                select s.dst as vid, min(b2.d) + 1 as md
+                from sym s join b{k} b2 on s.src = b2.vid
+                group by 1
+              ) m using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, cast(case when d >= {inf} then -1 else d end as bigint) as depth from b{BFS_UNROLL}"
+    )
+
+
+def _sssp_sql() -> str:
+    inf = "1e18"
+    parts = [
+        f"with wedges as materialized ({SQL_WEDGES})",
+        "verts as materialized (select src as vid from wedges union select dst from wedges)",
+        "sym as materialized (select src, dst, w from wedges union all select dst, src, w from wedges)",
+        "srcv as materialized (select min(src) as s from wedges)",
+        f"s0 as materialized (select vid, case when vid = (select s from srcv) then 0.0 else {inf} end as dist from verts)",
+    ]
+    for k in range(SSSP_UNROLL):
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select s.vid, least(s.dist, coalesce(m.md, {inf})) as dist
+              from s{k} s left join (
+                select e.dst as vid, min(s2.dist + e.w) as md
+                from sym e join s{k} s2 on e.src = s2.vid
+                where s2.dist < {inf}
+                group by 1
+              ) m using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, dist from s{SSSP_UNROLL}"
+
+
+def _kcore_sql() -> str:
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "a0 as materialized (select vid, true as active from verts)",
+    ]
+    for k in range(KCORE_UNROLL):
+        parts.append(
+            f"""a{k + 1} as materialized (
+              select a.vid,
+                     a.active and coalesce(d.cnt, 0) >= {KCORE_K} as active
+              from a{k} a left join (
+                select s.src as vid, count(*) as cnt
+                from sym s
+                join a{k} x on x.vid = s.src and x.active
+                join a{k} y on y.vid = s.dst and y.active
+                group by 1
+              ) d using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, active as in_core from a{KCORE_UNROLL}"
+
+
+def _hits_sql() -> str:
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "h0 as materialized (select vid, (select 1.0/n from nn) as hub, (select 1.0/n from nn) as auth from verts)",
+    ]
+    for k in range(HITS_ROUNDS):
+        parts.append(
+            f"""ar{k} as materialized (
+              select e.dst as vid, sum(h.hub) as s
+              from edges e join h{k} h on e.src = h.vid group by 1
+            )"""
+        )
+        parts.append(
+            f"a{k} as materialized (select vid, s / (select coalesce(sum(s), 1.0) from ar{k}) as auth from ar{k})"
+        )
+        parts.append(
+            f"""hr{k} as materialized (
+              select e.src as vid, sum(a.auth) as s
+              from edges e join a{k} a on e.dst = a.vid group by 1
+            )"""
+        )
+        parts.append(
+            f"""h{k + 1} as materialized (
+              select v.vid,
+                     coalesce(hh.s / (select coalesce(sum(s), 1.0) from hr{k}), 0.0) as hub,
+                     coalesce(aa.auth, 0.0) as auth
+              from verts v
+              left join hr{k} hh using(vid)
+              left join a{k} aa using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, round(hub, 8) as hub, round(auth, 8) as auth from h{HITS_ROUNDS}"
+    )
+
+
+def _minhash_cols_sql() -> str:
+    from graphscope_spark.functions import specs
+
+    return ",\n".join(
+        f"min(md5('{j}:' || shingle)) as mh_{j}" for j in range(specs.MINHASH_K)
+    )
+
+
+def _simhash_sql() -> str:
+    from graphscope_spark.functions import specs
+
+    bits = specs.SIMHASH_BITS
+    sums = []
+    for j in range(bits):
+        pos = j // 4 + 1
+        p = 2 ** (j % 4)
+        sums.append(
+            f"sum((((instr('0123456789abcdef', substr(hx, {pos}, 1)) - 1) // {p}) % 2) * 2 - 1) as s{j}"
+        )
+    fp = " + ".join(f"(case when s{j} > 0 then {2**j} else 0 end)" for j in range(bits))
+    return rf"""
+      with tok as (
+        select distinct doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) as t
+        from documents
+      ),
+      h as (select doc_id, md5(t) as hx from tok),
+      sums as (select doc_id, {", ".join(sums)} from h group by doc_id)
+      select doc_id, cast({fp} as bigint) as simhash from sums
+    """
+
+
+def _lang_markers_values() -> str:
+    from graphscope_spark.functions import specs
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(specs.LANG_MARKERS.items())
+        for w in ws
+    )
+    return vals
+
+
+# ---------------------------------------------------------------------
+# Spark-side query implementations
+# ---------------------------------------------------------------------
+
+
+def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return (
+        g.out_degrees()
+        .join(g.in_degrees(), "vid")
+        .select("vid", "out_deg", "in_deg")
+    )
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return pagerank(g, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None).select(
+        "vid", F.round("rank", 8).alias("pr")
+    )
+
+
+def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return wcc(order_graph(spark, sf_dir)).select("vid", "comp")
+
+
+def _q_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import cdlp
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return cdlp(order_graph(spark, sf_dir), max_round=CDLP_ROUNDS).select("vid", "label")
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import triangles
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return triangles(copurchase_graph(spark, sf_dir)).select("vid", "tri")
+
+
+def _q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import lcc
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return lcc(copurchase_graph(spark, sf_dir)).select(
+        "vid", F.round("lcc", 8).alias("lcc")
+    )
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import bfs
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return bfs(g, source=source, directed=False).select("vid", "depth")
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import sssp
+    from graphscope_spark.sources.tpch_graph import order_graph
+    from graphscope_spark.graph import Graph
+
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return sssp(g, source=source, weight="weight").select("vid", "dist")
+
+
+def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import degree_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return degree_centrality(order_graph(spark, sf_dir)).select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import hits
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return hits(order_graph(spark, sf_dir), max_iter=HITS_ROUNDS).select(
+        "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import kcore
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return kcore(order_graph(spark, sf_dir), k=KCORE_K).select("vid", "in_core")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        F.round("uniq_token_ratio", 8).alias("uniq_token_ratio"),
+        F.round("stopword_ratio", 8).alias("stopword_ratio"),
+        F.round("quality_score", 8).alias("quality_score"),
+    )
+
+
+def _q_doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions import specs
+    from graphscope_spark.functions.dedup import minhash_signatures, shingles
+
+    sig = minhash_signatures(shingles(_docs(spark, sf_dir)))
+    return sig.select("doc_id", *[f"mh_{j}" for j in range(specs.MINHASH_K)])
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sig = minhash_signatures(shingles(_docs(spark, sf_dir)))
+    return lsh_candidate_pairs(sig).select("a", "b")
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import jaccard_pairs, shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    cands = sa.join(sb, "shingle").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return jaccard_pairs(docs, candidates=cands).select(
+        "a", "b", F.round("jaccard", 8).alias("jaccard")
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < KNN_QUERIES)
+    return cosine_topk(emb, q, k=KNN_K).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < KNN_QUERIES)
+    return lsh_topk(emb, q, k=KNN_K, planes=LSH_PLANES).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.streaming.events import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events).select(
+        "win_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the customer→supplier order graph."""
+    return _q_pagerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_degree": _q_graph_degree,
+        "pagerank": _q_pagerank,
+        "wcc": _q_wcc,
+        "cdlp": _q_cdlp,
+        "triangles": _q_triangles,
+        "lcc": _q_lcc,
+        "bfs": _q_bfs,
+        "sssp": _q_sssp,
+        "degree_centrality": _q_degree_centrality,
+        "hits": _q_hits,
+        "kcore": _q_kcore,
+        "doc_tokens": _q_doc_tokens,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_quality": _q_doc_quality,
+        "doc_lang": _q_doc_lang,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash,
+        "lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_jaccard,
+        "simhash": _q_simhash,
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "event_counts": _q_event_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphscope_spark.functions import specs
+
+    stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
+    return {
+        "graph_degree": f"""
+          with edges as ({SQL_EDGES}),
+          verts as ({SQL_VERTS})
+          select v.vid,
+                 coalesce(o.c, 0) as out_deg,
+                 coalesce(i.c, 0) as in_deg
+          from verts v
+          left join (select src as vid, count(*) as c from edges group by 1) o using(vid)
+          left join (select dst as vid, count(*) as c from edges group by 1) i using(vid)
+        """,
+        "pagerank": _pagerank_sql(),
+        "wcc": _wcc_sql(),
+        "cdlp": _cdlp_sql(),
+        "triangles": _triangles_sql(),
+        "lcc": _lcc_sql(),
+        "bfs": _bfs_sql(),
+        "sssp": _sssp_sql(),
+        "degree_centrality": f"""
+          with edges as ({SQL_EDGES}),
+          verts as ({SQL_VERTS}),
+          nn as (select cast(count(*) as double) as n from verts)
+          select v.vid,
+                 round((coalesce(o.c, 0) + coalesce(i.c, 0))
+                       / greatest((select n from nn) - 1, 1.0), 8) as centrality
+          from verts v
+          left join (select src as vid, count(*) as c from edges group by 1) o using(vid)
+          left join (select dst as vid, count(*) as c from edges group by 1) i using(vid)
+        """,
+        "hits": _hits_sql(),
+        "kcore": _kcore_sql(),
+        "doc_tokens": r"""
+          select doc_id,
+                 cast(case when length(trim(text)) = 0 then 0
+                      else len(regexp_split_to_array(trim(text), '\s+')) end
+                      as bigint) as n_tokens
+          from documents
+        """,
+        "doc_fingerprint": r"""
+          select doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+          from documents
+        """,
+        "doc_quality": rf"""
+          with t as (
+            select doc_id,
+                   regexp_split_to_array(trim(text), '\s+') as toks,
+                   length(text) as nc,
+                   cast(case when length(trim(text)) = 0 then 0
+                        else len(regexp_split_to_array(trim(text), '\s+')) end
+                        as bigint) as n_tokens
+            from documents
+          ),
+          f as (
+            select doc_id, n_tokens,
+                   greatest(n_tokens, 1) as st,
+                   len(list_distinct(toks)) as nu,
+                   len(list_filter(toks, x -> list_contains([{stop_list}], x))) as ns
+            from t
+          )
+          select doc_id, n_tokens,
+                 round(nu / st, 8) as uniq_token_ratio,
+                 round(ns / st, 8) as stopword_ratio,
+                 round(0.4 * least(n_tokens / 50.0, 1.0)
+                       + 0.3 * (nu / st)
+                       + 0.3 * least((ns / st) * 5.0, 1.0), 8) as quality_score
+          from f
+        """,
+        "doc_lang": rf"""
+          with tok as (
+            select doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) as word
+            from documents
+          ),
+          markers(cand_lang, word) as (values {_lang_markers_values()}),
+          scores as (
+            select doc_id, cand_lang, count(*) as hits
+            from tok join markers using(word)
+            group by 1, 2
+          ),
+          picked as (
+            select doc_id, cand_lang from scores
+            qualify row_number() over (
+              partition by doc_id order by hits desc, cand_lang asc) = 1
+          )
+          select d.doc_id, coalesce(p.cand_lang, 'und') as pred_lang
+          from documents d left join picked p using(doc_id)
+        """,
+        "dedup_exact": r"""
+          with fp as (
+            select doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as f
+            from documents
+          ),
+          canon as (select f, min(doc_id) as canonical_id from fp group by 1)
+          select fp.doc_id, c.canonical_id,
+                 fp.doc_id != c.canonical_id as is_duplicate
+          from fp join canon c using(f)
+        """,
+        "minhash_signatures": f"""
+          with {SQL_SHINGLES}
+          select doc_id,
+                 {_minhash_cols_sql()}
+          from sh group by doc_id
+        """,
+        "lsh_pairs": f"""
+          with {SQL_SHINGLES},
+          sig as (select doc_id, {_minhash_cols_sql()} from sh group by doc_id),
+          banded as (
+            select doc_id, unnest([
+              concat_ws('|', '0', mh_0, mh_1),
+              concat_ws('|', '1', mh_2, mh_3),
+              concat_ws('|', '2', mh_4, mh_5),
+              concat_ws('|', '3', mh_6, mh_7)
+            ]) as band from sig
+          )
+          select distinct x.doc_id as a, y.doc_id as b
+          from banded x join banded y using(band)
+          where x.doc_id < y.doc_id
+        """,
+        "ngram_jaccard": f"""
+          with {SQL_SHINGLES},
+          sizes as (select doc_id, count(*) as sz from sh group by 1),
+          inter as (
+            select x.doc_id as a, y.doc_id as b, count(*) as ni
+            from sh x join sh y using(shingle)
+            where x.doc_id < y.doc_id
+            group by 1, 2
+          )
+          select i.a, i.b,
+                 round(i.ni / (sa.sz + sb.sz - i.ni), 8) as jaccard
+          from inter i
+          join sizes sa on sa.doc_id = i.a
+          join sizes sb on sb.doc_id = i.b
+        """,
+        "simhash": _simhash_sql(),
+        "knn_cosine": f"""
+          with q as (select vec_id as qid, embedding::DOUBLE[] as qv
+                     from embeddings where vec_id < {KNN_QUERIES}),
+          c as (select vec_id as nid, embedding::DOUBLE[] as cv from embeddings),
+          scored as (
+            select qid as query_id, nid as neighbor_id,
+                   list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) as cos
+            from q join c on qid != nid
+          ),
+          ranked as (
+            select query_id, neighbor_id, cos,
+                   row_number() over (
+                     partition by query_id order by cos desc, neighbor_id asc) as rk
+            from scored
+          )
+          select query_id, neighbor_id, cast(rk as int) as rank,
+                 round(cos, 6) as cosine
+          from ranked where rk <= {KNN_K}
+        """,
+        "knn_lsh": f"""
+          with e as (
+            select vec_id, embedding::DOUBLE[] as v,
+                   (case when embedding[1] >= 0 then 1 else 0 end)
+                 + (case when embedding[2] >= 0 then 2 else 0 end)
+                 + (case when embedding[3] >= 0 then 4 else 0 end)
+                 + (case when embedding[4] >= 0 then 8 else 0 end) as bucket
+            from embeddings
+          ),
+          q as (select vec_id as qid, v as qv, bucket from e where vec_id < {KNN_QUERIES}),
+          scored as (
+            select qid as query_id, e.vec_id as neighbor_id,
+                   list_dot_product(qv, e.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) as cos
+            from q join e using(bucket)
+            where qid != e.vec_id
+          ),
+          ranked as (
+            select query_id, neighbor_id, cos,
+                   row_number() over (
+                     partition by query_id order by cos desc, neighbor_id asc) as rk
+            from scored
+          )
+          select query_id, neighbor_id, cast(rk as int) as rank,
+                 round(cos, 6) as cosine
+          from ranked where rk <= {KNN_K}
+        """,
+        "event_counts": """
+          select date_trunc('hour', ts) as win_start,
+                 event_type,
+                 count(*) as n_events,
+                 round(sum(value), 4) as sum_value
+          from events
+          group by 1, 2
+        """,
+    }

@@ -1,0 +1,68 @@
+"""Graphs derived deterministically from the driver's TPC-H-ish tables.
+
+These power the DuckDB-verifiable query surface in __spark_entry__.py
+(FIXTURES.md §5): the SAME derivation runs as a DataFrame plan here and
+as ANSI SQL in the oracle, so graph inputs match by construction.
+
+- :func:`order_graph` — directed bipartite customer→supplier graph:
+  edge (o_custkey → 1_000_000 + l_suppkey) when an order links them;
+  weight = number of backing lineitems.  Vertices deduced from edge
+  endpoints (reference deduce path, graph.py:565-577).
+- :func:`copurchase_graph` — undirected part co-purchase graph: parts
+  appearing in the same order (has real triangle structure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import Graph
+
+SUPPLIER_OFFSET = 1_000_000
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, weight): customer → offset+supplier, weight = lineitem count."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(SUPPLIER_OFFSET) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def order_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
+    return Graph.from_edges(
+        order_edges(spark, sf_dir),
+        directed=True,
+        num_partitions=num_partitions,
+        weight="weight",
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): distinct part pairs co-occurring in an order, src < dst."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def copurchase_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
+    return Graph.from_edges(
+        copurchase_edges(spark, sf_dir), directed=False, num_partitions=num_partitions
+    )
