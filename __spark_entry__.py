@@ -39,6 +39,11 @@ KCORE_UNROLL = 6
 KNN_K = 3
 KNN_QUERIES = 10
 LSH_PLANES = 4
+EV_ROUNDS = 5
+KATZ_ROUNDS = 5
+KATZ_ALPHA = 0.1
+CLOSE_UNROLL = 6
+CORE_UNROLL = 10
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -322,6 +327,183 @@ def _hits_sql() -> str:
     )
 
 
+def _eigenvector_sql() -> str:
+    """Unrolled NX eigenvector power iteration, EV_ROUNDS rounds:
+    x' = (x + Aᵀx) / ‖·‖₂  (directed in-edges)."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "x0 as materialized (select vid, (select 1.0/n from nn) as x from verts)",
+    ]
+    for k in range(EV_ROUNDS):
+        parts.append(
+            f"""raw{k} as materialized (
+              select v.vid, x.x + coalesce(c.s, 0.0) as raw
+              from verts v
+              join x{k} x using(vid)
+              left join (
+                select e.dst as vid, sum(x2.x) as s
+                from edges e join x{k} x2 on e.src = x2.vid
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+        parts.append(
+            f"""x{k + 1} as materialized (
+              select vid, raw / (select coalesce(sqrt(sum(raw*raw)), 1.0) from raw{k}) as x
+              from raw{k}
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, round(x, 8) as centrality from x{EV_ROUNDS}"
+
+
+def _katz_sql() -> str:
+    """Unrolled NX Katz: x init 0; x' = α·Aᵀx + β; final L2 normalize."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "k0 as materialized (select vid, 0.0 as x from verts)",
+    ]
+    for k in range(KATZ_ROUNDS):
+        parts.append(
+            f"""k{k + 1} as materialized (
+              select v.vid, {KATZ_ALPHA} * coalesce(c.s, 0.0) + 1.0 as x
+              from verts v left join (
+                select e.dst as vid, sum(x2.x) as s
+                from edges e join k{k} x2 on e.src = x2.vid
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    last = f"k{KATZ_ROUNDS}"
+    return (
+        ",\n".join(parts)
+        + f"""
+        select vid,
+               round(x / (select coalesce(sqrt(sum(x*x)), 1.0) from {last}), 8)
+               as centrality
+        from {last}"""
+    )
+
+
+def _closeness_sql() -> str:
+    """WF-improved closeness for supplier-side roots (vid >= 1000000) —
+    multi-source BFS over the symmetrized graph, unrolled."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "roots as materialized (select vid from verts where vid >= 1000000)",
+        "d0 as materialized (select vid as root, vid, 0 as d from roots)",
+    ]
+    for k in range(CLOSE_UNROLL):
+        parts.append(
+            f"""d{k + 1} as materialized (
+              select root, vid, min(d) as d from (
+                select root, vid, d from d{k}
+                union all
+                select x.root, s.dst as vid, x.d + 1 as d
+                from d{k} x join sym s on x.vid = s.src
+              ) group by root, vid
+            )"""
+        )
+    last = f"d{CLOSE_UNROLL}"
+    return (
+        ",\n".join(parts)
+        + f"""
+        select root as vid,
+               round(case when sum(d) > 0 and (select n from nn) > 1
+                     then ((count(*) - 1) / ((select n from nn) - 1))
+                          * ((count(*) - 1) / cast(sum(d) as double))
+                     else 0.0 end, 8) as centrality
+        from {last} group by root"""
+    )
+
+
+def _avg_clustering_sql() -> str:
+    lcc = _lcc_sql().strip()
+    return f"with lccq as materialized ({lcc}) select round(avg(lcc), 8) as avg_clustering from lccq"
+
+
+def _transitivity_sql() -> str:
+    tri = _triangles_sql().strip()
+    return f"""
+      with tpv as materialized ({tri}),
+      cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1)
+      select round(
+        sum(t.tri) / nullif(sum(dg.d * (dg.d - 1) / 2.0), 0), 8
+      ) as transitivity
+      from tpv t join deg dg using(vid)
+    """
+
+
+def _assortativity_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1)
+      select round(corr(cast(ds.d as double), cast(dd.d as double)), 8) as assortativity
+      from sym s
+      join deg ds on ds.vid = s.src
+      join deg dd on dd.vid = s.dst
+    """
+
+
+def _adc_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1),
+      pv as materialized (
+        select s.src as vid, any_value(ds.d) as degree,
+               avg(cast(dd.d as double)) as avg_nbr_deg
+        from sym s
+        join deg ds on ds.vid = s.src
+        join deg dd on dd.vid = s.dst
+        group by s.src
+      )
+      select cast(degree as bigint) as degree, round(avg(avg_nbr_deg), 8) as knn
+      from pv group by degree
+    """
+
+
+def _core_number_sql() -> str:
+    """Iterated neighbor h-index (converges to core number), unrolled.
+    Per round: c'[v] = min(c[v], H({c[u] : u∈N(v)})) with
+    H = max(min(value, desc-rank))."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        """c0 as materialized (
+          select v.vid, cast(coalesce(d.c, 0) as bigint) as core
+          from verts v left join (
+            select src as vid, count(*) as c from sym group by 1
+          ) d using(vid)
+        )""",
+    ]
+    for k in range(CORE_UNROLL):
+        parts.append(
+            f"""c{k + 1} as materialized (
+              select c.vid,
+                     least(c.core, coalesce(h.h, 0)) as core
+              from c{k} c left join (
+                select vid, max(least(cv, rn)) as h from (
+                  select s.dst as vid, x.core as cv,
+                         row_number() over (
+                           partition by s.dst order by x.core desc) as rn
+                  from sym s join c{k} x on s.src = x.vid
+                ) group by vid
+              ) h using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, cast(core as bigint) as core from c{CORE_UNROLL}"
+
+
 def _minhash_cols_sql() -> str:
     from graphscope_spark.functions import specs
 
@@ -464,6 +646,78 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     return kcore(order_graph(spark, sf_dir), k=KCORE_K).select("vid", "in_core")
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import eigenvector_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return eigenvector_centrality(
+        order_graph(spark, sf_dir), max_iter=EV_ROUNDS, tol=None
+    ).select("vid", F.round("centrality", 8).alias("centrality"))
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import katz_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return katz_centrality(
+        order_graph(spark, sf_dir), alpha=KATZ_ALPHA, max_iter=KATZ_ROUNDS, tol=None
+    ).select("vid", F.round("centrality", 8).alias("centrality"))
+
+
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import closeness_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    roots = g.vertices.where(F.col("vid") >= 1000000)
+    return closeness_centrality(g, roots=roots).select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
+def _q_avg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import avg_clustering
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return avg_clustering(copurchase_graph(spark, sf_dir)).select(
+        F.round("avg_clustering", 8).alias("avg_clustering")
+    )
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import transitivity
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return transitivity(copurchase_graph(spark, sf_dir)).select(
+        F.round("transitivity", 8).alias("transitivity")
+    )
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import degree_assortativity
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return degree_assortativity(copurchase_graph(spark, sf_dir)).select(
+        F.round("assortativity", 8).alias("assortativity")
+    )
+
+
+def _q_avg_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import average_degree_connectivity
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return average_degree_connectivity(copurchase_graph(spark, sf_dir)).select(
+        "degree", F.round("knn", 8).alias("knn")
+    )
+
+
+def _q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import core_number
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return core_number(order_graph(spark, sf_dir)).select("vid", "core")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,6 +867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_centrality": _q_degree_centrality,
         "hits": _q_hits,
         "kcore": _q_kcore,
+        "eigenvector_centrality": _q_eigenvector,
+        "katz_centrality": _q_katz,
+        "closeness_centrality": _q_closeness,
+        "avg_clustering": _q_avg_clustering,
+        "transitivity": _q_transitivity,
+        "degree_assortativity": _q_assortativity,
+        "avg_degree_connectivity": _q_avg_degree_connectivity,
+        "core_number": _q_core_number,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
@@ -663,6 +925,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits": _hits_sql(),
         "kcore": _kcore_sql(),
+        "eigenvector_centrality": _eigenvector_sql(),
+        "katz_centrality": _katz_sql(),
+        "closeness_centrality": _closeness_sql(),
+        "avg_clustering": _avg_clustering_sql(),
+        "transitivity": _transitivity_sql(),
+        "degree_assortativity": _assortativity_sql(),
+        "avg_degree_connectivity": _adc_sql(),
+        "core_number": _core_number_sql(),
         "doc_tokens": r"""
           select doc_id,
                  cast(case when length(trim(text)) = 0 then 0

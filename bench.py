@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark — one JSON line for the driver.
+
+Two parts:
+
+1. **North-star metric**: PageRank on the synthetic Common-Crawl-style
+   link graph (pages → vectorized link extraction → edge table), run to
+   1e-6 L1 convergence; reports wall seconds plus
+   ``edges_per_sec_per_superstep`` (the BASELINE.md metric).
+2. **Query sweep**: every ``queries()`` entry from ``__spark_entry__``
+   timed once at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+If ``scripts/scaling_results.json`` exists (produced by
+``scripts/scaling_bench.py``, the local[8]-vs-local[32] evidence for the
+north rule's N→4N scaling-efficiency criterion), it is embedded under
+``"scaling"``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+
+
+def main() -> None:
+    from graphscope_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- part 1: north-star PageRank on the link graph --------------
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.sources.linkgraph import graph_from_pages
+    from graphscope_spark.sources.pages import write_pages
+    from graphscope_spark.superstep import SuperstepRunner
+
+    pages_path = f"/tmp/gs_bench_pages_{N_PAGES}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        write_pages(spark, N_PAGES, pages_path, partitions=max(CPUS, 8))
+
+    g, _ = graph_from_pages(spark.read.parquet(pages_path), num_partitions=max(CPUS, 8))
+    g = g.cache()
+    n_edges = g.num_edges()
+    runner = SuperstepRunner(spark, "pagerank", checkpoint_dir=None, resume=False)
+    t0 = time.time()
+    pagerank(g, tol=1e-6, max_iter=60, runner=runner).count()
+    pr_wall = time.time() - t0
+    supersteps = len(runner.metrics)
+    eps = n_edges * supersteps / pr_wall if pr_wall > 0 else 0.0
+    g.unpersist()
+
+    # ---- part 2: driver-contract query sweep ------------------------
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).count()
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record the failure, keep benching
+            qtimes[name] = -1.0
+            print(f"# query {name} failed: {exc}", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "pagerank_linkgraph_to_1e-6_sec",
+        "value": round(pr_wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "linkgraph": {
+            "pages": N_PAGES,
+            "edges": n_edges,
+            "supersteps": supersteps,
+            "edges_per_sec_per_superstep": round(eps, 1),
+        },
+        "cores": CPUS,
+    }
+    scaling_path = os.path.join(REPO, "scripts", "scaling_results.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling"] = json.load(fh)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

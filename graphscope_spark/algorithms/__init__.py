@@ -8,6 +8,17 @@ from graphscope_spark.algorithms.sssp import sssp
 from graphscope_spark.algorithms.degrees import degree_centrality
 from graphscope_spark.algorithms.hits import hits
 from graphscope_spark.algorithms.kcore import kcore
+from graphscope_spark.algorithms.centrality import (
+    closeness_centrality,
+    eigenvector_centrality,
+    katz_centrality,
+)
+from graphscope_spark.algorithms.clustering import avg_clustering, transitivity
+from graphscope_spark.algorithms.assortativity import (
+    average_degree_connectivity,
+    degree_assortativity,
+)
+from graphscope_spark.algorithms.corenum import core_number
 
 __all__ = [
     "pagerank",
@@ -21,4 +32,12 @@ __all__ = [
     "degree_centrality",
     "hits",
     "kcore",
+    "eigenvector_centrality",
+    "katz_centrality",
+    "closeness_centrality",
+    "avg_clustering",
+    "transitivity",
+    "degree_assortativity",
+    "average_degree_connectivity",
+    "core_number",
 ]

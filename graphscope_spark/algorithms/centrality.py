@@ -1,0 +1,197 @@
+"""Eigenvector / Katz / closeness centralities.
+
+Reference registry entries: `eigenvector_centrality`, `katz_centrality`,
+`closeness_centrality` (.gs_conf.yaml:138-149,214-219;
+apps/centrality/{eigenvector,katz,closeness}/*.h) — all NetworkX-compatible
+semantics (nx/algorithms/builtin.py):
+
+- eigenvector: power iteration x' = (x + Aᵀx) / ‖·‖₂, init 1/n.
+- katz:        init x = 0; iterate x' = α·Aᵀx + β; final L2
+               normalization (per-iteration norm is NOT applied).
+- closeness:   Wasserman-Faust improved: for each v over the undirected
+               graph, c(v) = ((r−1)/(n−1)) · ((r−1)/Σd) with r =
+               #reachable (incl. v), Σd = sum of BFS hop distances.
+
+Spark plans: eigenvector/katz are the PageRank-shaped join-agg power
+iteration (one shuffle per round + a scalar all-reduce for the norm).
+Closeness is **multi-source BFS**: a (root, vid, dist) frontier
+DataFrame expanded level-synchronously; at web scale this is run for a
+sampled/designated root set (here: all vertices, since test graphs are
+small — the operator takes an explicit ``roots`` DataFrame for the
+sampled case, which is the 100TB-scale path: landmark/pivot closeness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+
+def eigenvector_centrality(
+    g: Graph,
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns (vid long, centrality double), L2-normalized.
+
+    NX recurrence: x'[v] = x[v] + Σ_{u→v} x[u], then divide by the L2
+    norm; stop when Σ|x'−x| < n·tol.
+    """
+    spark = g.edges.sparkSession
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    n = g.num_vertices()
+    if n == 0:
+        return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
+
+    def init() -> DataFrame:
+        return g.vertices.select(VID, F.lit(1.0 / n).alias("x"))
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        msgs = (
+            edges.join(state, edges[SRC] == state[VID])
+            .select(F.col(DST).alias(VID), F.col("x").alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("s"))
+        )
+        raw = state.join(msgs, VID, "left").select(
+            VID,
+            (F.col("x") + F.coalesce("s", F.lit(0.0))).alias("raw"),
+            F.col("x").alias("old_x"),
+        )
+        # L2 norm — a scalar all-reduce (flash_utils.h:40-42 analog)
+        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0] or 1.0
+        nxt = raw.select(
+            VID, (F.col("raw") / norm).alias("x"), "old_x"
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            return (
+                m.agg(F.sum(F.abs(F.col("x") - F.col("old_x")))).collect()[0][0]
+                or 0.0
+            )
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "eigenvector", checkpoint_dir=checkpoint_dir)
+    final = run.run(
+        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+    )
+    edges.unpersist()
+    return final.select(VID, F.col("x").alias("centrality"))
+
+
+def katz_centrality(
+    g: Graph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns (vid long, centrality double), L2-normalized at the end.
+
+    NX recurrence: x init 0; x'[v] = α·Σ_{u→v} x[u] + β; stop when
+    Σ|x'−x| < n·tol; then x /= ‖x‖₂.
+    """
+    spark = g.edges.sparkSession
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    n = g.num_vertices()
+    if n == 0:
+        return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
+
+    def init() -> DataFrame:
+        return g.vertices.select(VID, F.lit(0.0).alias("x"))
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        msgs = (
+            edges.join(state, edges[SRC] == state[VID])
+            .select(F.col(DST).alias(VID), F.col("x").alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("s"))
+        )
+        nxt = state.join(msgs, VID, "left").select(
+            VID,
+            (alpha * F.coalesce("s", F.lit(0.0)) + F.lit(beta)).alias("x"),
+            F.col("x").alias("old_x"),
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            return (
+                m.agg(F.sum(F.abs(F.col("x") - F.col("old_x")))).collect()[0][0]
+                or 0.0
+            )
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "katz", checkpoint_dir=checkpoint_dir)
+    final = run.run(
+        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+    )
+    norm = final.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
+    edges.unpersist()
+    return final.select(VID, (F.col("x") / norm).alias("centrality"))
+
+
+def closeness_centrality(
+    g: Graph,
+    roots: DataFrame | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Returns (vid long, centrality double) — WF-improved closeness over
+    the undirected (symmetrized) graph, BFS hop distances.
+
+    ``roots``: optional (vid) DataFrame restricting which vertices get a
+    score (landmark closeness — the 100TB-scale form; all-vertex exact
+    closeness is O(V·E) and only sensible on small/sampled graphs).
+
+    Plan: one level-synchronous multi-source BFS carrying (root, vid,
+    dist); the frontier is the newly-discovered set each level, so work
+    per level is |new reachable pairs| — the same frontier-incremental
+    trick as wcc_projected.h:140-166 but keyed by (root, vid).
+    """
+    sym = g.symmetrized().cache()
+    n = g.num_vertices()
+    root_df = (roots or g.vertices).select(F.col(VID).alias("root"))
+
+    # seen: all discovered (root, vid, dist); frontier: last level only
+    seen = root_df.select("root", F.col("root").alias(VID), F.lit(0).alias("dist"))
+    seen = seen.localCheckpoint(eager=True)
+    frontier = seen
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(sym, frontier[VID] == sym[SRC])
+            .select("root", F.col(DST).alias(VID))
+            .distinct()
+            .join(seen.select("root", VID, F.lit(1).alias("_seen")), ["root", VID], "left")
+            .where(F.col("_seen").isNull())
+            .select("root", VID, F.lit(depth).alias("dist"))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    stats = seen.groupBy("root").agg(
+        F.count(F.lit(1)).alias("r"), F.sum("dist").alias("sd")
+    )
+    out = stats.select(
+        F.col("root").alias(VID),
+        F.when(
+            (F.col("sd") > 0) & (F.lit(n) > 1),
+            ((F.col("r") - 1) / F.lit(float(max(n - 1, 1))))
+            * ((F.col("r") - 1) / F.col("sd")),
+        )
+        .otherwise(0.0)
+        .alias("centrality"),
+    )
+    result = root_df.select(F.col("root").alias(VID)).join(out, VID, "left").select(
+        VID, F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
+    sym.unpersist()
+    return result

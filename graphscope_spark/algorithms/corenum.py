@@ -1,0 +1,78 @@
+"""Core numbers (k-core decomposition) via iterated neighbor h-index.
+
+Reference: `kcore`/`kshell` (.gs_conf.yaml:156-167, apps/kcore/kcore.h)
+expose fixed-k membership; the full decomposition (core number per
+vertex = the largest k such that v belongs to the k-core) is what
+`kshell` enumerates shell-by-shell.
+
+The sequential peeling algorithm is inherently serial; the
+Spark-native formulation is the **iterated h-index** fixpoint
+(Lü et al., "The H-index of a network node", Nature Comm. 2016 —
+public result): init c₀(v) = deg(v); repeat
+    c_{t+1}(v) = H({c_t(u) : u ∈ N(v)})
+where H is the h-index (largest h with ≥h neighbors of value ≥h).
+The sequence is monotonically non-increasing and converges exactly to
+the core number.  Each round is one join + window aggregation —
+message-passing-friendly, no global ordering, scales like every other
+superstep here.
+
+The per-round h-index is pure SQL: rank each vertex's neighbor values
+descending and take max(min(value, rank)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+
+def core_number(
+    g: Graph,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Returns (vid long, core long); converges when no value changes."""
+    spark = g.edges.sparkSession
+    sym = g.symmetrized().cache()
+
+    deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("deg"))
+
+    def init() -> DataFrame:
+        return g.vertices.select(VID).join(deg, VID, "left").select(
+            VID, F.coalesce("deg", F.lit(0)).cast("long").alias("core")
+        )
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        # h-index of each vertex's neighbor core values:
+        #   rank neighbor values desc, h = max(min(value, rank))
+        nbr_vals = sym.join(
+            state.select(F.col(VID).alias(SRC), F.col("core").alias("cv")), SRC
+        ).select(F.col(DST).alias(VID), "cv")
+        w = Window.partitionBy(VID).orderBy(F.col("cv").desc())
+        h = (
+            nbr_vals.withColumn("rn", F.row_number().over(w))
+            .select(VID, F.least(F.col("cv"), F.col("rn")).alias("m"))
+            .groupBy(VID)
+            .agg(F.max("m").alias("h"))
+        )
+        nxt = state.join(h, VID, "left").select(
+            VID,
+            F.least(F.col("core"), F.coalesce("h", F.lit(0))).cast("long").alias("core"),
+            F.col("core").alias("old_core"),
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            return float(
+                m.where(F.col("core") != F.col("old_core")).count()
+            )
+
+        return StepResult(nxt.select(VID, "core", "old_core"), delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "core_number", checkpoint_dir=checkpoint_dir)
+    final = run.run(init, step, max_iterations=max_iter, tol=0.0)
+    sym.unpersist()
+    return final.select(VID, "core")

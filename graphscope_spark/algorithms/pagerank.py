@@ -41,11 +41,18 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     runner: SuperstepRunner | None = None,
+    salt_hot_threshold: int | None = None,
+    salt_n: int = 16,
 ) -> DataFrame:
     """Returns (vid long, rank double); ranks sum to 1.
 
     ``tol=None`` selects the LDBC fixed-round convention (run exactly
     ``max_iter`` rounds, no convergence test).
+
+    ``salt_hot_threshold``: when set, vertices with in-degree above it
+    are treated as hubs and their gather aggregation is salted over
+    ``salt_n`` sub-keys (two-stage sum — see graphscope_spark.skew).
+    The hub set is computed once before the loop and broadcast.
     """
     spark: SparkSession = g.edges.sparkSession
     edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
@@ -70,6 +77,18 @@ def pagerank(
     # MPI all-reduce'd dangling_sum, pagerank_networkx.h:85)
     carry: dict[str, float | None] = {"dangling": None}
 
+    hot = None
+    if salt_hot_threshold is not None:
+        from graphscope_spark.skew import hot_keys
+
+        hot = hot_keys(
+            edges.groupBy(F.col(DST).alias(VID)).agg(F.count(F.lit(1)).alias("in_deg")),
+            VID,
+            "in_deg",
+            salt_hot_threshold,
+        ).cache()
+        hot.count()
+
     def step(state: DataFrame, k: int) -> StepResult:
         if carry["dangling"] is None:  # first round or resumed run
             carry["dangling"] = (
@@ -77,12 +96,19 @@ def pagerank(
                 or 0.0
             )
         dangling = carry["dangling"]
-        contribs = (
-            edges.join(state, edges[SRC] == state[VID])
-            .select(F.col(DST).alias(VID), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy(VID)
-            .agg(F.sum("c").alias("contrib"))
+        msgs = edges.join(state, edges[SRC] == state[VID]).select(
+            F.col(SRC).alias("_src"),
+            F.col(DST).alias(VID),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
         )
+        if hot is not None:
+            from graphscope_spark.skew import salted_sum
+
+            contribs = salted_sum(
+                msgs, VID, "c", "contrib", hot=hot, salt_n=salt_n, salt_src="_src"
+            )
+        else:
+            contribs = msgs.groupBy(VID).agg(F.sum("c").alias("contrib"))
         base = (1.0 - alpha) / n + alpha * dangling / n
         nxt = state.join(contribs, VID, "left").select(
             VID,
@@ -113,4 +139,6 @@ def pagerank(
     )
     result = final.select(VID, "rank")
     edges.unpersist()
+    if hot is not None:
+        hot.unpersist()
     return result

@@ -1,0 +1,86 @@
+"""Explicit skew handling: salted two-stage aggregation for hub vertices.
+
+The reference has NO skew handling — its loader hash-partitions vertices
+and hopes (arrow_fragment_loader.h:351-390); a Common-Crawl link graph
+is power-law, so a handful of hub urls receive a large share of all
+in-links and the gather step's ``groupBy(dst)`` concentrates their
+messages on single reducers.
+
+Two Spark mechanisms attack this, and we use both:
+
+1. AQE skew-join splitting (``spark.sql.adaptive.skewJoin.enabled``,
+   set in session.py) — handles the scatter join at runtime.
+2. **Explicit salting (this module)** — for the gather aggregation:
+   messages destined for a *hot* key are first aggregated under
+   ``(key, salt)`` sub-keys (spreading one hub over ``salt_n``
+   reducers), then re-aggregated by key.  Map-side partial aggregation
+   already takes most of the sting out of commutative sums, so this
+   matters at the 10^12-edge scale where even the post-combine per-hub
+   partial count exceeds a reducer's share; correctness holds at any
+   scale, which is what the tests pin.
+
+Hot-key detection is a degree statistic computed once per graph (the
+in-degree table the algorithms already need), not a per-superstep scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(degrees: DataFrame, key: str, deg_col: str, threshold: int) -> DataFrame:
+    """Keys whose degree exceeds ``threshold`` — the hub set.
+
+    Returned small (power-law ⇒ few hubs), so callers can broadcast it.
+    """
+    return degrees.where(F.col(deg_col) > threshold).select(key)
+
+
+def salted_sum(
+    msgs: DataFrame,
+    key: str,
+    value: str,
+    out: str,
+    hot: DataFrame | None = None,
+    salt_n: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """``groupBy(key).sum(value)`` with hub keys spread over ``salt_n``
+    sub-keys first.
+
+    ``hot``: small DataFrame of hub keys (broadcast).  ``None`` salts
+    every key (simplest; two stages for all).  ``salt_src``: column to
+    derive the salt from deterministically (e.g. the message's source
+    vertex) — keeps results reproducible run-to-run; falls back to a
+    deterministic spread via ``monotonically_increasing_id`` bits.
+    """
+    if hot is not None:
+        flagged = msgs.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), key, "left"
+        )
+        hot_msgs = flagged.where(F.col("_hot").isNotNull()).drop("_hot")
+        cold = (
+            flagged.where(F.col("_hot").isNull())
+            .drop("_hot")
+            .groupBy(key)
+            .agg(F.sum(value).alias(out))
+        )
+        salted = _two_stage(hot_msgs, key, value, out, salt_n, salt_src)
+        return cold.unionByName(salted)
+    return _two_stage(msgs, key, value, out, salt_n, salt_src)
+
+
+def _two_stage(
+    msgs: DataFrame, key: str, value: str, out: str, salt_n: int, salt_src: str | None
+) -> DataFrame:
+    if salt_src is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_n))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_n))
+    partial = (
+        msgs.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out))

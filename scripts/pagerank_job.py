@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Standalone link-graph PageRank job — the scaling-evidence unit.
+
+Runs the full north-star pipeline (synthetic Common-Crawl-style pages →
+vectorized link extraction → dense vertex ids → hash-partitioned edge
+table → PageRank to 1e-6 convergence) at a given parallelism and prints
+ONE JSON line with wall time, supersteps, and edges/sec/superstep.
+
+The north rule's two-cluster-size scaling criterion (N vs 4N executors,
+efficiency >= 0.8) cannot use a real cluster in this sandbox; per the
+driver's instruction it is evidenced by running THIS job at two
+parallelism levels (local[8] vs local[32]) on the same input:
+
+    python scripts/pagerank_job.py --cores 8  --pages 60000
+    python scripts/pagerank_job.py --cores 32 --pages 60000
+
+`scripts/scaling_bench.py` wraps both runs and computes efficiency.
+Usable as the spark-submit entry too:
+
+    spark-submit --py-files graphscope_spark.zip scripts/pagerank_job.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--pages", type=int, default=60_000)
+    ap.add_argument("--pages-path", default=None, help="pre-generated pages parquet")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=60)
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args()
+
+    from graphscope_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pagerank-scaling-{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(args.cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.sources.linkgraph import graph_from_pages
+    from graphscope_spark.sources.pages import write_pages
+
+    path = args.pages_path
+    if path is None:
+        path = f"/tmp/gs_bench_pages_{args.pages}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            write_pages(spark, args.pages, path, partitions=max(args.cores, 8))
+
+    t_load0 = time.time()
+    pages = spark.read.parquet(path)
+    g, _ = graph_from_pages(pages, num_partitions=max(args.cores, 8))
+    g = g.cache()
+    n_edges = g.num_edges()
+    n_verts = g.num_vertices()
+    t_load = time.time() - t_load0
+
+    from graphscope_spark.superstep import SuperstepRunner
+
+    runner = SuperstepRunner(
+        spark, "pagerank", checkpoint_dir=args.checkpoint_dir, resume=False
+    )
+    t0 = time.time()
+    result = pagerank(g, tol=args.tol, max_iter=args.max_iter, runner=runner)
+    result.count()  # materialize final state
+    wall = time.time() - t0
+    supersteps = len(runner.metrics)
+    eps = n_edges * supersteps / wall if wall > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "pages": args.pages,
+                "vertices": n_verts,
+                "edges": n_edges,
+                "supersteps": supersteps,
+                "load_sec": round(t_load, 3),
+                "pagerank_sec": round(wall, 3),
+                "edges_per_sec_per_superstep": round(eps, 1),
+                "final_delta": runner.metrics[-1]["delta"] if runner.metrics else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

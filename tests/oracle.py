@@ -197,6 +197,169 @@ def hits_oracle(
     return {v: (hub[v], auth[v]) for v in vertices}
 
 
+def eigenvector_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+) -> dict[int, float]:
+    """NX power iteration: x' = (x + Aᵀx)/‖·‖₂, L1 stop at n·tol."""
+    n = len(vertices)
+    x = {v: 1.0 / n for v in vertices}
+    for _ in range(max_iter):
+        s = defaultdict(float)
+        for a, b in edges:
+            s[b] += x[a]
+        raw = {v: x[v] + s[v] for v in vertices}
+        norm = math.sqrt(sum(val * val for val in raw.values())) or 1.0
+        new = {v: raw[v] / norm for v in vertices}
+        err = sum(abs(new[v] - x[v]) for v in vertices)
+        x = new
+        if tol is not None and err <= tol * n:
+            break
+    return x
+
+
+def katz_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 100,
+    tol: float | None = 1e-6,
+) -> dict[int, float]:
+    """NX Katz: x init 0; x' = α·Aᵀx + β; final L2 normalize."""
+    n = len(vertices)
+    x = {v: 0.0 for v in vertices}
+    for _ in range(max_iter):
+        s = defaultdict(float)
+        for a, b in edges:
+            s[b] += x[a]
+        new = {v: alpha * s[v] + beta for v in vertices}
+        err = sum(abs(new[v] - x[v]) for v in vertices)
+        x = new
+        if tol is not None and err <= tol * n:
+            break
+    norm = math.sqrt(sum(val * val for val in x.values())) or 1.0
+    return {v: x[v] / norm for v in vertices}
+
+
+def closeness_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, float]:
+    """WF-improved closeness, undirected BFS hops."""
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    n = len(vertices)
+    out = {}
+    for v in vertices:
+        dist = {v: 0}
+        frontier = [v]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in nbr[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        r = len(dist)
+        sd = sum(dist.values())
+        out[v] = ((r - 1) / max(n - 1, 1)) * ((r - 1) / sd) if sd > 0 and n > 1 else 0.0
+    return out
+
+
+def avg_clustering_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> float:
+    vals = lcc_oracle(edges, vertices)
+    return sum(vals.values()) / len(vals) if vals else 0.0
+
+
+def transitivity_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> float:
+    tri = triangles_oracle(edges, vertices)
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    wedges = sum(len(nbr[v]) * (len(nbr[v]) - 1) / 2 for v in vertices)
+    return sum(tri.values()) / wedges if wedges > 0 else 0.0
+
+
+def degree_assortativity_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> float:
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    pairs = [
+        (len(nbr[u]), len(nbr[v])) for u in vertices for v in nbr[u]
+    ]
+    if not pairs:
+        return 0.0
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    cov = sum((a - mx) * (b - my) for a, b in pairs)
+    vx = math.sqrt(sum((a - mx) ** 2 for a in xs))
+    vy = math.sqrt(sum((b - my) ** 2 for b in ys))
+    return cov / (vx * vy) if vx > 0 and vy > 0 else 0.0
+
+
+def average_degree_connectivity_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, float]:
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    by_deg = defaultdict(list)
+    for v in vertices:
+        k = len(nbr[v])
+        if k > 0:
+            by_deg[k].append(sum(len(nbr[u]) for u in nbr[v]) / k)
+    return {k: sum(vals) / len(vals) for k, vals in by_deg.items()}
+
+
+def core_number_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """Classic peeling (exact core numbers)."""
+    import heapq
+
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    cur = {v: len(nbr[v]) for v in vertices}
+    heap = [(d, v) for v, d in cur.items()]
+    heapq.heapify(heap)
+    removed: set[int] = set()
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if v in removed or dv != cur[v]:
+            continue  # stale heap entry
+        k = max(k, dv)
+        core[v] = k
+        removed.add(v)
+        for u in nbr[v]:
+            if u not in removed:
+                cur[u] -= 1
+                heapq.heappush(heap, (cur[u], u))
+    return {v: core.get(v, 0) for v in vertices}
+
+
 def kcore_oracle(
     edges: list[tuple[int, int]], vertices: list[int], k: int
 ) -> dict[int, bool]:

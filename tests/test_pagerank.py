@@ -41,6 +41,16 @@ def test_pagerank_fixed_rounds(tiny_graph):
     _compare(pagerank(tiny_graph, max_iter=10, tol=None), expected)
 
 
+def test_pagerank_salted_hubs_matches_unsalted(rand_graph, rand_graph_data):
+    """Explicit hub salting (graphscope_spark.skew) must not change the
+    math — two-stage salted sums equal single-stage sums at any scale."""
+    vertices, edges = rand_graph_data
+    expected = pagerank_oracle(edges, vertices)
+    # threshold low enough that the rand_graph hubs (vertices 0..2,
+    # ~10% of all edges) definitely take the salted path
+    _compare(pagerank(rand_graph, salt_hot_threshold=10, salt_n=4), expected)
+
+
 def test_pagerank_checkpoint_resume(tiny_graph, tmp_path):
     """Kill after iteration k, resume from checkpoint → same output."""
     ckdir = str(tmp_path / "pr_ck")
