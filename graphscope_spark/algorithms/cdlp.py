@@ -31,6 +31,7 @@ def cdlp(
     max_round: int = 10,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    sync_every: int = 1,
 ) -> DataFrame:
     """Returns (vid long, label long) after exactly ``max_round`` rounds."""
     spark = g.edges.sparkSession
@@ -66,7 +67,7 @@ def cdlp(
         return StepResult(nxt, delta=None)
 
     run = SuperstepRunner(spark, "cdlp", checkpoint_dir=checkpoint_dir, resume=resume)
-    final = run.run(init, step, max_iterations=max_round, tol=None)
+    final = run.run(init, step, max_iterations=max_round, tol=None, sync_every=sync_every)
     out = final.select(VID, "label")
     msg_edges.unpersist()
     return out

@@ -35,17 +35,21 @@ def eigenvector_centrality(
     max_iter: int = 100,
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
+    sync_every: int = 1,
 ) -> DataFrame:
     """Returns (vid long, centrality double), L2-normalized.
 
     NX recurrence: x'[v] = x[v] + Σ_{u→v} x[u], then divide by the L2
-    norm; stop when Σ|x'−x| < n·tol.
+    norm; stop when Σ|x'−x| < n·tol.  The norm is a lazy 1-row
+    broadcast (flash_utils.h:40-42 all-reduce analog, no driver stop).
     """
     spark = g.edges.sparkSession
     edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
     n = g.num_vertices()
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
+
+    cached: list[DataFrame] = []
 
     def init() -> DataFrame:
         return g.vertices.select(VID, F.lit(1.0 / n).alias("x"))
@@ -61,11 +65,15 @@ def eigenvector_centrality(
             VID,
             (F.col("x") + F.coalesce("s", F.lit(0.0))).alias("raw"),
             F.col("x").alias("old_x"),
+        ).cache()
+        cached.append(raw)
+        norm = raw.agg(
+            F.coalesce(F.sqrt(F.sum(F.col("raw") * F.col("raw"))), F.lit(1.0)).alias(
+                "_norm"
+            )
         )
-        # L2 norm — a scalar all-reduce (flash_utils.h:40-42 analog)
-        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0] or 1.0
-        nxt = raw.select(
-            VID, (F.col("raw") / norm).alias("x"), "old_x"
+        nxt = raw.crossJoin(F.broadcast(norm)).select(
+            VID, (F.col("raw") / F.col("_norm")).alias("x"), "old_x"
         )
 
         def delta_fn(m: DataFrame) -> float:
@@ -78,8 +86,15 @@ def eigenvector_centrality(
 
     run = SuperstepRunner(spark, "eigenvector", checkpoint_dir=checkpoint_dir)
     final = run.run(
-        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=(tol * n if tol is not None else None),
+        sync_every=sync_every if tol is None else 1,
     )
+    final = final.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     edges.unpersist()
     return final.select(VID, F.col("x").alias("centrality"))
 
@@ -91,6 +106,7 @@ def katz_centrality(
     max_iter: int = 100,
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
+    sync_every: int = 1,
 ) -> DataFrame:
     """Returns (vid long, centrality double), L2-normalized at the end.
 
@@ -129,7 +145,11 @@ def katz_centrality(
 
     run = SuperstepRunner(spark, "katz", checkpoint_dir=checkpoint_dir)
     final = run.run(
-        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=(tol * n if tol is not None else None),
+        sync_every=sync_every if tol is None else 1,
     )
     norm = final.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
     edges.unpersist()

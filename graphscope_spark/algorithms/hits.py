@@ -24,8 +24,13 @@ def hits(
     max_iter: int = 20,
     tol: float | None = None,
     checkpoint_dir: str | None = None,
+    sync_every: int = 1,
 ) -> DataFrame:
-    """Returns (vid long, hub double, auth double), each summing to 1."""
+    """Returns (vid long, hub double, auth double), each summing to 1.
+
+    The per-round L1 normalizations are LAZY 1-row aggregates broadcast
+    into the plan (no driver round-trip), so fixed-round runs may chain
+    supersteps with ``sync_every`` > 1."""
     spark = g.edges.sparkSession
     edges = g.distinct_edges().cache()
     n = g.num_vertices()
@@ -35,23 +40,35 @@ def hits(
             VID, F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
         )
 
+    cached: list[DataFrame] = []
+
     def step(state: DataFrame, k: int) -> StepResult:
         auth_raw = (
             edges.join(state.select(VID, "hub"), edges[SRC] == F.col(VID))
             .select(F.col(DST).alias(VID), F.col("hub").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("auth_raw"))
+        ).cache()
+        cached.append(auth_raw)
+        a_norm = auth_raw.agg(
+            F.coalesce(F.sum("auth_raw"), F.lit(1.0)).alias("_an")
         )
-        a_norm = auth_raw.agg(F.sum("auth_raw")).collect()[0][0] or 1.0
-        auth = auth_raw.select(VID, (F.col("auth_raw") / a_norm).alias("new_auth"))
+        auth = auth_raw.crossJoin(F.broadcast(a_norm)).select(
+            VID, (F.col("auth_raw") / F.col("_an")).alias("new_auth")
+        )
         hub_raw = (
             edges.join(auth, edges[DST] == F.col(VID))
             .select(F.col(SRC).alias(VID), F.col("new_auth").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("hub_raw"))
+        ).cache()
+        cached.append(hub_raw)
+        h_norm = hub_raw.agg(
+            F.coalesce(F.sum("hub_raw"), F.lit(1.0)).alias("_hn")
         )
-        h_norm = hub_raw.agg(F.sum("hub_raw")).collect()[0][0] or 1.0
-        hub = hub_raw.select(VID, (F.col("hub_raw") / h_norm).alias("new_hub"))
+        hub = hub_raw.crossJoin(F.broadcast(h_norm)).select(
+            VID, (F.col("hub_raw") / F.col("_hn")).alias("new_hub")
+        )
         nxt = (
             state.select(VID, "hub")
             .join(auth, VID, "left")
@@ -71,6 +88,15 @@ def hits(
         )
 
     run = SuperstepRunner(spark, "hits", checkpoint_dir=checkpoint_dir)
-    final = run.run(init, step, max_iterations=max_iter, tol=tol)
+    final = run.run(
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=tol,
+        sync_every=sync_every if tol is None else 1,
+    )
+    final = final.localCheckpoint(eager=True)  # detach from round caches
+    for c in cached:
+        c.unpersist()
     edges.unpersist()
     return final.select(VID, "hub", "auth")

@@ -43,6 +43,7 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     salt_hot_threshold: int | None = None,
     salt_n: int = 16,
+    sync_every: int = 1,
 ) -> DataFrame:
     """Returns (vid long, rank double); ranks sum to 1.
 
@@ -73,9 +74,13 @@ def pagerank(
         r0 = F.lit(1.0 / n)
         return degrees.select(VID, r0.alias("rank"), r0.alias("old_rank"), "out_deg")
 
-    # driver-held scalar carried between supersteps (the reference's
-    # MPI all-reduce'd dangling_sum, pagerank_networkx.h:85)
-    carry: dict[str, float | None] = {"dangling": None}
+    # one tiny job up front: graphs with no dangling vertices (every
+    # vertex has an out-edge) skip the dangling-pool aggregate entirely
+    # — its mass is identically 0, and dropping the per-round 1-row
+    # aggregate removes two serial stages per superstep
+    has_dangling = (
+        degrees.where(F.col("out_deg") == 0).limit(1).count() > 0
+    )
 
     hot = None
     if salt_hot_threshold is not None:
@@ -90,12 +95,19 @@ def pagerank(
         hot.count()
 
     def step(state: DataFrame, k: int) -> StepResult:
-        if carry["dangling"] is None:  # first round or resumed run
-            carry["dangling"] = (
-                state.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
-                or 0.0
+        # dangling mass as a LAZY 1-row aggregate, broadcast into the
+        # apply step — the reference's MPI all-reduce'd dangling_sum
+        # (pagerank_networkx.h:85) without a driver round-trip, so
+        # fixed-round supersteps can chain into one job (sync_every>1).
+        dang = (
+            state.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("_dang")
             )
-        dangling = carry["dangling"]
+            if has_dangling
+            else None
+        )
         msgs = edges.join(state, edges[SRC] == state[VID]).select(
             F.col(SRC).alias("_src"),
             F.col(DST).alias(VID),
@@ -109,25 +121,29 @@ def pagerank(
             )
         else:
             contribs = msgs.groupBy(VID).agg(F.sum("c").alias("contrib"))
-        base = (1.0 - alpha) / n + alpha * dangling / n
-        nxt = state.join(contribs, VID, "left").select(
+        joined = state.join(contribs, VID, "left")
+        if dang is not None:
+            joined = joined.crossJoin(F.broadcast(dang))
+            rank_expr = (
+                alpha * F.coalesce("contrib", F.lit(0.0))
+                + (1.0 - alpha) / n
+                + alpha * F.col("_dang") / n
+            )
+        else:
+            rank_expr = alpha * F.coalesce("contrib", F.lit(0.0)) + (1.0 - alpha) / n
+        nxt = joined.select(
             VID,
-            (alpha * F.coalesce("contrib", F.lit(0.0)) + F.lit(base)).alias("rank"),
+            rank_expr.alias("rank"),
             state["rank"].alias("old_rank"),
             "out_deg",
         )
 
         def delta_fn(m: DataFrame) -> float:
-            # one cheap aggregate on the MATERIALIZED state:
-            # L1 delta + next round's dangling mass (the all-reduce)
-            row = m.agg(
-                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
-                F.sum(
-                    F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)
-                ).alias("d"),
-            ).collect()[0]
-            carry["dangling"] = row["d"] or 0.0
-            return row["l1"]
+            # L1 convergence metric over the materialized state
+            return (
+                m.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+                or 0.0
+            )
 
         return StepResult(nxt, delta_fn=delta_fn)
 
@@ -135,7 +151,11 @@ def pagerank(
         spark, "pagerank", checkpoint_dir=checkpoint_dir, resume=resume
     )
     final = run.run(
-        init, step, max_iterations=max_iter, tol=(tol * n if tol is not None else None)
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=(tol * n if tol is not None else None),
+        sync_every=sync_every if tol is None else 1,
     )
     result = final.select(VID, "rank")
     edges.unpersist()

@@ -39,6 +39,20 @@ def main() -> None:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=60)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--synthetic-vertices",
+        type=int,
+        default=None,
+        help="skip the pages pipeline; PageRank a JVM-generated power-law "
+        "edge table of this many vertices (for overhead-amortized scaling runs)",
+    )
+    ap.add_argument(
+        "--rounds",
+        type=int,
+        default=None,
+        help="fixed superstep count (tol disabled) — identical work at "
+        "every parallelism level",
+    )
     args = ap.parse_args()
 
     from graphscope_spark.session import get_spark
@@ -51,18 +65,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from graphscope_spark.algorithms import pagerank
-    from graphscope_spark.sources.linkgraph import graph_from_pages
-    from graphscope_spark.sources.pages import write_pages
-
-    path = args.pages_path
-    if path is None:
-        path = f"/tmp/gs_bench_pages_{args.pages}"
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            write_pages(spark, args.pages, path, partitions=max(args.cores, 8))
 
     t_load0 = time.time()
-    pages = spark.read.parquet(path)
-    g, _ = graph_from_pages(pages, num_partitions=max(args.cores, 8))
+    if args.synthetic_vertices:
+        from graphscope_spark.graph import Graph
+        from graphscope_spark.sources.synthetic import powerlaw_edges
+
+        edges = powerlaw_edges(
+            spark, args.synthetic_vertices, partitions=max(args.cores, 8)
+        )
+        g = Graph.from_edges(edges, num_partitions=max(args.cores, 8))
+        n_pages = args.synthetic_vertices
+    else:
+        from graphscope_spark.sources.linkgraph import graph_from_pages
+        from graphscope_spark.sources.pages import write_pages
+
+        path = args.pages_path
+        if path is None:
+            path = f"/tmp/gs_bench_pages_{args.pages}"
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                write_pages(spark, args.pages, path, partitions=max(args.cores, 8))
+        pages = spark.read.parquet(path)
+        g, _ = graph_from_pages(pages, num_partitions=max(args.cores, 8))
+        n_pages = args.pages
     g = g.cache()
     n_edges = g.num_edges()
     n_verts = g.num_vertices()
@@ -73,8 +98,15 @@ def main() -> None:
     runner = SuperstepRunner(
         spark, "pagerank", checkpoint_dir=args.checkpoint_dir, resume=False
     )
+    tol = args.tol
+    max_iter = args.max_iter
+    sync_every = 1
+    if args.rounds is not None:
+        # fixed-round mode: chain supersteps (5 per job) — same results,
+        # no per-round driver stall
+        tol, max_iter, sync_every = None, args.rounds, 5
     t0 = time.time()
-    result = pagerank(g, tol=args.tol, max_iter=args.max_iter, runner=runner)
+    result = pagerank(g, tol=tol, max_iter=max_iter, runner=runner, sync_every=sync_every)
     result.count()  # materialize final state
     wall = time.time() - t0
     supersteps = len(runner.metrics)
@@ -84,7 +116,7 @@ def main() -> None:
         json.dumps(
             {
                 "cores": args.cores,
-                "pages": args.pages,
+                "pages": n_pages,
                 "vertices": n_verts,
                 "edges": n_edges,
                 "supersteps": supersteps,

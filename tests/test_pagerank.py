@@ -51,6 +51,14 @@ def test_pagerank_salted_hubs_matches_unsalted(rand_graph, rand_graph_data):
     _compare(pagerank(rand_graph, salt_hot_threshold=10, salt_n=4), expected)
 
 
+def test_pagerank_chained_fixed_rounds(rand_graph, rand_graph_data):
+    """sync_every>1 chains supersteps lazily into one job — results
+    must be identical to the per-round-materialized run."""
+    vertices, edges = rand_graph_data
+    expected = pagerank_oracle(edges, vertices, max_iter=10, tol=None)
+    _compare(pagerank(rand_graph, max_iter=10, tol=None, sync_every=5), expected)
+
+
 def test_pagerank_checkpoint_resume(tiny_graph, tmp_path):
     """Kill after iteration k, resume from checkpoint → same output."""
     ckdir = str(tmp_path / "pr_ck")
