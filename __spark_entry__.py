@@ -44,6 +44,9 @@ KATZ_ROUNDS = 5
 KATZ_ALPHA = 0.1
 CLOSE_UNROLL = 6
 CORE_UNROLL = 10
+KSHELL_K = 3
+AVGLEN_UNROLL = 10
+VOTERANK_SEEDS = 5
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -504,6 +507,128 @@ def _core_number_sql() -> str:
     return ",\n".join(parts) + f"\nselect vid, cast(core as bigint) as core from c{CORE_UNROLL}"
 
 
+def _bfs_parent_sql() -> str:
+    """Depths via the unrolled BFS, then parent = min-id predecessor at
+    depth-1 over the symmetrized edge set."""
+    inf = 999999
+    bfs_body = _bfs_sql().strip()
+    return f"""
+      with depths as materialized ({bfs_body}),
+      edges as materialized ({SQL_EDGES}),
+      sym as materialized ({SQL_SYM}),
+      srcv as materialized (select min(src) as s from edges),
+      par as materialized (
+        select s.dst as vid, min(s.src) as parent
+        from sym s
+        join depths a on a.vid = s.src
+        join depths b on b.vid = s.dst
+        where a.depth >= 0 and b.depth = a.depth + 1
+        group by s.dst
+      )
+      select d.vid, d.depth,
+             cast(case when d.vid = (select s from srcv) then d.vid
+                  when d.depth = -1 then -1
+                  else p.parent end as bigint) as parent
+      from depths d left join par p using(vid)
+    """
+
+
+def _kshell_sql() -> str:
+    core_body = _core_number_sql().strip()
+    return f"""
+      with cores as materialized ({core_body})
+      select vid, core = {KSHELL_K} as in_shell from cores
+    """
+
+
+def _sssp_avg_length_sql() -> str:
+    """Average shortest weighted path from supplier roots over the
+    symmetrized weighted graph, multi-source min-plus unrolled."""
+    parts = [
+        f"with wedges as materialized ({SQL_WEDGES})",
+        "verts as materialized (select src as vid from wedges union select dst from wedges)",
+        "symw as materialized (select src, dst, w from wedges union all select dst, src, w from wedges)",
+        "roots as materialized (select vid from verts where vid >= 1000000)",
+        "s0 as materialized (select vid as root, vid, 0.0 as dist from roots)",
+    ]
+    for k in range(AVGLEN_UNROLL):
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select root, vid, min(dist) as dist from (
+                select root, vid, dist from s{k}
+                union all
+                select x.root, e.dst as vid, x.dist + e.w as dist
+                from s{k} x join symw e on x.vid = e.src
+              ) group by root, vid
+            )"""
+        )
+    last = f"s{AVGLEN_UNROLL}"
+    return (
+        ",\n".join(parts)
+        + f""",
+        per_root as materialized (
+          select root, avg(dist) as avg_d from {last}
+          where vid != root group by root
+        )
+        select round(avg(avg_d), 8) as avg_length from per_root"""
+    )
+
+
+def _voterank_sql() -> str:
+    """Unrolled deterministic VoteRank over the symmetrized co-purchase
+    graph: per round score = Σ neighbor ability; winner = (max score,
+    min vid); winner ability → 0, neighbor abilities −1/⟨k⟩ floored."""
+    parts = [
+        f"with cpe as materialized ({SQL_CP_EDGES})",
+        "verts as materialized (select src as vid from cpe union select dst from cpe)",
+        "sym as materialized (select src, dst from cpe union select dst, src from cpe)",
+        """params as materialized (
+          select cast((select count(*) from sym) as double)
+                 / (select count(*) from verts) as avg_deg
+        )""",
+        "a0 as materialized (select vid, 1.0 as ability from verts)",
+        "e0 as materialized (select cast(null as bigint) as vid, 0 as rank where false)",
+    ]
+    for r in range(1, VOTERANK_SEEDS + 1):
+        parts.append(
+            f"""sc{r} as materialized (
+              select s.dst as vid, sum(a.ability) as score
+              from sym s join a{r - 1} a on a.vid = s.src
+              where s.dst not in (select vid from e{r - 1})
+              group by s.dst
+            )"""
+        )
+        parts.append(
+            f"""w{r} as materialized (
+              select vid from sc{r} where score > 0
+              order by score desc, vid asc limit 1
+            )"""
+        )
+        parts.append(
+            f"""e{r} as materialized (
+              select vid, rank from e{r - 1}
+              union all select vid, {r} as rank from w{r}
+            )"""
+        )
+        parts.append(
+            f"""a{r} as materialized (
+              select a.vid,
+                     case when a.vid in (select vid from w{r}) then 0.0
+                          when exists (
+                            select 1 from sym s
+                            where s.src in (select vid from w{r})
+                              and s.dst = a.vid)
+                          then greatest(a.ability - 1.0/(select avg_deg from params), 0.0)
+                          else a.ability end as ability
+              from a{r - 1} a
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, cast(rank as int) as rank from e{VOTERANK_SEEDS}"
+    )
+
+
 def _minhash_cols_sql() -> str:
     from graphscope_spark.functions import specs
 
@@ -568,7 +693,7 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     g = order_graph(spark, sf_dir)
-    return pagerank(g, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None).select(
+    return pagerank(g, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None, sync_every=PR_ROUNDS).select(
         "vid", F.round("rank", 8).alias("pr")
     )
 
@@ -584,7 +709,7 @@ def _q_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import cdlp
     from graphscope_spark.sources.tpch_graph import order_graph
 
-    return cdlp(order_graph(spark, sf_dir), max_round=CDLP_ROUNDS).select("vid", "label")
+    return cdlp(order_graph(spark, sf_dir), max_round=CDLP_ROUNDS, sync_every=CDLP_ROUNDS).select("vid", "label")
 
 
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,7 +761,7 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import hits
     from graphscope_spark.sources.tpch_graph import order_graph
 
-    return hits(order_graph(spark, sf_dir), max_iter=HITS_ROUNDS).select(
+    return hits(order_graph(spark, sf_dir), max_iter=HITS_ROUNDS, sync_every=HITS_ROUNDS).select(
         "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
     )
 
@@ -653,7 +778,7 @@ def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     return eigenvector_centrality(
-        order_graph(spark, sf_dir), max_iter=EV_ROUNDS, tol=None
+        order_graph(spark, sf_dir), max_iter=EV_ROUNDS, tol=None, sync_every=EV_ROUNDS
     ).select("vid", F.round("centrality", 8).alias("centrality"))
 
 
@@ -662,7 +787,7 @@ def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     return katz_centrality(
-        order_graph(spark, sf_dir), alpha=KATZ_ALPHA, max_iter=KATZ_ROUNDS, tol=None
+        order_graph(spark, sf_dir), alpha=KATZ_ALPHA, max_iter=KATZ_ROUNDS, tol=None, sync_every=KATZ_ROUNDS
     ).select("vid", F.round("centrality", 8).alias("centrality"))
 
 
@@ -718,6 +843,44 @@ def _q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     return core_number(order_graph(spark, sf_dir)).select("vid", "core")
+
+
+def _q_bfs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import bfs_parent
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return bfs_parent(g, source=source, directed=False).select("vid", "depth", "parent")
+
+
+def _q_kshell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import kshell
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return kshell(order_graph(spark, sf_dir), k=KSHELL_K).select("vid", "in_shell")
+
+
+def _q_sssp_avg_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import sssp_average_length
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    roots = g.vertices.where(F.col("vid") >= 1000000)
+    return sssp_average_length(g, sources=roots, weight="weight").select(
+        F.round("avg_length", 8).alias("avg_length")
+    )
+
+
+def _q_voterank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import voterank
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return voterank(copurchase_graph(spark, sf_dir), num_seeds=VOTERANK_SEEDS).select(
+        "vid", F.col("rank").cast("int").alias("rank")
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,6 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
         "core_number": _q_core_number,
+        "bfs_parent": _q_bfs_parent,
+        "kshell": _q_kshell,
+        "sssp_avg_length": _q_sssp_avg_length,
+        "voterank": _q_voterank,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
@@ -933,6 +1100,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _assortativity_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
+        "bfs_parent": _bfs_parent_sql(),
+        "kshell": _kshell_sql(),
+        "sssp_avg_length": _sssp_avg_length_sql(),
+        "voterank": _voterank_sql(),
         "doc_tokens": r"""
           select doc_id,
                  cast(case when length(trim(text)) = 0 then 0

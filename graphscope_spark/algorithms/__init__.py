@@ -18,7 +18,13 @@ from graphscope_spark.algorithms.assortativity import (
     average_degree_connectivity,
     degree_assortativity,
 )
-from graphscope_spark.algorithms.corenum import core_number
+from graphscope_spark.algorithms.corenum import core_number, kshell
+from graphscope_spark.algorithms.traversal import (
+    bfs_parent,
+    sssp_average_length,
+    sssp_has_path,
+)
+from graphscope_spark.algorithms.voterank import voterank
 
 __all__ = [
     "pagerank",
@@ -40,4 +46,9 @@ __all__ = [
     "degree_assortativity",
     "average_degree_connectivity",
     "core_number",
+    "kshell",
+    "bfs_parent",
+    "sssp_has_path",
+    "sssp_average_length",
+    "voterank",
 ]

@@ -76,3 +76,11 @@ def core_number(
     final = run.run(init, step, max_iterations=max_iter, tol=0.0)
     sym.unpersist()
     return final.select(VID, "core")
+
+
+def kshell(g: Graph, k: int, checkpoint_dir: str | None = None) -> DataFrame:
+    """k-shell membership: vertices whose core number is exactly ``k``
+    (reference `kshell`, .gs_conf.yaml:162-167)."""
+    return core_number(g, checkpoint_dir=checkpoint_dir).select(
+        VID, (F.col("core") == k).alias("in_shell")
+    )

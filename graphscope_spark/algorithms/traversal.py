@@ -1,0 +1,120 @@
+"""BFS/SSSP variants: parents, reachability, average path length.
+
+Reference registry: `bfs_generic` (apps/bfs/bfs_generic.h — parent /
+depth / successor outputs), `sssp_has_path`, `sssp_average_length`
+(.gs_conf.yaml:103-122,198-205).  All built on the same
+frontier-relaxation supersteps as bfs.py / sssp.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.algorithms.bfs import bfs
+from graphscope_spark.algorithms.sssp import sssp
+from graphscope_spark.graph import DST, SRC, VID, Graph
+
+
+def bfs_parent(
+    g: Graph, source: int, directed: bool | None = None, max_depth: int = 100
+) -> DataFrame:
+    """Returns (vid long, depth long, parent long).
+
+    parent = the minimum-id neighbor at depth-1 (deterministic choice
+    among equally-deep predecessors); source's parent is itself;
+    unreachable → depth -1, parent -1.
+
+    Plan: one BFS for depths, then a single join assigning parents —
+    cheaper than carrying parents through every superstep.
+    """
+    depths = bfs(g, source=source, directed=directed, max_depth=max_depth)
+    use_directed = g.directed if directed is None else directed
+    edges = g.distinct_edges() if use_directed else g.symmetrized()
+    dsrc = depths.select(F.col(VID).alias(SRC), F.col("depth").alias("sd"))
+    ddst = depths.select(F.col(VID).alias(DST), F.col("depth").alias("dd"))
+    parents = (
+        edges.join(dsrc, SRC)
+        .join(ddst, DST)
+        .where((F.col("sd") >= 0) & (F.col("dd") == F.col("sd") + 1))
+        .groupBy(F.col(DST).alias(VID))
+        .agg(F.min(SRC).alias("parent"))
+    )
+    return depths.join(parents, VID, "left").select(
+        VID,
+        "depth",
+        F.when(F.col(VID) == source, F.lit(source))
+        .when(F.col("depth") == -1, F.lit(-1))
+        .otherwise(F.col("parent"))
+        .cast("long")
+        .alias("parent"),
+    )
+
+
+def sssp_has_path(g: Graph, source: int, target: int, weight: str | None = "weight") -> DataFrame:
+    """Returns a single row (has_path boolean)."""
+    d = sssp(g, source=source, weight=weight)
+    return d.where(F.col(VID) == target).select(
+        (~F.isnan("dist") & (F.col("dist") != float("inf"))).alias("has_path")
+    )
+
+
+def sssp_average_length(
+    g: Graph,
+    sources: DataFrame | None = None,
+    weight: str | None = "weight",
+) -> DataFrame:
+    """Average shortest-path length from each source to its reachable
+    vertices (excluding self), averaged over sources: single row
+    (avg_length double).
+
+    ``sources=None`` averages over every vertex (exact average path
+    length — O(V·E), only for small/sampled graphs; pass a landmark
+    sample at scale, mirroring closeness_centrality).
+    """
+    roots = (sources or g.vertices).select(F.col(VID).alias("root"))
+    # multi-source Bellman-Ford: state keyed by (root, vid)
+    cols = g.edges.columns
+    if weight and weight in cols:
+        edges = g.edges.select(SRC, DST, F.col(weight).cast("double").alias("w"))
+    else:
+        edges = g.edges.select(SRC, DST, F.lit(1.0).alias("w"))
+    if not g.directed:
+        edges = edges.unionByName(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+        )
+    edges = edges.cache()
+
+    seen = roots.select("root", F.col("root").alias(VID), F.lit(0.0).alias("dist"))
+    seen = seen.localCheckpoint(eager=True)
+    frontier = seen
+    for _ in range(200):
+        relaxed = (
+            frontier.join(edges, frontier[VID] == edges[SRC])
+            .select("root", F.col(DST).alias(VID), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("root", VID)
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            seen.unionByName(relaxed)
+            .groupBy("root", VID)
+            .agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        # frontier = strictly improved rows
+        frontier = (
+            relaxed.join(
+                seen.select("root", VID, F.col("dist").alias("old")),
+                ["root", VID],
+                "left",
+            )
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("root", VID, "dist")
+        ).localCheckpoint(eager=True)
+        seen = merged
+        if frontier.isEmpty():
+            break
+    edges.unpersist()
+    per_root = seen.where(F.col(VID) != F.col("root")).groupBy("root").agg(
+        F.avg("dist").alias("avg_d")
+    )
+    return per_root.agg(F.avg("avg_d").alias("avg_length"))

@@ -360,6 +360,80 @@ def core_number_oracle(
     return {v: core.get(v, 0) for v in vertices}
 
 
+def bfs_parent_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    source: int,
+    directed: bool = True,
+) -> dict[int, tuple[int, int]]:
+    """(depth, parent): parent = min-id predecessor at depth-1."""
+    depth = bfs_oracle(edges, vertices, source, directed)
+    adj = _adj(edges, directed)
+    parent = {}
+    for v in vertices:
+        if v == source:
+            parent[v] = source
+        elif depth[v] == -1:
+            parent[v] = -1
+        else:
+            cands = [
+                u for u in vertices if depth[u] == depth[v] - 1 and v in adj[u]
+            ]
+            parent[v] = min(cands)
+    return {v: (depth[v], parent[v]) for v in vertices}
+
+
+def sssp_average_length_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: list[int],
+    sources: list[int] | None = None,
+    directed: bool = True,
+) -> float:
+    roots = sources or vertices
+    per_root = []
+    for r in roots:
+        dist = sssp_oracle(edges, vertices, r, directed)
+        reach = [d for v, d in dist.items() if v != r and d != math.inf]
+        if reach:
+            per_root.append(sum(reach) / len(reach))
+    return sum(per_root) / len(per_root) if per_root else 0.0
+
+
+def voterank_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], num_seeds: int = 10
+) -> list[int]:
+    """NX VoteRank with deterministic min-id tie-break."""
+    nbr = defaultdict(set)
+    seen = set()
+    n_sym = 0
+    for s, d in edges:
+        if s != d and (s, d) not in seen and (d, s) not in seen:
+            seen.add((s, d))
+            nbr[s].add(d)
+            nbr[d].add(s)
+            n_sym += 2
+    n = len(vertices)
+    avg_deg = n_sym / n if n else 1.0
+    dec = 1.0 / avg_deg if avg_deg > 0 else 1.0
+    ability = {v: 1.0 for v in vertices}
+    elected = []
+    for _ in range(min(num_seeds, n)):
+        score = {
+            v: sum(ability[u] for u in nbr[v])
+            for v in vertices
+            if v not in elected
+        }
+        best = max(score.items(), key=lambda kv: (kv[1], -kv[0]), default=None)
+        if best is None or best[1] <= 0:
+            break
+        w = best[0]
+        elected.append(w)
+        ability[w] = 0.0
+        for u in nbr[w]:
+            ability[u] = max(ability[u] - dec, 0.0)
+    return elected
+
+
 def kcore_oracle(
     edges: list[tuple[int, int]], vertices: list[int], k: int
 ) -> dict[int, bool]:
