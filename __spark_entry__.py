@@ -845,6 +845,23 @@ def _q_core_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core_number(order_graph(spark, sf_dir)).select("vid", "core")
 
 
+def _q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import attribute_assortativity
+    from graphscope_spark.sources.tpch_graph import SUPPLIER_OFFSET, order_graph
+
+    g = order_graph(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("vid"), F.col("c_nationkey").alias("attr")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).alias("vid"),
+        F.col("s_nationkey").alias("attr"),
+    )
+    return attribute_assortativity(g, cust.unionByName(supp)).select(
+        F.round("attr_assortativity", 8).alias("attr_assortativity")
+    )
+
+
 def _q_bfs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import bfs_parent
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -1038,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_assortativity,
         "avg_degree_connectivity": _q_avg_degree_connectivity,
         "core_number": _q_core_number,
+        "attr_assortativity": _q_attr_assortativity,
         "bfs_parent": _q_bfs_parent,
         "kshell": _q_kshell,
         "sssp_avg_length": _q_sssp_avg_length,
@@ -1100,6 +1118,27 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _assortativity_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
+        "attr_assortativity": f"""
+          with edges as materialized ({SQL_EDGES}),
+          sym as materialized ({SQL_SYM}),
+          attrs as materialized (
+            select c_custkey as vid, c_nationkey as attr from customer
+            union all
+            select 1000000 + s_suppkey, s_nationkey from supplier
+          ),
+          pairs as materialized (
+            select sa.attr as a_src, sb.attr as a_dst
+            from sym s
+            join attrs sa on sa.vid = s.src
+            join attrs sb on sb.vid = s.dst
+          ),
+          m as (select cast(count(*) as double) as n from pairs),
+          tr as (select count(*) / (select n from m) as t from pairs where a_src = a_dst),
+          rows_ as (select a_src as k, count(*) / (select n from m) as rowsum from pairs group by 1),
+          cols_ as (select a_dst as k, count(*) / (select n from m) as colsum from pairs group by 1),
+          sq as (select coalesce(sum(rowsum * colsum), 0.0) as s from rows_ join cols_ using(k))
+          select round(((select t from tr) - s) / (1.0 - s), 8) as attr_assortativity from sq
+        """,
         "bfs_parent": _bfs_parent_sql(),
         "kshell": _kshell_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),

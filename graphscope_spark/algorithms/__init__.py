@@ -15,6 +15,7 @@ from graphscope_spark.algorithms.centrality import (
 )
 from graphscope_spark.algorithms.clustering import avg_clustering, transitivity
 from graphscope_spark.algorithms.assortativity import (
+    attribute_assortativity,
     average_degree_connectivity,
     degree_assortativity,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "avg_clustering",
     "transitivity",
     "degree_assortativity",
+    "attribute_assortativity",
     "average_degree_connectivity",
     "core_number",
     "kshell",

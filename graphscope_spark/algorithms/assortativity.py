@@ -47,6 +47,48 @@ def degree_assortativity(g: Graph) -> DataFrame:
     )
 
 
+def attribute_assortativity(g: Graph, attrs: DataFrame) -> DataFrame:
+    """NX ``attribute_assortativity_coefficient`` for a categorical
+    vertex attribute: r = (tr(e) − Σ(e²)) / (1 − Σ(e²)) over the edge
+    mixing matrix e (fractions of ordered symmetrized edge endpoints by
+    attribute pair).  Σ(e²) reduces to Σ_k rowsum_k·colsum_k — three
+    aggregates, no matrix materialized.
+
+    ``attrs``: (vid, attr) DataFrame.  Reference:
+    apps/assortativity/attribute_assortativity.h (.gs_conf.yaml:242-249).
+    """
+    sym = g.symmetrized()
+    pairs = (
+        sym.join(attrs.select(F.col(VID).alias(SRC), F.col("attr").alias("a_src")), SRC)
+        .join(attrs.select(F.col(VID).alias(DST), F.col("attr").alias("a_dst")), DST)
+        .select("a_src", "a_dst")
+    ).cache()
+    m = pairs.count()
+    if m == 0:
+        pairs.unpersist()
+        spark = g.edges.sparkSession
+        return spark.createDataFrame([(0.0,)], "attr_assortativity double")
+    tr = (
+        pairs.where(F.col("a_src") == F.col("a_dst")).count() / m
+    )
+    rows = pairs.groupBy(F.col("a_src").alias("k")).agg(
+        (F.count(F.lit(1)) / m).alias("rowsum")
+    )
+    cols = pairs.groupBy(F.col("a_dst").alias("k")).agg(
+        (F.count(F.lit(1)) / m).alias("colsum")
+    )
+    sumsq = (
+        rows.join(cols, "k")
+        .agg(F.sum(F.col("rowsum") * F.col("colsum")).alias("s"))
+        .collect()[0]["s"]
+        or 0.0
+    )
+    pairs.unpersist()
+    r = (tr - sumsq) / (1.0 - sumsq) if sumsq < 1.0 else 1.0
+    spark = g.edges.sparkSession
+    return spark.createDataFrame([(float(r),)], "attr_assortativity double")
+
+
 def average_degree_connectivity(g: Graph) -> DataFrame:
     """Returns (degree long, knn double): for each degree value, the
     mean over vertices of that degree of their average neighbor degree."""

@@ -198,6 +198,51 @@ class Graph:
             F.count(F.lit(1)).cast("long").alias("deg"),
         )
 
+    # -- §2.1 DAG-op surface -------------------------------------------
+    def project(
+        self,
+        vertex_cols: list[str] | None = None,
+        edge_cols: list[str] | None = None,
+    ) -> "Graph":
+        """PROJECT_GRAPH (dag_utils.py:490-513): keep a subset of
+        vertex/edge property columns — pure column pruning, pushed into
+        the parquet scan by Catalyst."""
+        from dataclasses import replace
+
+        v = self.vertices.select(VID, *(vertex_cols or []))
+        e = self.edges.select(
+            SRC, DST, *(c for c in (edge_cols or []) if c in self.edges.columns)
+        )
+        return replace(self, vertices=v, edges=e)
+
+    def to_undirected(self) -> "Graph":
+        """TO_UNDIRECTED (dag_utils.py:583-638): symmetrized edge set,
+        marked undirected."""
+        from dataclasses import replace
+
+        return replace(self, edges=self.symmetrized(), directed=False)
+
+    def to_directed(self) -> "Graph":
+        """TO_DIRECTED: reinterpret current edges as directed arcs."""
+        from dataclasses import replace
+
+        return replace(self, directed=True)
+
+    def induce_subgraph(self, vertex_set: DataFrame) -> "Graph":
+        """INDUCE_SUBGRAPH (dag_utils.py:709-737): restrict to the
+        given (vid) set — semi-joins on both edge endpoints, so the
+        filter is a broadcast when the set is small."""
+        from dataclasses import replace
+
+        vs = vertex_set.select(VID)
+        v = self.vertices.join(vs, VID, "semi")
+        e = (
+            self.edges.join(vs.select(F.col(VID).alias(SRC)), SRC, "semi")
+            .join(vs.select(F.col(VID).alias(DST)), DST, "semi")
+            .select(*self.edges.columns)
+        )
+        return replace(self, vertices=v, edges=e)
+
     def num_vertices(self) -> int:
         return self.vertices.count()
 

@@ -75,7 +75,6 @@ class SuperstepRunner:
         self.checkpoint_every = max(1, checkpoint_every)
         self.resume = resume
         self.metrics: list[dict] = []
-        self._chained: list[DataFrame] = []
 
     # -- checkpoint layout --------------------------------------------
     def _iter_path(self, k: int) -> str:
@@ -155,15 +154,15 @@ class SuperstepRunner:
             res = step(state, k)
             sync = (k + 1) % max(sync_every, 1) == 0 or k == max_iterations - 1
             if not sync:
-                # Chain lazily, but register the round in the cache
-                # manager: any branch of a later plan that embeds this
-                # round's subplan (e.g. pagerank's dangling aggregate
-                # AND its scatter join) is rewritten to the same
-                # InMemoryRelation, so the sync-point job computes each
-                # chained round exactly once instead of re-deriving it
-                # per consumer (which is exponential in chain length).
-                state = res.state.cache()
-                self._chained.append(state)
+                # Chain lazily via a LAZY localCheckpoint: the plan is
+                # truncated to a LogicalRDD immediately (constant plan
+                # size per round — a plain lazy chain grows the analyzed
+                # tree exponentially when a step consumes its state in
+                # several branches and OOMs the analyzer), while the
+                # data is computed only by the sync-point job; the
+                # checkpointed RDD is persisted on first compute, so
+                # multi-consumer steps read it once.
+                state = res.state.localCheckpoint(eager=False)
                 self._record(
                     {
                         "algorithm": self.name,
@@ -188,9 +187,6 @@ class SuperstepRunner:
                         shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
             else:
                 state = res.state.localCheckpoint(eager=True)
-            for c in self._chained:  # sync point: drop chained round caches
-                c.unpersist()
-            self._chained.clear()
             delta = res.delta
             if delta is None and res.delta_fn is not None:
                 delta = res.delta_fn(state)

@@ -360,6 +360,28 @@ def core_number_oracle(
     return {v: core.get(v, 0) for v in vertices}
 
 
+def attribute_assortativity_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], attr: dict[int, int]
+) -> float:
+    """NX attribute_assortativity_coefficient, categorical."""
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    pairs = [(attr[u], attr[v]) for u in vertices for v in nbr[u]]
+    m = len(pairs)
+    if m == 0:
+        return 0.0
+    tr = sum(1 for a, b in pairs if a == b) / m
+    rowsum = Counter(a for a, _ in pairs)
+    colsum = Counter(b for _, b in pairs)
+    sumsq = sum(
+        (rowsum[k] / m) * (colsum[k] / m) for k in set(rowsum) | set(colsum)
+    )
+    return (tr - sumsq) / (1 - sumsq) if sumsq < 1 else 1.0
+
+
 def bfs_parent_oracle(
     edges: list[tuple[int, int]],
     vertices: list[int],

@@ -88,6 +88,36 @@ def test_average_degree_connectivity_random(rand_graph, rand_graph_data):
     _allclose(got, exp, atol=1e-9)
 
 
+def test_attribute_assortativity_random(spark, rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms import attribute_assortativity
+
+    vertices, edges = rand_graph_data
+    attr = {v: v % 4 for v in vertices}
+    exp = oracle.attribute_assortativity_oracle(edges, vertices, attr)
+    attrs = spark.createDataFrame(list(attr.items()), "vid long, attr long")
+    got = attribute_assortativity(rand_graph, attrs).collect()[0][
+        "attr_assortativity"
+    ]
+    assert abs(got - exp) < 1e-9
+
+
+def test_graph_ops_project_subgraph(spark, tiny_graph):
+    """PROJECT / TO_UNDIRECTED / INDUCE_SUBGRAPH surface."""
+    sub = tiny_graph.induce_subgraph(
+        spark.createDataFrame([(0,), (1,), (2,)], "vid long")
+    )
+    assert sub.num_vertices() == 3
+    got = sorted(map(tuple, sub.edges.select("src", "dst").collect()))
+    assert got == [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0)]
+    und = tiny_graph.to_undirected()
+    assert not und.directed
+    # symmetrized: every edge in both directions, no self-loops
+    pairs = set(map(tuple, und.edges.collect()))
+    assert (1, 0) in pairs and (0, 1) in pairs and (4, 4) not in pairs
+    proj = tiny_graph.project()
+    assert proj.vertices.columns == ["vid"]
+
+
 def test_core_number_tiny(tiny_graph):
     exp = oracle.core_number_oracle(TINY_EDGES, TINY_VERTICES)
     assert _dict(core_number(tiny_graph)) == exp
