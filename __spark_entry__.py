@@ -891,6 +891,20 @@ def _q_sssp_avg_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness (supplier-side roots).  No DuckDB
+    oracle: the backward dependency sweep is not practically
+    SQL-expressible — driver records the rows-only check."""
+    from graphscope_spark.algorithms import betweenness_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    roots = g.vertices.where(F.col("vid") >= 1000000)
+    return betweenness_centrality(g, roots=roots).select(
+        "vid", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def _q_voterank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import voterank
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -1060,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kshell": _q_kshell,
         "sssp_avg_length": _q_sssp_avg_length,
         "voterank": _q_voterank,
+        "betweenness_sampled": _q_betweenness,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,

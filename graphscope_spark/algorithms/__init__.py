@@ -26,6 +26,7 @@ from graphscope_spark.algorithms.traversal import (
     sssp_has_path,
 )
 from graphscope_spark.algorithms.voterank import voterank
+from graphscope_spark.algorithms.betweenness import betweenness_centrality
 
 __all__ = [
     "pagerank",
@@ -53,4 +54,5 @@ __all__ = [
     "sssp_has_path",
     "sssp_average_length",
     "voterank",
+    "betweenness_centrality",
 ]

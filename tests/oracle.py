@@ -456,6 +456,46 @@ def voterank_oracle(
     return elected
 
 
+def betweenness_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, float]:
+    """Brandes, undirected unweighted, unnormalized (pairs counted once)."""
+    from collections import deque
+
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    bc = {v: 0.0 for v in vertices}
+    for s in vertices:
+        stack = []
+        pred = {v: [] for v in vertices}
+        sigma = {v: 0.0 for v in vertices}
+        dist = {v: -1 for v in vertices}
+        sigma[s] = 1.0
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in nbr[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in vertices}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: bc[v] / 2.0 for v in vertices}
+
+
 def kcore_oracle(
     edges: list[tuple[int, int]], vertices: list[int], k: int
 ) -> dict[int, bool]:

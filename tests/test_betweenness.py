@@ -1,0 +1,43 @@
+"""Betweenness (Brandes multi-source DataFrame form) vs Python oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graphscope_spark.algorithms import betweenness_centrality
+from tests.conftest import TINY_EDGES, TINY_VERTICES
+from tests import oracle
+
+
+def _allclose(df, exp, atol=1e-9):
+    got = {r["vid"]: r["betweenness"] for r in df.collect()}
+    assert set(got) == set(exp)
+    g = np.array([got[v] for v in sorted(got)])
+    e = np.array([exp[v] for v in sorted(exp)])
+    assert np.allclose(g, e, atol=atol), np.abs(g - e).max()
+
+
+def test_betweenness_tiny(tiny_graph):
+    exp = oracle.betweenness_oracle(TINY_EDGES, TINY_VERTICES)
+    _allclose(betweenness_centrality(tiny_graph), exp)
+
+
+def test_betweenness_random_small(spark):
+    """50-vertex seeded graph — exact all-sources Brandes."""
+    from graphscope_spark.graph import Graph
+    from tests.conftest import make_random_graph
+
+    vertices, edges = make_random_graph(n=50, seed=7)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4)
+    exp = oracle.betweenness_oracle(edges, vertices)
+    _allclose(betweenness_centrality(g), exp)
+
+
+def test_betweenness_sampled_scales(tiny_graph, spark):
+    """Sampled roots scale by n/|roots|; with all roots explicitly
+    passed the result equals the default."""
+    roots = spark.createDataFrame([(v,) for v in TINY_VERTICES], "vid long")
+    exp = oracle.betweenness_oracle(TINY_EDGES, TINY_VERTICES)
+    _allclose(betweenness_centrality(tiny_graph, roots=roots), exp)
