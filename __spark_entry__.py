@@ -398,7 +398,7 @@ def _closeness_sql() -> str:
         f"verts as materialized ({SQL_VERTS})",
         f"sym as materialized ({SQL_SYM})",
         "nn as materialized (select cast(count(*) as double) as n from verts)",
-        "roots as materialized (select vid from verts where vid >= 1000000)",
+        "roots as materialized (select vid from verts where vid >= 1000000 and vid % 10 = 0)",
         "d0 as materialized (select vid as root, vid, 0 as d from roots)",
     ]
     for k in range(CLOSE_UNROLL):
@@ -548,7 +548,7 @@ def _sssp_avg_length_sql() -> str:
         f"with wedges as materialized ({SQL_WEDGES})",
         "verts as materialized (select src as vid from wedges union select dst from wedges)",
         "symw as materialized (select src, dst, w from wedges union all select dst, src, w from wedges)",
-        "roots as materialized (select vid from verts where vid >= 1000000)",
+        "roots as materialized (select vid from verts where vid >= 1000000 and vid % 10 = 0)",
         "s0 as materialized (select vid as root, vid, 0.0 as dist from roots)",
     ]
     for k in range(AVGLEN_UNROLL):
@@ -796,7 +796,7 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     g = order_graph(spark, sf_dir)
-    roots = g.vertices.where(F.col("vid") >= 1000000)
+    roots = g.vertices.where((F.col("vid") >= 1000000) & (F.col("vid") % 10 == 0))
     return closeness_centrality(g, roots=roots).select(
         "vid", F.round("centrality", 8).alias("centrality")
     )
@@ -885,7 +885,7 @@ def _q_sssp_avg_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g0 = order_graph(spark, sf_dir)
     g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
-    roots = g.vertices.where(F.col("vid") >= 1000000)
+    roots = g.vertices.where((F.col("vid") >= 1000000) & (F.col("vid") % 10 == 0))
     return sssp_average_length(g, sources=roots, weight="weight").select(
         F.round("avg_length", 8).alias("avg_length")
     )
@@ -899,7 +899,7 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
     g = order_graph(spark, sf_dir)
-    roots = g.vertices.where(F.col("vid") >= 1000000)
+    roots = g.vertices.where((F.col("vid") >= 1000000) & (F.col("vid") % 10 == 0))
     return betweenness_centrality(g, roots=roots).select(
         "vid", F.round("betweenness", 6).alias("betweenness")
     )

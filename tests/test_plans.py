@@ -1,0 +1,55 @@
+"""Physical-plan assertions — the scale properties, checked in CI.
+
+These pin the Catalyst behaviors the 100TB design depends on, so a
+refactor that silently breaks pruning/pushdown fails a test rather
+than a production run:
+
+- the link-extraction path must prune the pages scan to (url, html) —
+  at 10^12 pages the text/lang columns are dead weight;
+- a vertex-id filter must be pushed into the parquet scan;
+- the PageRank gather must keep a partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from graphscope_spark.sources.pages import write_pages
+
+    path = str(tmp_path_factory.mktemp("pages") / "p.parquet")
+    write_pages(spark, 200, path, partitions=4)
+    return path
+
+
+def test_link_extraction_prunes_to_url_html(spark, pages_parquet):
+    from graphscope_spark.sources.extract import links_from_pages
+
+    pages = spark.read.parquet(pages_parquet)
+    plan = links_from_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    # the scan's ReadSchema must not include text/lang (column pruning)
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    for l in scan_lines:
+        assert "text" not in l and "lang" not in l, l
+
+
+def test_filter_pushdown_into_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    df = pages.where(F.col("lang") == "en").select("url")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_pagerank_gather_has_partial_aggregation(spark, pages_parquet):
+    """groupBy(vid).sum must show a partial_sum before the exchange —
+    map-side combine is what makes hub in-degrees tolerable."""
+    from graphscope_spark.sources.linkgraph import graph_from_pages
+
+    g, _ = graph_from_pages(spark.read.parquet(pages_parquet), num_partitions=4)
+    msgs = g.edges.groupBy("dst").agg(F.sum(F.col("src").cast("double")).alias("s"))
+    plan = msgs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
