@@ -905,6 +905,19 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous Louvain (integer modularity scores).
+    No DuckDB oracle: multi-phase contraction is impractical in SQL —
+    driver records the rows-only check; exactness vs the Python oracle
+    is pinned in tests/test_louvain.py."""
+    from graphscope_spark.algorithms import louvain
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return louvain(
+        copurchase_graph(spark, sf_dir), max_rounds=5, max_phases=2
+    ).select("vid", "community")
+
+
 def _q_voterank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import voterank
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -1075,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_avg_length": _q_sssp_avg_length,
         "voterank": _q_voterank,
         "betweenness_sampled": _q_betweenness,
+        "louvain": _q_louvain,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,

@@ -27,6 +27,7 @@ from graphscope_spark.algorithms.traversal import (
 )
 from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.betweenness import betweenness_centrality
+from graphscope_spark.algorithms.louvain import louvain
 
 __all__ = [
     "pagerank",
@@ -55,4 +56,5 @@ __all__ = [
     "sssp_average_length",
     "voterank",
     "betweenness_centrality",
+    "louvain",
 ]

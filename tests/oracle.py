@@ -496,6 +496,104 @@ def betweenness_oracle(
     return {v: bc[v] / 2.0 for v in vertices}
 
 
+def louvain_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    max_rounds: int = 10,
+    max_phases: int = 3,
+) -> dict[int, int]:
+    """Deterministic synchronous Louvain (exact-integer modularity
+    scores) — the SAME semantics the Spark implementation defines:
+
+    per round, every vertex synchronously evaluates
+        S(C) = m2·k_{v,C} − k_v·Σtot_C          (C ≠ D, neighbor comms)
+        S_stay = m2·k_{v,D∖v} − k_v·(Σtot_D − k_v)
+    and moves to argmax_C S(C) (ties → min C) iff S > S_stay; rounds
+    repeat until quiet or max_rounds; then communities contract to a
+    weighted graph and the next phase runs.  Output labels = min
+    original vid per final community.
+    """
+    # weighted undirected adjacency; self-loop weight kept separately
+    w = defaultdict(int)  # unordered pair (min,max) -> weight
+    self_w = defaultdict(int)  # node -> self-loop weight
+    for s, d in edges:
+        a, b = min(s, d), max(s, d)
+        if a != b:
+            w[(a, b)] += 1
+    nodes = list(vertices)
+    member = {v: {v} for v in vertices}  # supernode -> original vids
+    final = {v: v for v in vertices}
+
+    for _phase in range(max_phases):
+        nbrw = defaultdict(dict)
+        for (a, b), wt in w.items():
+            nbrw[a][b] = nbrw[a].get(b, 0) + wt
+            nbrw[b][a] = nbrw[b].get(a, 0) + wt
+        k = {v: sum(nbrw[v].values()) + 2 * self_w[v] for v in nodes}
+        m2 = sum(k.values())
+        if m2 == 0:
+            break
+        comm = {v: v for v in nodes}
+        for _ in range(max_rounds):
+            tot = defaultdict(int)
+            for v in nodes:
+                tot[comm[v]] += k[v]
+            moves = {}
+            for v in nodes:
+                d = comm[v]
+                kvc = defaultdict(int)
+                for u, wt in nbrw[v].items():
+                    kvc[comm[u]] += wt
+                s_stay = m2 * kvc.get(d, 0) - k[v] * (tot[d] - k[v])
+                best_c, best_s = None, None
+                for c in sorted(kvc):
+                    if c == d:
+                        continue
+                    s = m2 * kvc[c] - k[v] * tot[c]
+                    if best_s is None or s > best_s or (s == best_s and c < best_c):
+                        best_c, best_s = c, s
+                if best_c is not None and best_s > s_stay:
+                    moves[v] = best_c
+            if not moves:
+                break
+            for v, c in moves.items():
+                comm[v] = c
+        # contract
+        groups = defaultdict(set)
+        for v in nodes:
+            groups[comm[v]].add(v)
+        if len(groups) == len(nodes):
+            break
+        new_member = {}
+        for c, vs in groups.items():
+            s = set()
+            for v in vs:
+                s |= member[v]
+            new_member[c] = s
+        new_w = defaultdict(int)
+        new_self = defaultdict(int)
+        for c, vs in groups.items():
+            for v in vs:
+                new_self[c] += self_w[v]
+        for (a, b), wt in w.items():
+            ca, cb = comm[a], comm[b]
+            if ca != cb:
+                x, y = min(ca, cb), max(ca, cb)
+                new_w[(x, y)] += wt
+            else:
+                new_self[ca] += wt
+        w = new_w
+        self_w = new_self
+        nodes = list(groups)
+        member = new_member
+
+    for c, vs in member.items():
+        lab = min(vs)
+        for v in vs:
+            final[v] = lab
+    return final
+
+
 def kcore_oracle(
     edges: list[tuple[int, int]], vertices: list[int], k: int
 ) -> dict[int, bool]:
