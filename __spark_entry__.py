@@ -47,6 +47,16 @@ CORE_UNROLL = 10
 KSHELL_K = 3
 AVGLEN_UNROLL = 10
 VOTERANK_SEEDS = 5
+MSBFS_UNROLL = 6       # multi-source BFS quiesce depth (probed, margin incl.)
+MIS_UNROLL = 9         # Luby-by-id quiesces in 6 rounds at sf0.01 (probed)
+PPR_ROUNDS = 5
+NEARDUP_T = 0.6        # n-gram Jaccard near-dup verification threshold
+NEARDUP_CC_UNROLL = 6  # component depth over the tiny verified-pair graph
+EMB_NEARDUP_T = 0.4    # synthetic embeddings are near-orthogonal (max
+                       # bucketed cosine 0.513 at sf0.01); real corpora ~0.9
+LINKPRED_MOD = 100     # sample: a-side vertices with vid % 100 == 0
+BOUNDARY_MOD = 20      # S = parts with vid % 20 == 0
+DLG_MOD = 7            # linenumber-graph thinning modulus (tpch_graph.py)
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -629,6 +639,392 @@ def _voterank_sql() -> str:
     )
 
 
+SQL_DLG_EDGES = f"""
+  select distinct a.l_partkey as src, b.l_partkey as dst
+  from lineitem a join lineitem b
+    on a.l_orderkey = b.l_orderkey and a.l_linenumber + 1 = b.l_linenumber
+  where a.l_partkey != b.l_partkey
+    and (a.l_partkey + b.l_partkey) % {DLG_MOD} = 0
+"""
+
+
+def _msbfs_parts(unroll: int) -> list[str]:
+    """Shared multi-source BFS CTE chain over the order graph from the
+    supplier-side landmark roots; final table d{unroll}(root, vid, d)."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "roots as materialized (select vid from verts where vid >= 1000000 and vid % 10 = 0)",
+        "d0 as materialized (select vid as root, vid, 0 as d from roots)",
+    ]
+    for k in range(unroll):
+        parts.append(
+            f"""d{k + 1} as materialized (
+              select root, vid, min(d) as d from (
+                select root, vid, d from d{k}
+                union all
+                select x.root, s.dst as vid, x.d + 1 as d
+                from d{k} x join sym s on x.vid = s.src
+              ) group by root, vid
+            )"""
+        )
+    return parts
+
+
+def _harmonic_sql() -> str:
+    parts = _msbfs_parts(MSBFS_UNROLL)
+    return (
+        ",\n".join(parts)
+        + f"""
+        select root as vid,
+               round(sum(case when vid = root then 0.0 else 1.0/d end), 8)
+               as centrality
+        from d{MSBFS_UNROLL} group by root"""
+    )
+
+
+def _eccentricity_sql() -> str:
+    parts = _msbfs_parts(MSBFS_UNROLL)
+    return (
+        ",\n".join(parts)
+        + f"\nselect root as vid, cast(max(d) as bigint) as ecc from d{MSBFS_UNROLL} group by root"
+    )
+
+
+def _apsp_sql() -> str:
+    parts = _msbfs_parts(MSBFS_UNROLL)
+    return (
+        ",\n".join(parts)
+        + f"\nselect root, vid, cast(d as double) as dist from d{MSBFS_UNROLL}"
+    )
+
+
+def _diameter_sql() -> str:
+    parts = _msbfs_parts(MSBFS_UNROLL)
+    return (
+        ",\n".join(parts)
+        + f"\nselect cast(max(d) as bigint) as diameter from d{MSBFS_UNROLL}"
+    )
+
+
+def _ppr_sql() -> str:
+    """Unrolled personalized PageRank: teleport + dangling mass return
+    to the uniform distribution over the supplier-side landmark set."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "srcs as materialized (select vid from verts where vid >= 1000000 and vid % 10 = 0)",
+        "ns as materialized (select cast(count(*) as double) as k from srcs)",
+        "deg as materialized (select src as vid, cast(count(*) as double) as od from edges group by 1)",
+        """pv as materialized (
+          select v.vid,
+                 case when v.vid in (select vid from srcs)
+                      then 1.0/(select k from ns) else 0.0 end as p
+          from verts v
+        )""",
+        "r0 as materialized (select vid, p as pr from pv)",
+    ]
+    for k in range(PPR_ROUNDS):
+        parts.append(
+            f"""d{k} as materialized (
+              select coalesce(sum(r.pr), 0.0) as s
+              from r{k} r left join deg d using(vid) where d.od is null
+            )"""
+        )
+        parts.append(
+            f"""r{k + 1} as materialized (
+              select v.vid,
+                     ((1.0 - {ALPHA}) + {ALPHA} * (select s from d{k})) * pv.p
+                     + {ALPHA} * coalesce(c.s, 0.0) as pr
+              from verts v
+              join pv on pv.vid = v.vid
+              left join (
+                select e.dst as vid, sum(r.pr / dg.od) as s
+                from edges e
+                join r{k} r on e.src = r.vid
+                join deg dg on dg.vid = e.src
+                group by 1
+              ) c on c.vid = v.vid
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, round(pr, 8) as pr from r{PPR_ROUNDS}"
+
+
+def _mis_sql() -> str:
+    """Unrolled deterministic Luby-by-id MIS over the co-purchase graph
+    (= the lexicographically-first MIS)."""
+    parts = [
+        f"with cpe as materialized ({SQL_CP_EDGES})",
+        "verts as materialized (select src as vid from cpe union select dst from cpe)",
+        "sym as materialized (select src, dst from cpe union select dst, src from cpe)",
+        "a0 as materialized (select vid from verts)",
+        "m0 as materialized (select vid from verts where false)",
+    ]
+    for k in range(MIS_UNROLL):
+        parts.append(
+            f"""w{k} as materialized (
+              select a.vid from a{k} a left join (
+                select s.src as vid, min(s.dst) as mn
+                from sym s
+                join a{k} x on x.vid = s.src
+                join a{k} y on y.vid = s.dst
+                group by s.src
+              ) n using(vid)
+              where n.mn is null or a.vid < n.mn
+            )"""
+        )
+        parts.append(
+            f"""l{k} as materialized (
+              select distinct s.dst as vid from sym s
+              join w{k} w on w.vid = s.src
+              join a{k} y on y.vid = s.dst
+            )"""
+        )
+        parts.append(
+            f"m{k + 1} as materialized (select vid from m{k} union select vid from w{k})"
+        )
+        parts.append(
+            f"""a{k + 1} as materialized (
+              select vid from a{k}
+              where vid not in (select vid from w{k})
+                and vid not in (select vid from l{k})
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect v.vid, v.vid in (select vid from m{MIS_UNROLL}) as in_mis from verts v"
+    )
+
+
+def _scc_sql() -> str:
+    """SCC oracle: transitive closure via recursive CTE; scc id = min
+    vid among mutually-reachable vertices (incl. self)."""
+    return f"""
+      with recursive dedges as materialized ({SQL_DLG_EDGES}),
+      verts as materialized (select src as vid from dedges union select dst from dedges),
+      reach(src, dst) as (
+        select src, dst from dedges
+        union
+        select r.src, e.dst from reach r join dedges e on r.dst = e.src
+      ),
+      mutual as materialized (
+        select a.src as v, a.dst as u
+        from reach a join reach b on a.src = b.dst and a.dst = b.src
+      ),
+      mn as materialized (select v, min(u) as mu from mutual group by v)
+      select v.vid, least(v.vid, coalesce(m.mu, v.vid)) as scc
+      from verts v left join mn m on m.v = v.vid
+    """
+
+
+def _k4_sql() -> str:
+    """Global 4-clique count by degree-ordered orientation (the
+    triangle orientation extended one level)."""
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1),
+      eor as materialized (
+        select e.src as a, e.dst as b
+        from cpe e
+        join deg ds on ds.vid = e.src
+        join deg dd on dd.vid = e.dst
+        where (ds.d < dd.d) or (ds.d = dd.d and e.src < e.dst)
+        union all
+        select e.dst as a, e.src as b
+        from cpe e
+        join deg ds on ds.vid = e.src
+        join deg dd on dd.vid = e.dst
+        where (dd.d < ds.d) or (dd.d = ds.d and e.dst < e.src)
+      ),
+      tri as materialized (
+        select e1.a, e1.b, e2.b as c
+        from eor e1
+        join eor e2 on e1.a = e2.a and e1.b != e2.b
+        where exists (select 1 from eor e3 where e3.a = e1.b and e3.b = e2.b)
+      ),
+      k4 as (
+        select count(*) as cnt
+        from tri t
+        join eor e4 on e4.a = t.a and e4.b != t.b and e4.b != t.c
+        where exists (select 1 from eor e5 where e5.a = t.b and e5.b = e4.b)
+          and exists (select 1 from eor e6 where e6.a = t.c and e6.b = e4.b)
+      )
+      select cast(cnt as bigint) as k4 from k4
+    """
+
+
+def _linkpred_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1),
+      wedges as materialized (
+        select l.dst as a, r.dst as b, l.src as m
+        from sym l join sym r on l.src = r.src
+        where l.dst < r.dst and l.dst % {LINKPRED_MOD} = 0
+      ),
+      scored as materialized (
+        select a, b, count(*) as cn, sum(1.0/ln(d.d)) as aa
+        from wedges w join deg d on d.vid = w.m
+        group by a, b
+      ),
+      cand as materialized (
+        select s.* from scored s
+        where not exists (
+          select 1 from cpe where cpe.src = s.a and cpe.dst = s.b
+        )
+      )
+      select c.a, c.b, c.cn,
+             round(c.cn / (da.d + db.d - c.cn), 8) as jaccard,
+             round(c.aa, 8) as adamic_adar,
+             cast(da.d * db.d as bigint) as pref_attach
+      from cand c
+      join deg da on da.vid = c.a
+      join deg db on db.vid = c.b
+    """
+
+
+def _node_boundary_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      s as materialized (
+        select distinct src as vid from sym where src % {BOUNDARY_MOD} = 0
+      )
+      select distinct e.dst as vid from sym e
+      where e.src in (select vid from s) and e.dst not in (select vid from s)
+    """
+
+
+def _edge_boundary_sql() -> str:
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      s as materialized (
+        select distinct src as vid from sym where src % {BOUNDARY_MOD} = 0
+      )
+      select e.src, e.dst from sym e
+      where e.src in (select vid from s) and e.dst not in (select vid from s)
+    """
+
+
+def _dedup_near_sql() -> str:
+    """LSH candidates -> exact Jaccard >= threshold -> min-label
+    connected components (unrolled) -> canonical = min doc_id."""
+    parts = [
+        f"with {SQL_SHINGLES}",
+        f"sig as materialized (select doc_id, {_minhash_cols_sql()} from sh group by doc_id)",
+        """banded as materialized (
+          select doc_id, unnest([
+            concat_ws('|', '0', mh_0, mh_1),
+            concat_ws('|', '1', mh_2, mh_3),
+            concat_ws('|', '2', mh_4, mh_5),
+            concat_ws('|', '3', mh_6, mh_7)
+          ]) as band from sig
+        )""",
+        """cand as materialized (
+          select distinct x.doc_id as a, y.doc_id as b
+          from banded x join banded y using(band)
+          where x.doc_id < y.doc_id
+        )""",
+        "sizes as materialized (select doc_id, count(*) as sz from sh group by 1)",
+        """inter as materialized (
+          select c.a, c.b, count(*) as ni
+          from cand c
+          join sh x on x.doc_id = c.a
+          join sh y on y.doc_id = c.b and y.shingle = x.shingle
+          group by c.a, c.b
+        )""",
+        f"""ver as materialized (
+          select i.a, i.b
+          from inter i
+          join sizes sa on sa.doc_id = i.a
+          join sizes sb on sb.doc_id = i.b
+          where i.ni / (sa.sz + sb.sz - i.ni) >= {NEARDUP_T}
+        )""",
+        "symp as materialized (select a, b from ver union select b, a from ver)",
+        "pverts as materialized (select distinct a as vid from symp)",
+        "c0 as materialized (select vid, vid as comp from pverts)",
+    ]
+    for k in range(NEARDUP_CC_UNROLL):
+        parts.append(
+            f"""c{k + 1} as materialized (
+              select c.vid, least(c.comp, coalesce(m.mc, c.comp)) as comp
+              from c{k} c left join (
+                select s.b as vid, min(x.comp) as mc
+                from symp s join c{k} x on s.a = x.vid
+                group by s.b
+              ) m using(vid)
+            )"""
+        )
+    parts.append(
+        f"canon as materialized (select comp, min(vid) as canonical_id from c{NEARDUP_CC_UNROLL} group by comp)"
+    )
+    parts.append(
+        f"grp as materialized (select c.vid, canon.canonical_id from c{NEARDUP_CC_UNROLL} c join canon using(comp))"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+        select d.doc_id,
+               coalesce(g.canonical_id, d.doc_id) as canonical_id,
+               coalesce(g.canonical_id, d.doc_id) != d.doc_id as is_duplicate
+        from documents d left join grp g on g.vid = d.doc_id"""
+    )
+
+
+def _emb_neardup_sql() -> str:
+    return f"""
+      with e as (
+        select vec_id, embedding::DOUBLE[] as v,
+               (case when embedding[1] >= 0 then 1 else 0 end)
+             + (case when embedding[2] >= 0 then 2 else 0 end)
+             + (case when embedding[3] >= 0 then 4 else 0 end)
+             + (case when embedding[4] >= 0 then 8 else 0 end) as bucket
+        from embeddings
+      ),
+      p as (
+        select a.vec_id as a, b.vec_id as b,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as cos
+        from e a join e b using(bucket)
+        where a.vec_id < b.vec_id
+      )
+      select a, b, round(cos, 6) as cosine from p where cos >= {EMB_NEARDUP_T}
+    """
+
+
+def _simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dups: chunk-equality candidates (pigeonhole over
+    max_hamming+1 chunks), then exact Hamming via bit_count(xor)."""
+    from graphscope_spark.functions import specs
+
+    bits = specs.SIMHASH_BITS
+    sim = _simhash_sql().strip()
+    n_chunks = max_hamming + 1
+    width = bits // n_chunks
+    chunk_exprs = ", ".join(
+        f"concat('{c}:', cast((simhash // {2 ** (c * width)}) % {2 ** width} as varchar))"
+        for c in range(n_chunks)
+    )
+    return f"""
+      with simh as materialized ({sim}),
+      keyed as materialized (
+        select doc_id, simhash, unnest([{chunk_exprs}]) as ck from simh
+      ),
+      cand as materialized (
+        select distinct x.doc_id as a, y.doc_id as b,
+               x.simhash as ha, y.simhash as hb
+        from keyed x join keyed y using(ck)
+        where x.doc_id < y.doc_id
+      )
+      select a, b, cast(bit_count(xor(ha, hb)) as bigint) as hamming
+      from cand where bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
 def _minhash_cols_sql() -> str:
     from graphscope_spark.functions import specs
 
@@ -927,6 +1323,147 @@ def _q_voterank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_roots(g):
+    return g.vertices.where((F.col("vid") >= 1000000) & (F.col("vid") % 10 == 0))
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import harmonic_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return harmonic_centrality(g, roots=_supplier_roots(g)).select(
+        "vid", F.round("centrality", 8).alias("centrality")
+    )
+
+
+def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import eccentricity
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return eccentricity(g, roots=_supplier_roots(g)).select("vid", "ecc")
+
+
+def _q_apsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import apsp_sampled
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return apsp_sampled(g, roots=_supplier_roots(g)).select("root", "vid", "dist")
+
+
+def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import diameter_approx
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return diameter_approx(g, roots=_supplier_roots(g)).select("diameter")
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import personalized_pagerank
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return personalized_pagerank(
+        g, sources=_supplier_roots(g), alpha=ALPHA, max_iter=PPR_ROUNDS,
+        sync_every=PPR_ROUNDS,
+    ).select("vid", F.round("rank", 8).alias("pr"))
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import maximal_independent_set
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return maximal_independent_set(copurchase_graph(spark, sf_dir)).select(
+        "vid", "in_mis"
+    )
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import strongly_connected_components
+    from graphscope_spark.sources.tpch_graph import linenumber_graph
+
+    return strongly_connected_components(linenumber_graph(spark, sf_dir)).select(
+        "vid", "scc"
+    )
+
+
+def _q_four_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import four_clique_count
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return four_clique_count(copurchase_graph(spark, sf_dir)).select("k4")
+
+
+def _q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import link_prediction
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return link_prediction(
+        copurchase_graph(spark, sf_dir),
+        a_filter=(F.col("a") % LINKPRED_MOD == 0),
+    ).select(
+        "a",
+        "b",
+        "cn",
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("adamic_adar", 8).alias("adamic_adar"),
+        "pref_attach",
+    )
+
+
+def _q_node_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import node_boundary
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    s = g.vertices.where(F.col("vid") % BOUNDARY_MOD == 0)
+    return node_boundary(g, s).select("vid")
+
+
+def _q_edge_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import edge_boundary
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    g = copurchase_graph(spark, sf_dir)
+    s = g.vertices.where(F.col("vid") % BOUNDARY_MOD == 0)
+    return edge_boundary(g, s).select("src", "dst")
+
+
+def _q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import near_duplicate_groups
+
+    return near_duplicate_groups(_docs(spark, sf_dir), threshold=NEARDUP_T).select(
+        "doc_id", "canonical_id", "is_duplicate"
+    )
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.similarity import cosine_near_duplicates
+
+    return cosine_near_duplicates(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_T, planes=LSH_PLANES
+    ).select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_doc_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1101,6 +1638,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "event_counts": _q_event_counts,
+        "harmonic_centrality": _q_harmonic,
+        "eccentricity": _q_eccentricity,
+        "apsp_sampled": _q_apsp,
+        "diameter_sampled": _q_diameter,
+        "ppr": _q_ppr,
+        "mis": _q_mis,
+        "scc": _q_scc,
+        "four_clique": _q_four_clique,
+        "link_prediction": _q_linkpred,
+        "node_boundary": _q_node_boundary,
+        "edge_boundary": _q_edge_boundary,
+        "dedup_near": _q_dedup_near,
+        "embedding_neardup": _q_emb_neardup,
+        "simhash_neardup": _q_simhash_neardup,
+        "doc_tokens_bpe": _q_doc_tokens_bpe,
     }
 
 
@@ -1331,5 +1883,25 @@ def oracle_sql() -> dict[str, str]:
                  round(sum(value), 4) as sum_value
           from events
           group by 1, 2
+        """,
+        "harmonic_centrality": _harmonic_sql(),
+        "eccentricity": _eccentricity_sql(),
+        "apsp_sampled": _apsp_sql(),
+        "diameter_sampled": _diameter_sql(),
+        "ppr": _ppr_sql(),
+        "mis": _mis_sql(),
+        "scc": _scc_sql(),
+        "four_clique": _k4_sql(),
+        "link_prediction": _linkpred_sql(),
+        "node_boundary": _node_boundary_sql(),
+        "edge_boundary": _edge_boundary_sql(),
+        "dedup_near": _dedup_near_sql(),
+        "embedding_neardup": _emb_neardup_sql(),
+        "simhash_neardup": _simhash_neardup_sql(),
+        "doc_tokens_bpe": r"""
+          select doc_id,
+                 cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                      as bigint) as n_bpe_tokens
+          from documents
         """,
     }

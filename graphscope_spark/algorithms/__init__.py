@@ -28,8 +28,33 @@ from graphscope_spark.algorithms.traversal import (
 from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.betweenness import betweenness_centrality
 from graphscope_spark.algorithms.louvain import louvain
+from graphscope_spark.algorithms.pagerank import personalized_pagerank
+from graphscope_spark.algorithms.multisource import multi_source_distances
+from graphscope_spark.algorithms.distances import (
+    apsp_sampled,
+    diameter_approx,
+    eccentricity,
+    harmonic_centrality,
+)
+from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
+from graphscope_spark.algorithms.mis import maximal_independent_set
+from graphscope_spark.algorithms.linkpred import link_prediction
+from graphscope_spark.algorithms.scc import strongly_connected_components
+from graphscope_spark.algorithms.kclique import four_clique_count
 
 __all__ = [
+    "personalized_pagerank",
+    "multi_source_distances",
+    "apsp_sampled",
+    "diameter_approx",
+    "eccentricity",
+    "harmonic_centrality",
+    "edge_boundary",
+    "node_boundary",
+    "maximal_independent_set",
+    "link_prediction",
+    "strongly_connected_components",
+    "four_clique_count",
     "pagerank",
     "wcc",
     "cdlp",

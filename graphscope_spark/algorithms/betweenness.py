@@ -1,4 +1,4 @@
-"""Betweenness centrality — Brandes' algorithm, multi-source DataFrame form.
+"""Betweenness centrality — Brandes' algorithm, wide multi-source form.
 
 Reference: `betweenness_centrality` / `betweenness_centrality_generic`
 (.gs_conf.yaml:286-298, apps/centrality/betweenness/*) — NX semantics
@@ -11,14 +11,17 @@ for each source s,
       δ(v) = Σ_{w: v ∈ pred(w)} σ(v)/σ(w) · (1 + δ(w));
   bc(v) += δ(v) for v ≠ s.
 
-Spark-native shape: state keyed by (root, vid) so ALL sources run
-simultaneously — each BFS level is one join + groupBy over the
-(root, vid) pair table, and the backward sweep reuses the same
-level-synchronous structure in reverse.  Exact betweenness is O(V·E);
-pass a sampled/landmark ``roots`` DataFrame at scale (the standard
-Brandes-sampling estimator: scale results by n/|roots|).
+Spark-native shape (same scale rationale as multisource.py): state is
+keyed by ``vid`` with one (depth, sigma, delta) column TRIPLE per root
+— roots batched ≤48 per pass — so every forward level and every
+backward level is ONE join + groupBy over |E| message rows, with all
+per-root arithmetic in whole-stage codegen.  A (root, vid) pair-table
+formulation ships |roots|×|E| rows per level instead; at a 1000-executor
+scale the edge scan is the only thing that should grow with the graph.
+Exact betweenness is O(V·E); pass a sampled/landmark ``roots`` DataFrame
+at scale (the standard Brandes-sampling estimator: scale by n/|roots|).
 
-Undirected convention: each pair counted twice (once per direction),
+Undirected convention: each (s,t) pair contributes in both directions,
 so final scores are halved; NX ``normalized=False`` semantics.
 """
 
@@ -28,6 +31,127 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.algorithms.multisource import _collect_roots
+
+BATCH = 48
+
+
+def _chunk_delta(
+    sym: DataFrame, verts: DataFrame, chunk: list[int], max_depth: int
+) -> DataFrame:
+    """Forward + backward Brandes sweep for one root batch.  Returns
+    (vid, bc_part) where bc_part = Σ_i delta_i[v], v ≠ root_i."""
+    k = len(chunk)
+    dp = [f"dp{i}" for i in range(k)]
+    sg = [f"sg{i}" for i in range(k)]
+    dl = [f"dl{i}" for i in range(k)]
+
+    state = verts.select(
+        VID,
+        *[
+            F.when(F.col(VID) == F.lit(r), 0).otherwise(-1)
+            .cast("int").alias(d)
+            for d, r in zip(dp, chunk)
+        ],
+        *[
+            F.when(F.col(VID) == F.lit(r), 1.0).otherwise(0.0).alias(s)
+            for s, r in zip(sg, chunk)
+        ],
+    ).localCheckpoint(eager=True)
+
+    # ---- forward: level-synchronous BFS accumulating path counts ------
+    depth = 0
+    while depth < max_depth:
+        lvl = depth
+        frontier = state.where(
+            F.greatest(*[(F.col(d) == lvl) for d in dp])
+            if k > 1
+            else (F.col(dp[0]) == lvl)
+        )
+        msgs = (
+            sym.join(frontier, sym[SRC] == frontier[VID])
+            .groupBy(DST)
+            .agg(
+                *[
+                    F.sum(F.when(F.col(d) == lvl, F.col(s)).otherwise(0.0)).alias(f"m{i}")
+                    for i, (d, s) in enumerate(zip(dp, sg))
+                ]
+            )
+        )
+        nxt = state.join(msgs, state[VID] == msgs[DST], "left").select(
+            state[VID],
+            *[
+                F.when(
+                    (F.col(d) == -1) & (F.coalesce(F.col(f"m{i}"), F.lit(0.0)) > 0.0),
+                    lvl + 1,
+                ).otherwise(F.col(d)).alias(d)
+                for i, d in enumerate(dp)
+            ],
+            *[
+                F.when(
+                    (F.col(d) == -1) & (F.coalesce(F.col(f"m{i}"), F.lit(0.0)) > 0.0),
+                    F.col(f"m{i}"),
+                ).otherwise(F.col(s)).alias(s)
+                for i, (d, s) in enumerate(zip(dp, sg))
+            ],
+        ).localCheckpoint(eager=True)
+        grew = (
+            nxt.agg(
+                F.sum(
+                    sum(
+                        (F.col(d) == lvl + 1).cast("long") for d in dp
+                    )
+                )
+            ).collect()[0][0]
+            or 0
+        )
+        state = nxt
+        if grew == 0:
+            break
+        depth += 1
+
+    # ---- backward: accumulate dependencies from depth down to 1 -------
+    state = state.select(VID, *dp, *sg, *[F.lit(0.0).alias(d) for d in dl])
+    for lvl in range(depth, 0, -1):
+        w_side = state.where(
+            F.greatest(*[(F.col(d) == lvl) for d in dp])
+            if k > 1
+            else (F.col(dp[0]) == lvl)
+        )
+        # coef_i(w) = (1 + delta_i) / sigma_i, shipped to predecessors
+        msgs = (
+            sym.join(w_side, sym[DST] == w_side[VID])
+            .groupBy(SRC)
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col(d) == lvl,
+                            (1.0 + F.col(l)) / F.col(s),
+                        ).otherwise(0.0)
+                    ).alias(f"c{i}")
+                    for i, (d, s, l) in enumerate(zip(dp, sg, dl))
+                ]
+            )
+        )
+        state = state.join(msgs, state[VID] == msgs[SRC], "left").select(
+            state[VID],
+            *dp,
+            *sg,
+            *[
+                F.when(
+                    F.col(d) == lvl - 1,
+                    F.col(l) + F.col(s) * F.coalesce(F.col(f"c{i}"), F.lit(0.0)),
+                ).otherwise(F.col(l)).alias(l)
+                for i, (d, s, l) in enumerate(zip(dp, sg, dl))
+            ],
+        ).localCheckpoint(eager=True)
+
+    bc = sum(
+        F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
+        for l, r in zip(dl, chunk)
+    )
+    return state.select(VID, bc.alias("bc_part"))
 
 
 def betweenness_centrality(
@@ -41,100 +165,37 @@ def betweenness_centrality(
     ``roots=None`` uses every vertex (exact; small graphs only).
     With a sampled root set, scores are scaled by n/|roots|.
     """
-    spark = g.edges.sparkSession
-    sym = g.symmetrized().cache()
+    sym = (
+        g.symmetrized()
+        .select(SRC, DST)
+        .cache()
+    )
     n = g.num_vertices()
-    root_df = (roots or g.vertices).select(F.col(VID).alias("root"))
-    n_roots = root_df.count()
-
-    # ---- forward phase: (root, vid, depth, sigma) ---------------------
-    # frontier carries the newly-settled level; sigma sums path counts
-    settled = root_df.select(
-        "root", F.col("root").alias(VID), F.lit(0).alias("depth"),
-        F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
-    frontier = settled
-    levels = [settled]  # per-level slices for the backward sweep
-    depth = 0
-    while depth < max_depth:
-        depth += 1
-        expanded = (
-            frontier.join(sym, frontier[VID] == sym[SRC])
-            .select("root", F.col(DST).alias(VID), F.col("sigma"))
-            .groupBy("root", VID)
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        nxt = (
-            expanded.join(
-                settled.select("root", VID, F.lit(1).alias("_seen")),
-                ["root", VID],
-                "left",
-            )
-            .where(F.col("_seen").isNull())
-            .select("root", VID, F.lit(depth).alias("depth"), "sigma")
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-        levels.append(nxt)
-        frontier = nxt
-
-    # ---- backward phase: accumulate dependencies level by level -------
-    # delta(v) per root, processed from the deepest level upwards.
-    # edge (v -> w) is a DAG edge iff depth(w) = depth(v) + 1.
-    delta = None  # (root, vid, delta) for levels processed so far
-    for lvl in range(len(levels) - 1, 0, -1):
-        w_level = levels[lvl].select(
-            "root", F.col(VID).alias("w"), F.col("sigma").alias("sigma_w")
-        )
-        if delta is not None:
-            w_level = w_level.join(
-                delta.select("root", F.col(VID).alias("w"), F.col("delta").alias("dw")),
-                ["root", "w"],
-                "left",
-            ).select(
-                "root", "w", "sigma_w", F.coalesce("dw", F.lit(0.0)).alias("dw")
-            )
-        else:
-            w_level = w_level.select("root", "w", "sigma_w", F.lit(0.0).alias("dw"))
-        v_level = levels[lvl - 1].select(
-            "root", F.col(VID).alias("v"), F.col("sigma").alias("sigma_v")
-        )
-        contrib = (
-            sym.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
-            .join(w_level, "w")
-            .join(v_level, ["root", "v"])
-            .select(
-                "root",
-                F.col("v").alias(VID),
-                (F.col("sigma_v") / F.col("sigma_w") * (1.0 + F.col("dw"))).alias("c"),
-            )
-            .groupBy("root", VID)
-            .agg(F.sum("c").alias("delta"))
-        ).localCheckpoint(eager=True)
-        delta = contrib if delta is None else (
-            delta.unionByName(contrib)
-            .groupBy("root", VID)
-            .agg(F.sum("delta").alias("delta"))
-            .localCheckpoint(eager=True)
-        )
-
-    if delta is None:  # no edges reachable from any root
+    root_list = _collect_roots(g, roots)
+    n_roots = len(root_list)
+    if n_roots == 0:
         sym.unpersist()
         return g.vertices.select(VID, F.lit(0.0).alias("betweenness"))
+    verts = g.vertices.select(VID)
+
+    total: DataFrame | None = None
+    for lo in range(0, n_roots, BATCH):
+        part = _chunk_delta(sym, verts, root_list[lo : lo + BATCH], max_depth)
+        total = part if total is None else (
+            total.unionByName(part)
+            .groupBy(VID)
+            .agg(F.sum("bc_part").alias("bc_part"))
+            .localCheckpoint(eager=True)
+        )
 
     scale = 0.5  # undirected: each pair counted in both directions
     if n_roots < n:
         scale *= n / n_roots  # Brandes sampling estimator
     if normalized and n > 2:
         scale *= 2.0 / ((n - 1) * (n - 2))
-    bc = (
-        delta.where(F.col(VID) != F.col("root"))
-        .groupBy(VID)
-        .agg((F.sum("delta") * scale).alias("betweenness"))
-    )
-    out = g.vertices.select(VID).join(bc, VID, "left").select(
-        VID, F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    out = verts.join(total, VID, "left").select(
+        VID,
+        (F.coalesce("bc_part", F.lit(0.0)) * scale).alias("betweenness"),
     )
     sym.unpersist()
     return out

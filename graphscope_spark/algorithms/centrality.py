@@ -168,36 +168,21 @@ def closeness_centrality(
     score (landmark closeness — the 100TB-scale form; all-vertex exact
     closeness is O(V·E) and only sensible on small/sampled graphs).
 
-    Plan: one level-synchronous multi-source BFS carrying (root, vid,
-    dist); the frontier is the newly-discovered set each level, so work
-    per level is |new reachable pairs| — the same frontier-incremental
-    trick as wcc_projected.h:140-166 but keyed by (root, vid).
+    Plan: the wide-column multi-source BFS kernel
+    (:mod:`multisource`) — one distance column per root, so each level
+    is a single join+groupBy over |E| message rows no matter how many
+    landmarks run at once; per-root (reached, dist-sum) stats come from
+    one final groupBy.
     """
-    sym = g.symmetrized().cache()
+    from graphscope_spark.algorithms.multisource import multi_source_distances
+
     n = g.num_vertices()
     root_df = (roots or g.vertices).select(F.col(VID).alias("root"))
 
-    # seen: all discovered (root, vid, dist); frontier: last level only
-    seen = root_df.select("root", F.col("root").alias(VID), F.lit(0).alias("dist"))
-    seen = seen.localCheckpoint(eager=True)
-    frontier = seen
-    depth = 0
-    while depth < max_depth:
-        depth += 1
-        nxt = (
-            frontier.join(sym, frontier[VID] == sym[SRC])
-            .select("root", F.col(DST).alias(VID))
-            .distinct()
-            .join(seen.select("root", VID, F.lit(1).alias("_seen")), ["root", VID], "left")
-            .where(F.col("_seen").isNull())
-            .select("root", VID, F.lit(depth).alias("dist"))
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-
-    stats = seen.groupBy("root").agg(
+    pairs = multi_source_distances(
+        g, root_df, weight=None, directed=False, max_rounds=max_depth
+    )
+    stats = pairs.groupBy("root").agg(
         F.count(F.lit(1)).alias("r"), F.sum("dist").alias("sd")
     )
     out = stats.select(
@@ -210,8 +195,6 @@ def closeness_centrality(
         .otherwise(0.0)
         .alias("centrality"),
     )
-    result = root_df.select(F.col("root").alias(VID)).join(out, VID, "left").select(
+    return root_df.select(F.col("root").alias(VID)).join(out, VID, "left").select(
         VID, F.coalesce("centrality", F.lit(0.0)).alias("centrality")
     )
-    sym.unpersist()
-    return result

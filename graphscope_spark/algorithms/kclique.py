@@ -1,0 +1,63 @@
+"""k-clique counting (k = 4) by degree-ordered orientation joins.
+
+Reference: FLASH `k-clique` / `k-clique-2` (.gs_conf.yaml:307-817,
+apps/flash/subgraph/k-clique.h) — global clique count over the
+undirected graph.
+
+Spark plan extends the triangle orientation trick
+(apps/clustering/triangles.h:78-91; algorithms/triangles.py): orient
+every edge from the (degree, vid)-smaller endpoint to the larger, so
+each clique is enumerated exactly once in sorted orientation order.
+4-cliques = oriented triangles (a<b<c) extended by a fourth vertex d
+adjacent to all three — three hash joins on the oriented edge table,
+each shuffling on a vertex key; no explosion beyond the true wedge/
+triangle counts (the orientation bounds each join's fan-out by the
+max oriented out-degree, which is O(sqrt(E)) after degree ordering —
+the standard bound that makes this plan safe on power-law graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+
+
+def _oriented(g: Graph) -> DataFrame:
+    sym = g.symmetrized().select(SRC, DST)
+    deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sym.join(deg.select(F.col(VID).alias(SRC), F.col("d").alias("ds")), SRC)
+        .join(deg.select(F.col(VID).alias(DST), F.col("d").alias("dd")), DST)
+        .where(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col(SRC) < F.col(DST)))
+        )
+        .select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
+    )
+
+
+def four_clique_count(g: Graph) -> DataFrame:
+    """Returns a single row (k4 long) — the number of 4-cliques."""
+    eor = _oriented(g).cache()
+    e_ab = eor
+    e_ac = eor.select(F.col("a"), F.col("b").alias("c"))
+    e_bc = eor.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = (
+        e_ab.join(e_ac, "a")
+        .where(F.col("b") != F.col("c"))
+        .join(e_bc, ["b", "c"], "semi")
+    )
+    # extend triangle (a, b, c) by d adjacent FROM all three (oriented)
+    e_ad = eor.select(F.col("a"), F.col("b").alias("d"))
+    e_bd = eor.select(F.col("a").alias("b"), F.col("b").alias("d"))
+    e_cd = eor.select(F.col("a").alias("c"), F.col("b").alias("d"))
+    k4 = (
+        tri.join(e_ad, "a")
+        .where((F.col("d") != F.col("b")) & (F.col("d") != F.col("c")))
+        .join(e_bd, ["b", "d"], "semi")
+        .join(e_cd, ["c", "d"], "semi")
+    )
+    out = k4.agg(F.count(F.lit(1)).alias("k4"))
+    return out

@@ -162,3 +162,98 @@ def pagerank(
     if hot is not None:
         hot.unpersist()
     return result
+
+
+def personalized_pagerank(
+    g: Graph,
+    sources: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+    sync_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to a
+    uniform distribution over ``sources`` instead of all vertices.
+
+    Reference analog: the push-style single/multi-source variants
+    `pagerank_push` / `pagerank_push_opt` (.gs_conf.yaml:10-25,
+    apps/pagerank/pagerank_push*) — this is the pull/power-iteration
+    formulation of the same stationary equation, which is the shape that
+    runs as one join+groupBy superstep on Spark:
+
+        r⁰ = p   (uniform on S)
+        rᵏ⁺¹[v] = α·Σ_{u→v} rᵏ[u]/outdeg(u)
+                  + ((1−α) + α·dangling)·p[v]
+
+    Returns (vid long, rank double); ranks sum to 1 every round.
+    """
+    spark: SparkSession = g.edges.sparkSession
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    n = g.num_vertices()
+    if n == 0:
+        return g.vertices.select(VID, F.lit(0.0).alias("rank"))
+    src_flag = sources.select(F.col(sources.columns[0]).alias(VID)).distinct()
+    n_src = src_flag.count()
+    if n_src == 0:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+
+    degrees = g.out_degrees() if g.directed else (
+        edges.groupBy(F.col(SRC).alias(VID))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .join(g.vertices.select(VID), VID, "right")
+        .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+    )
+    base = degrees.join(
+        src_flag.withColumn("_p", F.lit(1.0 / n_src)), VID, "left"
+    ).select(VID, "out_deg", F.coalesce("_p", F.lit(0.0)).alias("p"))
+
+    def init() -> DataFrame:
+        return base.select(VID, F.col("p").alias("rank"), F.col("p").alias("old_rank"),
+                           "out_deg", "p")
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        dang = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
+        )
+        contribs = (
+            edges.join(state, edges[SRC] == state[VID])
+            .select(F.col(DST).alias(VID), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(VID)
+            .agg(F.sum("c").alias("contrib"))
+        )
+        nxt = (
+            state.join(contribs, VID, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                VID,
+                (
+                    alpha * F.coalesce("contrib", F.lit(0.0))
+                    + ((1.0 - alpha) + alpha * F.col("_dang")) * F.col("p")
+                ).alias("rank"),
+                state["rank"].alias("old_rank"),
+                "out_deg",
+                "p",
+            )
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            return (
+                m.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+                or 0.0
+            )
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "ppr")
+    final = run.run(
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=(tol * n if tol is not None else None),
+        sync_every=sync_every if tol is None else 1,
+    )
+    result = final.select(VID, "rank")
+    edges.unpersist()
+    return result

@@ -72,49 +72,13 @@ def sssp_average_length(
     length — O(V·E), only for small/sampled graphs; pass a landmark
     sample at scale, mirroring closeness_centrality).
     """
-    roots = (sources or g.vertices).select(F.col(VID).alias("root"))
-    # multi-source Bellman-Ford: state keyed by (root, vid)
-    cols = g.edges.columns
-    if weight and weight in cols:
-        edges = g.edges.select(SRC, DST, F.col(weight).cast("double").alias("w"))
-    else:
-        edges = g.edges.select(SRC, DST, F.lit(1.0).alias("w"))
-    if not g.directed:
-        edges = edges.unionByName(
-            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
-        )
-    edges = edges.cache()
+    from graphscope_spark.algorithms.multisource import multi_source_distances
 
-    seen = roots.select("root", F.col("root").alias(VID), F.lit(0.0).alias("dist"))
-    seen = seen.localCheckpoint(eager=True)
-    frontier = seen
-    for _ in range(200):
-        relaxed = (
-            frontier.join(edges, frontier[VID] == edges[SRC])
-            .select("root", F.col(DST).alias(VID), (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("root", VID)
-            .agg(F.min("dist").alias("dist"))
-        )
-        merged = (
-            seen.unionByName(relaxed)
-            .groupBy("root", VID)
-            .agg(F.min("dist").alias("dist"))
-        ).localCheckpoint(eager=True)
-        # frontier = strictly improved rows
-        frontier = (
-            relaxed.join(
-                seen.select("root", VID, F.col("dist").alias("old")),
-                ["root", VID],
-                "left",
-            )
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("root", VID, "dist")
-        ).localCheckpoint(eager=True)
-        seen = merged
-        if frontier.isEmpty():
-            break
-    edges.unpersist()
-    per_root = seen.where(F.col(VID) != F.col("root")).groupBy("root").agg(
+    roots = (sources or g.vertices).select(F.col(VID).alias("root"))
+    # wide-column multi-source Bellman-Ford (multisource.py): one
+    # distance column per source, |E| message rows per round
+    pairs = multi_source_distances(g, roots, weight=weight, directed=g.directed)
+    per_root = pairs.where(F.col(VID) != F.col("root")).groupBy("root").agg(
         F.avg("dist").alias("avg_d")
     )
     return per_root.agg(F.avg("avg_d").alias("avg_length"))

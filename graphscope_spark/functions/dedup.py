@@ -141,6 +141,70 @@ def jaccard_pairs(
     return out
 
 
+def near_duplicate_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """End-to-end near-dup assignment — the full MinHash→LSH→verify→
+    group pipeline a training-data run needs:
+
+      1. LSH candidate pairs (banded MinHash self-join),
+      2. exact n-gram Jaccard verification at ``threshold``,
+      3. connected components over the surviving similarity graph
+         (min-label propagation — duplicate clusters are transitive),
+      4. canonical id = min doc_id of the component.
+
+    Returns (doc_id, canonical_id, is_duplicate).  The component loop
+    runs on the tiny verified-pair graph (size ~ true duplicates, not
+    |docs|), so rounds are cheap and few; at 100TB the heavy stages are
+    the two shuffles in steps 1-2, both bounded by banding.
+    """
+    sh = shingles(docs, id_col, text_col).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    verified = jaccard_pairs(docs, id_col, text_col, threshold=threshold,
+                             candidates=cand).select("a", "b")
+    sym = verified.unionByName(
+        verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    comp = (
+        sym.select(F.col("a").alias(id_col))
+        .distinct()
+        .select(id_col, F.col(id_col).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        msgs = (
+            sym.join(comp, sym["a"] == comp[id_col])
+            .groupBy(F.col("b").alias(id_col))
+            .agg(F.min("comp").alias("mc"))
+        )
+        nxt = comp.join(msgs, id_col, "left").select(
+            comp[id_col],
+            F.least(F.col("comp"), F.coalesce("mc", F.col("comp"))).alias("comp"),
+            (F.coalesce("mc", F.col("comp")) < F.col("comp")).alias("_ch"),
+        ).localCheckpoint(eager=True)
+        changed = nxt.agg(F.sum(F.col("_ch").cast("long"))).collect()[0][0] or 0
+        comp = nxt.select(id_col, "comp")
+        if changed == 0:
+            break
+    canon = comp.groupBy("comp").agg(F.min(id_col).alias("canonical_id"))
+    grouped = comp.join(canon, "comp").select(id_col, "canonical_id")
+    return (
+        docs.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("canonical_id", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 # -- SimHash -----------------------------------------------------------
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int | None = None) -> DataFrame:
     """(doc_id, simhash long): n-bit SimHash over distinct tokens.

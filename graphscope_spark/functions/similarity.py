@@ -79,6 +79,33 @@ def sign_bucket(vec: Column, planes: int = 4) -> Column:
     return b.cast("int")
 
 
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    cosine ≥ threshold, a < b, candidates restricted to the same
+    sign-LSH bucket (the scale path — per-bucket self-join instead of
+    an all-pairs product; recall misses only cross-bucket pairs, the
+    standard sign-LSH trade)."""
+    e = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = e.select("bucket", F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = e.select("bucket", F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -26,6 +26,22 @@ def token_count(col: Column | str) -> Column:
     ).cast("long")
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization (GPT-2-style shape, simplified to a
+    portable regex): letter runs, single digits, single punctuation
+    marks.  ``regexp_extract_all`` keeps it JVM-side; DuckDB runs the
+    identical pattern for the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text: lowercase, whitespace collapsed to single spaces."""
     c = F.col(col) if isinstance(col, str) else col

@@ -66,3 +66,40 @@ def copurchase_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32)
     return Graph.from_edges(
         copurchase_edges(spark, sf_dir), directed=False, num_partitions=num_partitions
     )
+
+
+def linenumber_edges(spark: SparkSession, sf_dir: str, mod: int = 7) -> DataFrame:
+    """(src, dst): DIRECTED part graph — an edge when part a directly
+    precedes part b (consecutive line numbers) in some order, thinned by
+    a deterministic modulo filter so the graph has rich SCC structure
+    (many non-trivial components plus singleton tails — probed at
+    sf0.01: 656 SCCs, largest 389)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("src"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_linenumber").alias("ln2"),
+    )
+    return (
+        a.join(b, "ok")
+        .where(
+            (F.col("ln") + 1 == F.col("ln2"))
+            & (F.col("src") != F.col("dst"))
+            & ((F.col("src") + F.col("dst")) % mod == 0)
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def linenumber_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
+    return Graph.from_edges(
+        linenumber_edges(spark, sf_dir), directed=True, num_partitions=num_partitions
+    )
