@@ -802,7 +802,13 @@ def _scc_sql() -> str:
     vid among mutually-reachable vertices (incl. self)."""
     return f"""
       with recursive dedges as materialized ({SQL_DLG_EDGES}),
-      verts as materialized (select src as vid from dedges union select dst from dedges),
+      -- NB: inside a RECURSIVE with-list DuckDB treats any UNION-bodied
+      -- CTE as recursive (no plain dedup), so spell out DISTINCT
+      verts as materialized (
+        select distinct vid from (
+          select src as vid from dedges union all select dst from dedges
+        )
+      ),
       reach(src, dst) as (
         select src, dst from dedges
         union
@@ -1468,6 +1474,37 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written through the Iceberg-layout table format
+    (create one half, append the other — two snapshots), then scanned
+    back via manifest planning and aggregated.  The oracle aggregates
+    the source table directly, so any loss/dup/corruption in the
+    snapshot+manifest round-trip breaks parity."""
+    import shutil
+    import tempfile
+
+    from graphscope_spark.sources.iceberg import IcebergishTable
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="gs_iceberg_")
+    shutil.rmtree(tmp, ignore_errors=True)
+    path = f"{tmp}/documents"
+    t = IcebergishTable.create(
+        spark, path, docs.where(F.col("doc_id") % 2 == 0), partition_by=["lang"]
+    )
+    t.append(docs.where(F.col("doc_id") % 2 == 1))
+    return (
+        t.scan()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "n_docs", "sum_id", "sum_chars")
+    )
+
+
 def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.text import token_count
 
@@ -1653,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_emb_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
+        "iceberg_roundtrip": _q_iceberg_roundtrip,
     }
 
 
@@ -1903,5 +1941,10 @@ def oracle_sql() -> dict[str, str]:
                  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
                       as bigint) as n_bpe_tokens
           from documents
+        """,
+        "iceberg_roundtrip": """
+          select lang, count(*) as n_docs, sum(doc_id) as sum_id,
+                 sum(n_chars) as sum_chars
+          from documents group by lang
         """,
     }

@@ -1,0 +1,199 @@
+"""Incremental PageRank over a stream of edge batches.
+
+Reference analog: Ingress auto-incrementalization
+(docs/analytical_engine/ingress.md — out of scope to port, SURVEY.md §4)
+and the continuously-arriving-crawl reality of a 10^12-document link
+graph: new WARC batches add edges; recomputing PageRank from scratch
+per batch is wasteful because the previous solution is an excellent
+warm start.
+
+Spark-native shape: a file-source ``readStream`` of edge Parquet
+batches drives ``foreachBatch``; each micro-batch
+
+  1. appends the new edges to the accumulated edge table (Parquet dir —
+     the "graph state"; at cluster scale an Iceberg append, cf.
+     sources/iceberg.py),
+  2. re-runs the PageRank power iteration WARM-STARTED from the
+     previous ranks (new vertices enter at 1/N, the vector is
+     renormalized), converging in a handful of supersteps instead of
+     tens because ‖r_prev − r*‖ is small when a batch adds few edges,
+  3. writes the refreshed ranks (the queryable output) + a metrics line.
+
+The warm-start trick is the whole point: convergence work is
+proportional to the PERTURBATION, not the graph size — the incremental
+property the reference gets from Ingress's memoized supersteps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, VID, Graph
+from graphscope_spark.algorithms import pagerank
+from graphscope_spark.superstep import StepResult, SuperstepRunner
+
+EDGE_SCHEMA = "src long, dst long"
+
+
+def _warm_pagerank(
+    g: Graph,
+    prev: DataFrame | None,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+) -> DataFrame:
+    """Power iteration warm-started from ``prev`` (vid, rank)."""
+    if prev is None:
+        return pagerank(g, alpha=alpha, max_iter=max_iter, tol=tol)
+    spark = g.edges.sparkSession
+    edges = g.distinct_edges().cache()
+    n = g.num_vertices()
+    degrees = (
+        edges.groupBy(F.col(SRC).alias(VID))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .join(g.vertices.select(VID), VID, "right")
+        .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+    )
+
+    def init() -> DataFrame:
+        seeded = degrees.join(prev.select(VID, F.col("rank").alias("r0")), VID, "left")
+        seeded = seeded.select(
+            VID, "out_deg", F.coalesce("r0", F.lit(1.0 / n)).alias("rank")
+        )
+        total = seeded.agg(F.sum("rank").alias("_t"))
+        return (
+            seeded.crossJoin(F.broadcast(total))
+            .select(
+                VID,
+                (F.col("rank") / F.col("_t")).alias("rank"),
+                (F.col("rank") / F.col("_t")).alias("old_rank"),
+                "out_deg",
+            )
+        )
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        dang = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
+        )
+        contribs = (
+            edges.join(state, edges[SRC] == state[VID])
+            .select(F.col(DST).alias(VID), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy(VID)
+            .agg(F.sum("c").alias("contrib"))
+        )
+        nxt = (
+            state.join(contribs, VID, "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                VID,
+                (
+                    alpha * F.coalesce("contrib", F.lit(0.0))
+                    + (1.0 - alpha) / n
+                    + alpha * F.col("_dang") / n
+                ).alias("rank"),
+                state["rank"].alias("old_rank"),
+                "out_deg",
+            )
+        )
+
+        def delta_fn(m: DataFrame) -> float:
+            return (
+                m.agg(F.sum(F.abs(F.col("rank") - F.col("old_rank")))).collect()[0][0]
+                or 0.0
+            )
+
+        return StepResult(nxt, delta_fn=delta_fn)
+
+    run = SuperstepRunner(spark, "pagerank_warm")
+    final = run.run(init, step, max_iterations=max_iter, tol=tol * n)
+    out = final.select(VID, "rank")
+    edges.unpersist()
+    return out
+
+
+class IncrementalPageRank:
+    """foreachBatch processor maintaining edges + warm-started ranks.
+
+    ``state_dir`` layout:  edges/   accumulated edge Parquet
+                           ranks/   current (vid, rank) Parquet
+                           metrics.jsonl  one line per micro-batch
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        alpha: float = 0.85,
+        tol: float = 1e-6,
+        max_iter: int = 100,
+        num_partitions: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.alpha = alpha
+        self.tol = tol
+        self.max_iter = max_iter
+        self.num_partitions = num_partitions
+        os.makedirs(state_dir, exist_ok=True)
+        self.batches_seen = 0
+
+    @property
+    def _edges_dir(self) -> str:
+        return os.path.join(self.state_dir, "edges")
+
+    @property
+    def _ranks_dir(self) -> str:
+        return os.path.join(self.state_dir, "ranks")
+
+    def current_ranks(self) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self._ranks_dir, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(self._ranks_dir)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        batch_df.select(SRC, DST).write.mode("append").parquet(self._edges_dir)
+        edges = self.spark.read.parquet(self._edges_dir)
+        g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
+        prev = self.current_ranks()
+        ranks = _warm_pagerank(
+            g, prev, alpha=self.alpha, tol=self.tol, max_iter=self.max_iter
+        ).localCheckpoint(eager=True)
+        ranks.write.mode("overwrite").parquet(self._ranks_dir)
+        self.batches_seen += 1
+        rec = {
+            "batch_id": int(batch_id),
+            "batch_edges": batch_df.count(),
+            "total_vertices": g.num_vertices(),
+            "seconds": round(time.time() - t0, 3),
+            "warm_start": prev is not None,
+            "ts": time.time(),
+        }
+        with open(os.path.join(self.state_dir, "metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def attach(self, edge_stream: DataFrame, trigger_available_now: bool = True):
+        """Wire onto a streaming edge DataFrame; returns the query."""
+        w = edge_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", os.path.join(self.state_dir, "_checkpoint")
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+
+def stream_edges(spark: SparkSession, path_glob: str) -> DataFrame:
+    """File-source stream of edge Parquet batches (one file per
+    micro-batch — the WARC-batch arrival pattern)."""
+    return (
+        spark.readStream.schema(EDGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path_glob)
+    )

@@ -609,3 +609,199 @@ def kcore_oracle(
             break
         active -= drop
     return {v: v in active for v in vertices}
+
+
+def multi_source_bfs_oracle(
+    edges: list[tuple[int, int]],
+    roots: list[int],
+    directed: bool = False,
+) -> dict[tuple[int, int], int]:
+    """(root, v) -> hop distance, reachable pairs only."""
+    adj = _adj(edges, directed)
+    out = {}
+    for r in roots:
+        dist = {r: 0}
+        frontier = [r]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+            frontier = nxt
+        for v, d in dist.items():
+            out[(r, v)] = d
+    return out
+
+
+def harmonic_oracle(
+    edges: list[tuple[int, int]], roots: list[int]
+) -> dict[int, float]:
+    pairs = multi_source_bfs_oracle(edges, roots, directed=False)
+    out = {r: 0.0 for r in roots}
+    for (r, v), d in pairs.items():
+        if v != r:
+            out[r] += 1.0 / d
+    return out
+
+
+def eccentricity_oracle(
+    edges: list[tuple[int, int]], roots: list[int]
+) -> dict[int, int]:
+    pairs = multi_source_bfs_oracle(edges, roots, directed=False)
+    out = {r: 0 for r in roots}
+    for (r, _), d in pairs.items():
+        out[r] = max(out[r], d)
+    return out
+
+
+def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Kosaraju (iterative); scc id = min member vid.  Vertex set =
+    edge endpoints."""
+    fwd = defaultdict(list)
+    rev = defaultdict(list)
+    vs: set[int] = set()
+    for s, d in edges:
+        if s == d:
+            vs.add(s)
+            continue
+        fwd[s].append(d)
+        rev[d].append(s)
+        vs.add(s)
+        vs.add(d)
+    order: list[int] = []
+    seen: set[int] = set()
+    for v0 in sorted(vs):
+        if v0 in seen:
+            continue
+        seen.add(v0)
+        stack = [(v0, iter(fwd[v0]))]
+        while stack:
+            node, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(node)
+                stack.pop()
+    comp: dict[int, int] = {}
+    for v in reversed(order):
+        if v in comp:
+            continue
+        members = [v]
+        comp[v] = v
+        stack2 = [v]
+        while stack2:
+            n = stack2.pop()
+            for w in rev[n]:
+                if w not in comp:
+                    comp[w] = v
+                    members.append(w)
+                    stack2.append(w)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    return comp
+
+
+def mis_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, bool]:
+    """Sequential greedy by increasing vid == the lexicographically
+    first MIS (what parallel Luby-by-id computes)."""
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    mis: set[int] = set()
+    for v in sorted(vertices):
+        if not (nbr[v] & mis):
+            mis.add(v)
+    return {v: v in mis for v in vertices}
+
+
+def four_clique_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> int:
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    count = 0
+    for (a, b) in {(min(s, d), max(s, d)) for s, d in edges if s != d}:
+        common = sorted(u for u in (nbr[a] & nbr[b]) if u > b)
+        for i, c in enumerate(common):
+            for dd in common[i + 1:]:
+                if dd in nbr[c]:
+                    count += 1
+    return count
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    sources: list[int],
+    alpha: float = 0.85,
+    rounds: int = 10,
+) -> dict[int, float]:
+    """Personalized PageRank, fixed rounds; teleport + dangling mass
+    to the uniform distribution over ``sources``."""
+    dedup = sorted({(s, d) for s, d in edges})
+    out = defaultdict(list)
+    for s, d in dedup:
+        out[s].append(d)
+    p = {v: (1.0 / len(sources) if v in set(sources) else 0.0) for v in vertices}
+    r = dict(p)
+    for _ in range(rounds):
+        dang = sum(r[v] for v in vertices if not out[v])
+        nxt = {v: ((1.0 - alpha) + alpha * dang) * p[v] for v in vertices}
+        for s in vertices:
+            if out[s]:
+                share = alpha * r[s] / len(out[s])
+                for d in out[s]:
+                    nxt[d] += share
+        r = nxt
+    return r
+
+
+def linkpred_oracle(
+    edges: list[tuple[int, int]], mod: int | None = None
+) -> dict[tuple[int, int], tuple[int, float, float, int]]:
+    """(a, b) -> (cn, jaccard, adamic_adar, pref_attach) for
+    non-adjacent pairs a < b with >= 1 common neighbor (a-side sampled
+    by ``mod``)."""
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    out = {}
+    verts = sorted(nbr)
+    for a in verts:
+        if mod is not None and a % mod != 0:
+            continue
+        two_hop = set()
+        for m in nbr[a]:
+            two_hop |= nbr[m]
+        for b in two_hop:
+            if b <= a or b in nbr[a]:
+                continue
+            common = nbr[a] & nbr[b]
+            if not common:
+                continue
+            cn = len(common)
+            da, db = len(nbr[a]), len(nbr[b])
+            out[(a, b)] = (
+                cn,
+                cn / (da + db - cn),
+                sum(1.0 / math.log(len(nbr[m])) for m in common),
+                da * db,
+            )
+    return out

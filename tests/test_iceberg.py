@@ -1,0 +1,85 @@
+"""Iceberg-layout table format: snapshots, time travel, pruning,
+commit atomicity (sources/iceberg.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphscope_spark.sources.iceberg import IcebergishTable, _load_metadata
+
+
+@pytest.fixture()
+def docs_df(spark):
+    rows = [
+        (i, f"text {i}", ["en", "de", "fr"][i % 3], float(i)) for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, score double")
+
+
+def test_create_scan_roundtrip(spark, docs_df, tmp_path):
+    t = IcebergishTable.create(spark, str(tmp_path / "t"), docs_df, partition_by=["lang"])
+    got = t.scan()
+    assert got.count() == 60
+    assert set(got.columns) == {"doc_id", "text", "lang", "score"}
+    assert (
+        got.groupBy("lang").count().orderBy("lang").collect()
+        == docs_df.groupBy("lang").count().orderBy("lang").collect()
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, docs_df, tmp_path):
+    path = str(tmp_path / "t")
+    t = IcebergishTable.create(spark, path, docs_df, partition_by=["lang"])
+    s1 = t.history()[-1]["snapshot-id"]
+    extra = spark.createDataFrame(
+        [(100 + i, f"new {i}", "en", 0.5) for i in range(10)],
+        docs_df.schema,
+    )
+    t.append(extra)
+    s2 = t.history()[-1]["snapshot-id"]
+    assert t.scan().count() == 70
+    # time travel back to the first snapshot
+    assert t.scan(snapshot_id=s1).count() == 60
+    t.overwrite(extra)
+    assert t.scan().count() == 10
+    assert t.scan(snapshot_id=s2).count() == 70
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["create", "append", "overwrite"]
+
+
+def test_partition_pruning_reads_fewer_files(spark, docs_df, tmp_path):
+    t = IcebergishTable.create(spark, str(tmp_path / "t"), docs_df, partition_by=["lang"])
+    all_files = t.plan_files()
+    en_files = t.plan_files(partition_filter={"lang": "en"})
+    assert 0 < len(en_files) < len(all_files)
+    assert all(f["partition"]["lang"] == "en" for f in en_files)
+    got = t.scan(partition_filter={"lang": "en"})
+    assert got.count() == 20
+    assert got.where(F.col("lang") != "en").count() == 0
+
+
+def test_stats_pruning(spark, tmp_path):
+    # two commits with disjoint doc_id ranges -> min/max skips one
+    lo = spark.createDataFrame([(i, "x") for i in range(100)], "doc_id long, text string")
+    hi = spark.createDataFrame([(i, "y") for i in range(1000, 1100)], "doc_id long, text string")
+    t = IcebergishTable.create(spark, str(tmp_path / "t"), lo)
+    t.append(hi)
+    pruned = t.plan_files(stats_filter={"doc_id": (1000, None)})
+    assert sum(f["record_count"] for f in pruned) == 100  # only the hi commit
+    assert len(pruned) < len(t.plan_files())
+    assert t.scan(stats_filter={"doc_id": (1000, None)}).count() == 100
+
+
+def test_version_hint_atomic(spark, docs_df, tmp_path):
+    path = str(tmp_path / "t")
+    t = IcebergishTable.create(spark, path, docs_df)
+    meta1 = _load_metadata(path)
+    t.append(docs_df.limit(5))
+    meta2 = _load_metadata(path)
+    assert meta2["current-snapshot-id"] != meta1["current-snapshot-id"]
+    # old metadata version still readable (readers pinned to v1 survive)
+    assert _load_metadata(path, version=1) == meta1
+    assert os.path.exists(os.path.join(path, "metadata", "v2.metadata.json"))

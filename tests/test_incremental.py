@@ -1,0 +1,60 @@
+"""Incremental (streaming) PageRank: warm-started refresh must match a
+cold batch run on the accumulated graph (streaming/incremental.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphscope_spark.algorithms import pagerank
+from graphscope_spark.graph import Graph
+from graphscope_spark.streaming.incremental import (
+    IncrementalPageRank,
+    stream_edges,
+)
+from tests.conftest import make_random_graph
+
+
+def _edge_batches(n=200, seed=7, k=3):
+    _, edges = make_random_graph(n=n, seed=seed)
+    per = (len(edges) + k - 1) // k
+    return [edges[i * per : (i + 1) * per] for i in range(k)]
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    batches = _edge_batches()
+    inc = IncrementalPageRank(spark, str(tmp_path / "state"), tol=1e-9)
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "src long, dst long")
+        inc.process_batch(df, i)
+    got = {r["vid"]: r["rank"] for r in inc.current_ranks().collect()}
+
+    all_edges = [e for b in batches for e in b]
+    g = Graph.from_edges(
+        spark.createDataFrame(all_edges, "src long, dst long"), directed=True
+    )
+    exp = {r["vid"]: r["rank"] for r in pagerank(g, tol=1e-9).collect()}
+    assert set(got) == set(exp)
+    gv = np.array([got[v] for v in sorted(got)])
+    ev = np.array([exp[v] for v in sorted(exp)])
+    assert np.allclose(gv, ev, atol=1e-6)
+
+
+def test_incremental_via_stream(spark, tmp_path):
+    batches = _edge_batches(n=120, seed=11, k=2)
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.parquet(
+            str(in_dir / f"batch_{i}")
+        )
+    inc = IncrementalPageRank(spark, str(tmp_path / "state"), tol=1e-8)
+    q = inc.attach(stream_edges(spark, str(in_dir / "batch_*")))
+    q.awaitTermination(120)
+    assert inc.batches_seen >= 1
+    ranks = inc.current_ranks()
+    assert ranks is not None
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-6
+    metrics = (tmp_path / "state" / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) == inc.batches_seen
