@@ -41,8 +41,10 @@ from graphscope_spark.algorithms.mis import maximal_independent_set
 from graphscope_spark.algorithms.linkpred import link_prediction
 from graphscope_spark.algorithms.scc import strongly_connected_components
 from graphscope_spark.algorithms.kclique import four_clique_count
+from graphscope_spark.algorithms.msf import minimum_spanning_forest
 
 __all__ = [
+    "minimum_spanning_forest",
     "personalized_pagerank",
     "multi_source_distances",
     "apsp_sampled",

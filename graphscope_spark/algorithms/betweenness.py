@@ -30,10 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.algorithms.multisource import _collect_roots
 
-BATCH = 48
+BATCH = 128
 
 
 def _chunk_delta(
@@ -57,7 +58,7 @@ def _chunk_delta(
             F.when(F.col(VID) == F.lit(r), 1.0).otherwise(0.0).alias(s)
             for s, r in zip(sg, chunk)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(stats_barrier)
 
     # ---- forward: level-synchronous BFS accumulating path counts ------
     depth = 0
@@ -94,7 +95,7 @@ def _chunk_delta(
                 ).otherwise(F.col(s)).alias(s)
                 for i, (d, s) in enumerate(zip(dp, sg))
             ],
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         grew = (
             nxt.agg(
                 F.sum(
@@ -145,7 +146,7 @@ def _chunk_delta(
                 ).otherwise(F.col(l)).alias(l)
                 for i, (d, s, l) in enumerate(zip(dp, sg, dl))
             ],
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
 
     bc = sum(
         F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
@@ -185,7 +186,7 @@ def betweenness_centrality(
             total.unionByName(part)
             .groupBy(VID)
             .agg(F.sum("bc_part").alias("bc_part"))
-            .localCheckpoint(eager=True)
+            .transform(stats_barrier)
         )
 
     scale = 0.5  # undirected: each pair counted in both directions

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
@@ -54,14 +55,14 @@ def louvain(
         )
         .distinct()
         .withColumn("w", F.lit(1).cast("long"))
-    ).localCheckpoint(eager=True)
+    ).transform(stats_barrier)
     selfs = (
         edges.sparkSession.createDataFrame([], "v long, sw long")
     )
 
     # mapping original vid -> current supernode
     mapping = g.vertices.select(VID, F.col(VID).alias("node"))
-    mapping = mapping.localCheckpoint(eager=True)
+    mapping = mapping.transform(stats_barrier)
     nodes = g.vertices.select(F.col(VID).alias("v"))
 
     for _phase in range(max_phases):
@@ -78,12 +79,12 @@ def louvain(
                 .cast("long")
                 .alias("k"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         m2 = deg.agg(F.sum("k")).collect()[0][0] or 0
         if m2 == 0:
             break
 
-        comm = nodes.select("v", F.col("v").alias("comm")).localCheckpoint(eager=True)
+        comm = nodes.select("v", F.col("v").alias("comm")).transform(stats_barrier)
         for _round in range(max_rounds):
             tot = (
                 comm.join(deg, "v").groupBy("comm").agg(F.sum("k").alias("tot"))
@@ -145,7 +146,7 @@ def louvain(
                     .alias("comm"),
                     F.col("comm").alias("old_comm"),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(stats_barrier)
             moved = nxt.where(F.col("comm") != F.col("old_comm")).count()
             comm = nxt.select("v", "comm")
             if moved == 0:
@@ -156,7 +157,7 @@ def louvain(
         mapping = (
             mapping.join(comm.select(F.col("v").alias("node"), "comm"), "node")
             .select(VID, F.col("comm").alias("node"))
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         if n_comms == n_nodes:
             break
 
@@ -184,7 +185,7 @@ def louvain(
                 .cast("long")
                 .alias("sw"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         edges = (
             ec.where(F.col("ca") != F.col("cb"))
             .select(
@@ -194,8 +195,8 @@ def louvain(
             )
             .groupBy("a", "b")
             .agg(F.sum("w").cast("long").alias("w"))
-        ).localCheckpoint(eager=True)
-        nodes = comm.select(F.col("comm").alias("v")).distinct().localCheckpoint(eager=True)
+        ).transform(stats_barrier)
+        nodes = comm.select(F.col("comm").alias("v")).distinct().transform(stats_barrier)
 
     # stable labels: min original vid per final community
     labels = mapping.groupBy("node").agg(F.min(VID).alias("community"))

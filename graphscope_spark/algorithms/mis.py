@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
@@ -28,8 +29,8 @@ def maximal_independent_set(g: Graph, max_rounds: int = 100) -> DataFrame:
     """Returns (vid long, in_mis boolean) — the lexicographically-first
     maximal independent set of the undirected (symmetrized) graph."""
     sym = g.symmetrized().select(SRC, DST)
-    active_edges = sym.localCheckpoint(eager=True)
-    active = g.vertices.select(VID).localCheckpoint(eager=True)
+    active_edges = sym.transform(stats_barrier)
+    active = g.vertices.select(VID).transform(stats_barrier)
     chosen: DataFrame | None = None
 
     for _ in range(max_rounds):
@@ -43,7 +44,7 @@ def maximal_independent_set(g: Graph, max_rounds: int = 100) -> DataFrame:
             active.join(min_nbr, VID, "left")
             .where(F.col("mn").isNull() | (F.col(VID) < F.col("mn")))
             .select(VID)
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         chosen = winners if chosen is None else chosen.unionByName(winners)
         losers = (
             active_edges.join(
@@ -53,11 +54,11 @@ def maximal_independent_set(g: Graph, max_rounds: int = 100) -> DataFrame:
             .distinct()
         )
         removed = winners.unionByName(losers)
-        active = active.join(removed, VID, "anti").localCheckpoint(eager=True)
+        active = active.join(removed, VID, "anti").transform(stats_barrier)
         active_edges = (
             active_edges.join(removed.select(F.col(VID).alias(SRC)), SRC, "anti")
             .join(removed.select(F.col(VID).alias(DST)), DST, "anti")
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
 
     if chosen is None:
         return g.vertices.select(VID, F.lit(False).alias("in_mis"))

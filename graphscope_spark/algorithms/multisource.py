@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 INF = float("inf")
@@ -78,7 +79,7 @@ def _wide_sweep(
             for c, r in zip(cols, chunk)
         ],
         F.lit(True).alias("_fr"),
-    ).localCheckpoint(eager=True)
+    ).transform(stats_barrier)
     for _ in range(max_rounds):
         frontier = state.where(F.col("_fr"))
         msgs = (
@@ -102,7 +103,7 @@ def _wide_sweep(
             if len(cols) > 1
             else (F.coalesce(F.col("m0"), F.lit(INF)) < F.col(cols[0])).alias("_fr"),
         )
-        nxt = merged.localCheckpoint(eager=True)
+        nxt = merged.transform(stats_barrier)
         improved = nxt.agg(F.sum(F.col("_fr").cast("long"))).collect()[0][0] or 0
         state = nxt
         if improved == 0:
@@ -147,7 +148,7 @@ def multi_source_distances(
                 )
             ).alias("root", "dist"),
         ).where(F.col("dist") != F.lit(INF))
-        part = pairs.select("root", VID, "dist").localCheckpoint(eager=True)
+        part = pairs.select("root", VID, "dist").transform(stats_barrier)
         out = part if out is None else out.unionByName(part)
     edges.unpersist()
     return out

@@ -1,4 +1,5 @@
-"""Strongly connected components — trim + forward/backward coloring.
+"""Strongly connected components — trim + forward/backward coloring
+with pointer-doubling shortcuts.
 
 Reference: FLASH `scc` / `scc-2` (.gs_conf.yaml:307-817,
 apps/flash/connectivity/scc.h) — the standard parallel SCC scheme
@@ -9,14 +10,23 @@ Rounds of three phases, all join+groupBy supersteps:
   1. TRIM: peel vertices with zero in- or out-degree within the active
      subgraph — each is its own singleton SCC.  (Removes the long
      acyclic tails that dominate real link graphs.)
-  2. COLOR: propagate max vertex id FORWARD to a fixed point; color(v)
-     = max id that can reach v.
-  3. CAPTURE: within each color class, propagate reachability BACKWARD
-     from the color's root along same-color edges; vertices reached
-     form one SCC (id = root), and are removed.
-Every phase touches only the active edge set, which shrinks
-monotonically.  SCC id convention: MIN member vid (relabeled at the
-end), matching the WCC component-id convention.
+  2. COLOR: color(v) = max vertex id that REACHES v, propagated
+     forward to a fixed point.
+  3. CAPTURE: within each color class, compute reach(v) = max same-
+     class id REACHABLE FROM v; v belongs to the root's SCC iff
+     reach(v) == color(v) (v both is reached by and reaches the class
+     root).  Captured vertices are removed; the loop repeats.
+
+Convergence trick (the scale-critical part): both propagations add a
+POINTER-DOUBLING shortcut each round — color(v) also absorbs
+color(color(v)) via a self-join on the label, so label information
+hops 2^k vertices after k rounds instead of k.  A long path / big SCC
+converges in O(log V) materialized rounds, not O(diameter); each round
+stays one edge join + one label self-join.  Every phase touches only
+the active edge set, which shrinks monotonically.
+
+SCC id convention: MIN member vid (relabeled at the end), matching the
+WCC component-id convention.
 """
 
 from __future__ import annotations
@@ -24,16 +34,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
+def _max_label_prop(
+    edges: DataFrame,
+    init: DataFrame,
+    label: str,
+    reverse: bool,
+    max_prop: int,
+) -> DataFrame:
+    """Fixed point of label(v) = max(label(v), labels of in-neighbors
+    [out-neighbors when reverse], label(label(v))).  ``init`` is
+    (vid, <label>); edges flow src -> dst."""
+    a, b = (DST, SRC) if reverse else (SRC, DST)
+    state = init.transform(stats_barrier)
+    for _ in range(max_prop):
+        msgs = (
+            edges.join(state, edges[a] == state[VID])
+            .groupBy(edges[b].alias("_to"))
+            .agg(F.max(label).alias("_m"))
+        )
+        sa = state.alias("sa")
+        sj = state.alias("sj")
+        nxt = (
+            sa.join(msgs, F.col(f"sa.{VID}") == msgs["_to"], "left")
+            .join(sj, F.col(f"sa.{label}") == F.col(f"sj.{VID}"), "left")
+            .select(
+                F.col(f"sa.{VID}").alias(VID),
+                F.greatest(
+                    F.col(f"sa.{label}"),
+                    F.coalesce("_m", F.lit(-1)),
+                    F.coalesce(F.col(f"sj.{label}"), F.lit(-1)),
+                ).alias(label),
+                (
+                    F.greatest(
+                        F.coalesce("_m", F.lit(-1)),
+                        F.coalesce(F.col(f"sj.{label}"), F.lit(-1)),
+                    )
+                    > F.col(f"sa.{label}")
+                ).alias("_ch"),
+            )
+            .transform(stats_barrier)
+        )
+        changed = nxt.agg(F.sum(F.col("_ch").cast("long"))).collect()[0][0] or 0
+        state = nxt.select(VID, label)
+        if changed == 0:
+            break
+    return state
+
+
 def strongly_connected_components(
-    g: Graph, max_outer: int = 50, max_prop: int = 200
+    g: Graph, max_outer: int = 50, max_prop: int = 64
 ) -> DataFrame:
     """Returns (vid long, scc long) — scc = min vid in the component."""
-    spark = g.edges.sparkSession
-    edges = g.distinct_edges().select(SRC, DST).localCheckpoint(eager=True)
-    active = g.vertices.select(VID).localCheckpoint(eager=True)
+    edges = g.distinct_edges().select(SRC, DST).transform(stats_barrier)
+    active = g.vertices.select(VID).transform(stats_barrier)
     assigned: list[DataFrame] = []  # (vid, root) pieces
 
     for _ in range(max_outer):
@@ -42,69 +99,58 @@ def strongly_connected_components(
             outs = edges.select(F.col(SRC).alias(VID)).distinct()
             ins = edges.select(F.col(DST).alias(VID)).distinct()
             keep = active.join(outs, VID, "semi").join(ins, VID, "semi")
-            trimmed = active.join(keep, VID, "anti").localCheckpoint(eager=True)
+            trimmed = active.join(keep, VID, "anti").transform(stats_barrier)
             if trimmed.isEmpty():
                 break
             assigned.append(trimmed.select(VID, F.col(VID).alias("root")))
-            active = keep.localCheckpoint(eager=True)
+            active = keep.transform(stats_barrier)
             edges = (
                 edges.join(active.select(F.col(VID).alias(SRC)), SRC, "semi")
                 .join(active.select(F.col(VID).alias(DST)), DST, "semi")
-            ).localCheckpoint(eager=True)
+            ).transform(stats_barrier)
         if active.isEmpty():
             break
 
-        # ---- 2. color: forward max-id propagation to fixed point -----
-        color = active.select(VID, F.col(VID).alias("color")).localCheckpoint(
-            eager=True
+        # ---- 2. color: max id that reaches v (forward, doubled) ------
+        color = _max_label_prop(
+            edges,
+            active.select(VID, F.col(VID).alias("color")),
+            "color",
+            reverse=False,
+            max_prop=max_prop,
         )
-        for _ in range(max_prop):
-            msgs = (
-                edges.join(color, edges[SRC] == color[VID])
-                .groupBy(DST)
-                .agg(F.max("color").alias("mc"))
-            )
-            nxt = color.join(msgs, color[VID] == msgs[DST], "left").select(
-                color[VID],
-                F.greatest(F.col("color"), F.coalesce("mc", F.lit(-1))).alias("color"),
-                (F.coalesce("mc", F.lit(-1)) > F.col("color")).alias("_ch"),
-            ).localCheckpoint(eager=True)
-            changed = nxt.agg(F.sum(F.col("_ch").cast("long"))).collect()[0][0] or 0
-            color = nxt.select(VID, "color")
-            if changed == 0:
-                break
 
-        # ---- 3. capture: backward reach from root within color -------
-        # colored edges (same color on both ends), reversed
+        # ---- 3. capture: max same-class id reachable FROM v ----------
         ce = (
-            edges.join(color.select(F.col(VID).alias(SRC), F.col("color").alias("cs")), SRC)
-            .join(color.select(F.col(VID).alias(DST), F.col("color").alias("cd")), DST)
+            edges.join(
+                color.select(F.col(VID).alias(SRC), F.col("color").alias("cs")), SRC
+            )
+            .join(
+                color.select(F.col(VID).alias(DST), F.col("color").alias("cd")), DST
+            )
             .where(F.col("cs") == F.col("cd"))
-            .select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))  # reversed
-        ).localCheckpoint(eager=True)
-        scc = color.where(F.col(VID) == F.col("color")).select(
-            VID, F.col("color").alias("root")
-        ).localCheckpoint(eager=True)
-        frontier = scc
-        for _ in range(max_prop):
-            nxt = (
-                ce.join(frontier, ce[SRC] == frontier[VID])
-                .select(F.col(DST).alias(VID), "root")
-                .distinct()
-                .join(scc.select(VID), VID, "anti")
-            ).localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
-            scc = scc.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
+            .select(SRC, DST)
+        ).transform(stats_barrier)
+        reach = _max_label_prop(
+            ce,
+            active.select(VID, F.col(VID).alias("reach")),
+            "reach",
+            reverse=True,
+            max_prop=max_prop,
+        )
+        scc = (
+            color.join(reach, VID)
+            .where(F.col("reach") == F.col("color"))
+            .select(VID, F.col("color").alias("root"))
+        ).transform(stats_barrier)
         assigned.append(scc)
-        active = active.join(scc.select(VID), VID, "anti").localCheckpoint(eager=True)
+        active = active.join(scc.select(VID), VID, "anti").transform(stats_barrier)
         if active.isEmpty():
             break
         edges = (
             edges.join(active.select(F.col(VID).alias(SRC)), SRC, "semi")
             .join(active.select(F.col(VID).alias(DST)), DST, "semi")
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
 
     parts = assigned[0]
     for p in assigned[1:]:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from graphscope_spark.functions import specs
 from graphscope_spark.functions.text import fingerprint, tokens
+from graphscope_spark.superstep import stats_barrier
 
 
 # -- exact ------------------------------------------------------------
@@ -168,12 +169,12 @@ def near_duplicate_groups(
                              candidates=cand).select("a", "b")
     sym = verified.unionByName(
         verified.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).transform(stats_barrier)
     comp = (
         sym.select(F.col("a").alias(id_col))
         .distinct()
         .select(id_col, F.col(id_col).alias("comp"))
-        .localCheckpoint(eager=True)
+        .transform(stats_barrier)
     )
     for _ in range(max_rounds):
         msgs = (
@@ -185,7 +186,7 @@ def near_duplicate_groups(
             comp[id_col],
             F.least(F.col("comp"), F.coalesce("mc", F.col("comp"))).alias("comp"),
             (F.coalesce("mc", F.col("comp")) < F.col("comp")).alias("_ch"),
-        ).localCheckpoint(eager=True)
+        ).transform(stats_barrier)
         changed = nxt.agg(F.sum(F.col("_ch").cast("long"))).collect()[0][0] or 0
         comp = nxt.select(id_col, "comp")
         if changed == 0:

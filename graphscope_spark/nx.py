@@ -193,6 +193,11 @@ def edge_boundary(g: Graph, nbunch: list[int]) -> list[tuple[int, int]]:
     return sorted((r["src"], r["dst"]) for r in A.edge_boundary(g, s).collect())
 
 
+def minimum_spanning_edges(g: Graph, weight: str = "weight") -> list[tuple[int, int, float]]:
+    rows = A.minimum_spanning_forest(g, weight=weight).collect()
+    return sorted((r["src"], r["dst"], r["weight"]) for r in rows)
+
+
 # -- link prediction --------------------------------------------------
 def jaccard_coefficient(g: Graph) -> list[tuple[int, int, float]]:
     rows = A.link_prediction(g).collect()

@@ -40,6 +40,35 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def stats_barrier(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (lineage truncation, like an eager
+    localCheckpoint) AND reset Catalyst's size statistics.
+
+    Why: Spark's LogicalRDD produced by ``localCheckpoint`` CARRIES the
+    origin plan's estimated ``sizeInBytes``.  In an iterative algorithm
+    whose step joins the state with itself (pointer-jumping shortcuts,
+    message aggregation + merge), the estimate is a *product* of the
+    previous round's estimates, so its BigInteger digit count doubles
+    or triples every round — after ~15 rounds the driver spends minutes
+    multiplying million-digit integers inside plan statistics (observed:
+    Borůvka rounds going 1s → 3s → 8s → 95s).  Rebuilding the
+    DataFrame over the checkpointed InternalRow RDD drops the origin
+    stats back to the engine default, making per-round planning cost
+    constant.  AQE still sees REAL runtime sizes, so physical join
+    choices are unaffected; broadcasts of genuinely small inputs are
+    explicit (``F.broadcast``) throughout this repo.
+    """
+    d2 = df.localCheckpoint(eager=True)
+    try:
+        jdf = d2._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jspark = d2.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        return DataFrame(new_jdf, d2.sparkSession)
+    except Exception:  # pragma: no cover - future-Spark fallback
+        return d2
+
+
 @dataclass
 class StepResult:
     """Next state + convergence signal.
@@ -186,7 +215,7 @@ class SuperstepRunner:
                     if d.startswith("iter_") and int(d.split("_")[1]) < k - 1:
                         shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
             else:
-                state = res.state.localCheckpoint(eager=True)
+                state = stats_barrier(res.state)
             delta = res.delta
             if delta is None and res.delta_fn is not None:
                 delta = res.delta_fn(state)

@@ -805,3 +805,33 @@ def linkpred_oracle(
                 da * db,
             )
     return out
+
+
+def msf_oracle(
+    edges: list[tuple[int, int, float]]
+) -> set[tuple[int, int, float]]:
+    """Kruskal under the (w, src, dst) total order (src < dst
+    canonical) — the deterministic forest Borůvka with the same
+    tie-break computes."""
+    canon: dict[tuple[int, int], float] = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        if (a, b) not in canon or w < canon[(a, b)]:
+            canon[(a, b)] = w
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    out = set()
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b, w))
+    return out

@@ -143,3 +143,21 @@ def test_boundaries_rand(spark, rand_graph, rand_graph_data):
     got_edges = {(r["src"], r["dst"]) for r in edge_boundary(g_undirected, s_df).collect()}
     assert got_nodes == exp_nodes
     assert got_edges == exp_edges
+
+
+def test_msf_rand(spark, rand_graph_data):
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+    from graphscope_spark.graph import Graph
+
+    vertices, edges = rand_graph_data
+    # deterministic pseudo-weights with deliberate ties
+    wedges = [(s, d, float((s * 7 + d * 13) % 23) + 1.0) for s, d in edges]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    g = Graph.from_edges(e, directed=False, weight="weight")
+    got = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(g).collect()
+    }
+    exp = oracle.msf_oracle(wedges)
+    assert sum(w for *_xy, w in got) == sum(w for *_xy, w in exp)
+    assert got == exp
