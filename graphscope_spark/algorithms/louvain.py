@@ -47,14 +47,16 @@ def louvain(
     """Returns (vid long, community long)."""
     spark = g.edges.sparkSession
 
-    # undirected simple weighted edges, unordered (a < b), multiplicity 1
+    # undirected weighted edges, unordered (a < b); parallel edges fold
+    # into integer multiplicity weights (matching the NX/oracle
+    # convention — a duplicate edge doubles the coupling)
     e0 = g.edges.select(SRC, DST).where(F.col(SRC) != F.col(DST))
     edges = (
         e0.select(
             F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
         )
-        .distinct()
-        .withColumn("w", F.lit(1).cast("long"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
     ).transform(stats_barrier)
     selfs = (
         edges.sparkSession.createDataFrame([], "v long, sw long")
