@@ -57,6 +57,8 @@ EMB_NEARDUP_T = 0.4    # synthetic embeddings are near-orthogonal (max
 LINKPRED_MOD = 100     # sample: a-side vertices with vid % 100 == 0
 BOUNDARY_MOD = 20      # S = parts with vid % 20 == 0
 DLG_MOD = 7            # linenumber-graph thinning modulus (tpch_graph.py)
+KTRUSS_K = 12          # quiesces in 5 rounds at sf0.01 (probed)
+KTRUSS_UNROLL = 7
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -861,6 +863,38 @@ def _k4_sql() -> str:
     """
 
 
+def _ktruss_sql() -> str:
+    """Unrolled k-truss pruning over the co-purchase graph."""
+    parts = [
+        f"with cpe as materialized ({SQL_CP_EDGES})",
+        "e0 as materialized (select src as a, dst as b from cpe)",
+    ]
+    for k in range(KTRUSS_UNROLL):
+        parts.append(
+            f"s{k} as materialized (select a, b from e{k} union all select b as a, a as b from e{k})"
+        )
+        parts.append(
+            f"""t{k} as materialized (
+              select x.a, x.b, count(*) as t
+              from e{k} x
+              join s{k} p on p.a = x.a
+              join s{k} q on q.a = x.b and q.b = p.b
+              group by x.a, x.b
+            )"""
+        )
+        parts.append(
+            f"""e{k + 1} as materialized (
+              select x.a, x.b from e{k} x
+              left join t{k} t on t.a = x.a and t.b = x.b
+              where coalesce(t.t, 0) >= {KTRUSS_K - 2}
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect a as src, b as dst from e{KTRUSS_UNROLL}"
+    )
+
+
 def _linkpred_sql() -> str:
     return f"""
       with cpe as materialized ({SQL_CP_EDGES}),
@@ -1432,6 +1466,13 @@ def _q_four_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return four_clique_count(copurchase_graph(spark, sf_dir)).select("k4")
 
 
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import k_truss
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return k_truss(copurchase_graph(spark, sf_dir), k=KTRUSS_K).select("src", "dst")
+
+
 def _q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import link_prediction
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -1725,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": _q_mis,
         "scc": _q_scc,
         "four_clique": _q_four_clique,
+        "ktruss": _q_ktruss,
         "link_prediction": _q_linkpred,
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
@@ -1973,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": _mis_sql(),
         "scc": _scc_sql(),
         "four_clique": _k4_sql(),
+        "ktruss": _ktruss_sql(),
         "link_prediction": _linkpred_sql(),
         "node_boundary": _node_boundary_sql(),
         "edge_boundary": _edge_boundary_sql(),

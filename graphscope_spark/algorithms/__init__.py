@@ -42,9 +42,11 @@ from graphscope_spark.algorithms.linkpred import link_prediction
 from graphscope_spark.algorithms.scc import strongly_connected_components
 from graphscope_spark.algorithms.kclique import four_clique_count
 from graphscope_spark.algorithms.msf import minimum_spanning_forest
+from graphscope_spark.algorithms.ktruss import k_truss
 
 __all__ = [
     "minimum_spanning_forest",
+    "k_truss",
     "personalized_pagerank",
     "multi_source_distances",
     "apsp_sampled",

@@ -109,6 +109,10 @@ def k_shell(g: Graph, k: int) -> set:
     return {r[VID] for r in rows if r["in_shell"]}
 
 
+def k_truss(g: Graph, k: int) -> list[tuple[int, int]]:
+    return sorted((r["src"], r["dst"]) for r in A.k_truss(g, k=k).collect())
+
+
 def maximal_independent_set(g: Graph) -> set:
     rows = A.maximal_independent_set(g).collect()
     return {r[VID] for r in rows if r["in_mis"]}

@@ -210,11 +210,19 @@ class IcebergishTable:
                 },
             }
         ]
+        # schema evolution (Iceberg-style additive): the table schema is
+        # the previous schema plus any NEW columns this commit introduces;
+        # older data files simply lack the new columns and read as null
+        schema_fields = list(prev["schema"]["fields"]) if prev else []
+        known = {f["name"] for f in schema_fields}
+        for f in json.loads(df.schema.json())["fields"]:
+            if f["name"] not in known:
+                schema_fields.append(f)
         meta = {
             "format-version": 2,
             "table-uuid": prev["table-uuid"] if prev else str(uuid.uuid4()),
             "location": self.path,
-            "schema": json.loads(df.schema.json()),
+            "schema": {"type": "struct", "fields": schema_fields},
             "partition-spec": partition_by,
             "current-snapshot-id": snapshot_id,
             "snapshots": snapshots,

@@ -835,3 +835,20 @@ def msf_oracle(
             parent[max(ra, rb)] = min(ra, rb)
             out.add((a, b, w))
     return out
+
+
+def ktruss_oracle(
+    edges: list[tuple[int, int]], k: int
+) -> set[tuple[int, int]]:
+    """Iterative support pruning: every edge must close >= k-2
+    triangles inside the surviving subgraph."""
+    cur = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        nb = defaultdict(set)
+        for a, b in cur:
+            nb[a].add(b)
+            nb[b].add(a)
+        drop = {(a, b) for a, b in cur if len(nb[a] & nb[b]) < k - 2}
+        if not drop:
+            return cur
+        cur -= drop

@@ -83,3 +83,23 @@ def test_version_hint_atomic(spark, docs_df, tmp_path):
     # old metadata version still readable (readers pinned to v1 survive)
     assert _load_metadata(path, version=1) == meta1
     assert os.path.exists(os.path.join(path, "metadata", "v2.metadata.json"))
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending a batch with a NEW column evolves the table schema;
+    rows from older snapshots read the new column as null."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    t = IcebergishTable.create(spark, str(tmp_path / "t"), v1)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9)], "doc_id long, text string, score double"
+    )
+    t.append(v2)
+    got = t.scan()
+    assert set(got.columns) == {"doc_id", "text", "score"}
+    rows = {r["doc_id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 0.9}
+    # old snapshot still reads with the evolved schema (nulls filled)
+    first = t.history()[0]["snapshot-id"]
+    assert t.scan(snapshot_id=first).where(F.col("score").isNull()).count() == 2

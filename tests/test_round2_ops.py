@@ -161,3 +161,13 @@ def test_msf_rand(spark, rand_graph_data):
     exp = oracle.msf_oracle(wedges)
     assert sum(w for *_xy, w in got) == sum(w for *_xy, w in exp)
     assert got == exp
+
+
+def test_ktruss_rand(spark, rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.ktruss import k_truss
+
+    vertices, edges = rand_graph_data
+    for k in (3, 4):
+        exp = oracle.ktruss_oracle(edges, k)
+        got = {(r["src"], r["dst"]) for r in k_truss(rand_graph, k=k).collect()}
+        assert got == exp, (k, len(got), len(exp))
