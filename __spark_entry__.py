@@ -863,6 +863,50 @@ def _k4_sql() -> str:
     """
 
 
+def _clustering_directed_sql() -> str:
+    """Fagiolo directed clustering over the linenumber digraph."""
+    return f"""
+      with de as materialized ({SQL_DLG_EDGES}),
+      verts as materialized (
+        select distinct vid from (
+          select src as vid from de union all select dst from de
+        )
+      ),
+      b as materialized (
+        select src, dst, cast(sum(w) as bigint) as w from (
+          select src, dst, 1 as w from de
+          union all
+          select dst as src, src as dst, 1 as w from de
+        ) group by src, dst
+      ),
+      t as materialized (
+        select b1.src as vid, sum(b1.w * b2.w * b3.w) / 2.0 as t
+        from b b1
+        join b b2 on b2.src = b1.dst
+        join b b3 on b3.src = b2.dst and b3.dst = b1.src
+        where b2.dst != b1.src
+        group by b1.src
+      ),
+      din as materialized (select dst as vid, count(*) as c from de group by 1),
+      dout as materialized (select src as vid, count(*) as c from de group by 1),
+      drec as materialized (select src as vid, count(*) as c from b where w = 2 group by 1)
+      select v.vid,
+             round(case when (coalesce(i.c,0)+coalesce(o.c,0))
+                        * (coalesce(i.c,0)+coalesce(o.c,0)-1)
+                        - 2*coalesce(r.c,0) > 0
+                   then coalesce(t.t, 0.0)
+                        / ((coalesce(i.c,0)+coalesce(o.c,0))
+                           * (coalesce(i.c,0)+coalesce(o.c,0)-1)
+                           - 2*coalesce(r.c,0))
+                   else 0.0 end, 8) as clustering
+      from verts v
+      left join t on t.vid = v.vid
+      left join din i on i.vid = v.vid
+      left join dout o on o.vid = v.vid
+      left join drec r on r.vid = v.vid
+    """
+
+
 def _ktruss_sql() -> str:
     """Unrolled k-truss pruning over the co-purchase graph."""
     parts = [
@@ -1466,6 +1510,15 @@ def _q_four_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return four_clique_count(copurchase_graph(spark, sf_dir)).select("k4")
 
 
+def _q_clustering_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.clustering import clustering_directed
+    from graphscope_spark.sources.tpch_graph import linenumber_graph
+
+    return clustering_directed(linenumber_graph(spark, sf_dir)).select(
+        "vid", F.round("clustering", 8).alias("clustering")
+    )
+
+
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import k_truss
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -1767,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "four_clique": _q_four_clique,
         "ktruss": _q_ktruss,
+        "clustering_directed": _q_clustering_directed,
         "link_prediction": _q_linkpred,
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
@@ -2016,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": _scc_sql(),
         "four_clique": _k4_sql(),
         "ktruss": _ktruss_sql(),
+        "clustering_directed": _clustering_directed_sql(),
         "link_prediction": _linkpred_sql(),
         "node_boundary": _node_boundary_sql(),
         "edge_boundary": _edge_boundary_sql(),

@@ -852,3 +852,33 @@ def ktruss_oracle(
         if not drop:
             return cur
         cur -= drop
+
+
+def clustering_directed_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, float]:
+    """NX/Fagiolo directed clustering: c = T / (dt(dt-1) - 2 drec),
+    T = 1/2 [(A+A^T)^3]_vv."""
+    de = {(s, d) for s, d in edges if s != d}
+    b = defaultdict(int)
+    for s, d in de:
+        b[(s, d)] += 1
+        b[(d, s)] += 1
+    nbr = defaultdict(set)
+    for (s, d) in b:
+        nbr[s].add(d)
+    out = {}
+    din = Counter(d for _s, d in de)
+    dout = Counter(s for s, _d in de)
+    for v in vertices:
+        t = 0
+        for j in nbr[v]:
+            for k in nbr[j]:
+                if k != v and (k, v) in b:
+                    t += b[(v, j)] * b[(j, k)] * b[(k, v)]
+        tv = t / 2.0
+        dt = din.get(v, 0) + dout.get(v, 0)
+        dr = sum(1 for u in nbr[v] if b[(v, u)] == 2)
+        denom = dt * (dt - 1) - 2 * dr
+        out[v] = tv / denom if denom > 0 else 0.0
+    return out

@@ -171,3 +171,14 @@ def test_ktruss_rand(spark, rand_graph, rand_graph_data):
         exp = oracle.ktruss_oracle(edges, k)
         got = {(r["src"], r["dst"]) for r in k_truss(rand_graph, k=k).collect()}
         assert got == exp, (k, len(got), len(exp))
+
+
+def test_clustering_directed_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.clustering import clustering_directed
+
+    vertices, edges = rand_graph_data
+    exp = oracle.clustering_directed_oracle(edges, vertices)
+    got = {r["vid"]: r["clustering"] for r in clustering_directed(rand_graph).collect()}
+    assert set(got) == set(exp)
+    for v in exp:
+        assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])

@@ -85,3 +85,38 @@ def test_add_column(tiny_graph):
     g2 = add_column(tiny_graph, res, prefix="wcc_")
     assert "wcc_comp" in g2.vertices.columns
     assert g2.vertices.where(F.col("wcc_comp").isNull()).count() == 0
+
+
+def test_graphar_roundtrip(spark, rand_graph, rand_graph_data, tmp_path):
+    """GraphAr-layout export/import preserves the exact edge set,
+    vertex set, and CSR offsets are consistent with per-chunk degrees."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.persistence import load_graphar, save_graphar
+
+    vertices, edges = rand_graph_data
+    path = str(tmp_path / "gar")
+    save_graphar(rand_graph, path, chunk_size=64)
+    meta = json.load(open(os.path.join(path, "graphar.json")))
+    assert meta["vertex_count"] == len(vertices)
+    assert meta["vertex_chunks"] == (len(vertices) + 63) // 64
+
+    g2 = load_graphar(spark, path)
+    got_edges = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert got_edges == set(edges)
+    assert {r["vid"] for r in g2.vertices.collect()} == set(vertices)
+
+    # offsets: within each chunk, offset == running sum of degrees
+    offs = spark.read.parquet(os.path.join(path, "edge", "offsets")).collect()
+    by_chunk = {}
+    for r in offs:
+        by_chunk.setdefault(r["chunk"], []).append((r["src_index"], r["offset"], r["deg"]))
+    for chunk, rows in by_chunk.items():
+        rows.sort()
+        acc = 0
+        for _si, off, deg in rows:
+            assert off == acc
+            acc += deg
