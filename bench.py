@@ -68,7 +68,7 @@ def main() -> None:
         t0 = time.time()
         try:
             fn(spark, SF_DIR).count()
-            qtimes[name] = round(time.time() - t0, 3)
+            qtimes[name] = round(time.time() - t0, 2)
         except Exception as exc:  # record the failure, keep benching
             qtimes[name] = -1.0
             print(f"# query {name} failed: {exc}", file=sys.stderr)
@@ -88,11 +88,27 @@ def main() -> None:
         },
         "cores": CPUS,
     }
+    # Scaling evidence, COMPACT: the driver's log capture keeps only the
+    # tail of stdout, and round 1's full embedded blob pushed the line
+    # past that window — the driver recorded "parsed: null".  Keep the
+    # headline numbers only; full prose + raw runs live in BENCH.md and
+    # scripts/scaling_results.json.
     scaling_path = os.path.join(REPO, "scripts", "scaling_results.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            out["scaling"] = json.load(fh)
-    print(json.dumps(out))
+            s = json.load(fh)
+        try:
+            out["scaling"] = {
+                "strong_eff_2to8": s["strong_scaling"]["efficiency_2_to_8_median"],
+                "weak_eff_1to4": s["weak_scaling"]["efficiency_T_small_over_T_large"],
+                "local32_best_eps": s["headline"]["local32_best"][
+                    "edges_per_sec_per_superstep"
+                ],
+                "detail": "BENCH.md + scripts/scaling_results.json",
+            }
+        except KeyError:
+            pass
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

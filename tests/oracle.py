@@ -882,3 +882,173 @@ def clustering_directed_oracle(
         denom = dt * (dt - 1) - 2 * dr
         out[v] = tv / denom if denom > 0 else 0.0
     return out
+
+
+def _simple_undirected(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> tuple[dict[int, list[int]], set[tuple[int, int]]]:
+    es = set()
+    for s, d in edges:
+        if s != d:
+            es.add((min(s, d), max(s, d)))
+    adj = {v: [] for v in vertices}
+    for a, b in es:
+        adj[a].append(b)
+        adj[b].append(a)
+    return adj, es
+
+
+def biconnectivity_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> tuple[list[set[tuple[int, int]]], set[tuple[int, int]], set[int]]:
+    """Iterative Tarjan (Hopcroft-Tarjan) biconnectivity: returns
+    (bcc edge-partitions, bridges, articulation points) — canonical
+    (min, max) edge tuples throughout."""
+    adj, _es = _simple_undirected(edges, vertices)
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    parent: dict[int, int] = {}
+    comps: list[set[tuple[int, int]]] = []
+    bridges: set[tuple[int, int]] = set()
+    arts: set[int] = set()
+    timer = 0
+    estack: list[tuple[int, int]] = []
+    for root in sorted(vertices):
+        if root in disc:
+            continue
+        disc[root] = low[root] = timer
+        timer += 1
+        if not adj[root]:
+            continue
+        stack = [(root, iter(sorted(adj[root])))]
+        root_children = 0
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in disc:
+                    parent[w] = v
+                    estack.append((min(v, w), max(v, w)))
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, iter(sorted(adj[w]))))
+                    if v == root:
+                        root_children += 1
+                    advanced = True
+                    break
+                elif w != parent.get(v) and disc[w] < disc[v]:
+                    estack.append((min(v, w), max(v, w)))
+                    low[v] = min(low[v], disc[w])
+            if not advanced:
+                stack.pop()
+                if stack:
+                    u = stack[-1][0]
+                    low[u] = min(low[u], low[v])
+                    if low[v] >= disc[u]:
+                        comp: set[tuple[int, int]] = set()
+                        mark = (min(u, v), max(u, v))
+                        while estack:
+                            e = estack.pop()
+                            comp.add(e)
+                            if e == mark:
+                                break
+                        comps.append(comp)
+                        if u != root:
+                            arts.add(u)
+                    if low[v] > disc[u]:
+                        bridges.add((min(u, v), max(u, v)))
+        if root_children >= 2:
+            arts.add(root)
+    return comps, bridges, arts
+
+
+def maximal_matching_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """FLASH mm.h handshake simulation: propose to max-id unmatched
+    neighbor; mutual proposals match.  Returns vid -> mate (-1 if none)."""
+    adj, _ = _simple_undirected(edges, vertices)
+    mate = {v: -1 for v in vertices}
+    while True:
+        prop = {}
+        for v in vertices:
+            if mate[v] != -1:
+                continue
+            cand = [u for u in adj[v] if mate[u] == -1]
+            if cand:
+                prop[v] = max(cand)
+        newly = [(v, p) for v, p in prop.items() if prop.get(p) == v]
+        if not newly:
+            break
+        for v, p in newly:
+            mate[v] = p
+    return mate
+
+
+def min_vertex_cover_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> set[int]:
+    """min-cover-greedy.h simulation: local max by (remaining-degree,
+    id) among non-cover neighbors joins the cover."""
+    adj, _ = _simple_undirected(edges, vertices)
+    d = {v: len(adj[v]) for v in vertices}
+    cover: set[int] = set()
+    active = {v for v in vertices if d[v] > 0}
+    while active:
+        sel = set()
+        for v in active:
+            blocked = any(
+                u not in cover and (d[u], u) > (d[v], v) for u in adj[v]
+            )
+            if not blocked:
+                sel.add(v)
+        cover |= sel
+        dec = Counter()
+        for v in sel:
+            for u in adj[v]:
+                if u not in cover:
+                    dec[u] += 1
+        for u, c in dec.items():
+            d[u] -= c
+        active = {v for v in active if v not in cover and d[v] > 0}
+    return cover
+
+
+def min_dominating_set_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> set[int]:
+    """min-dominating-set.h simulation: 2-hop local max by
+    (non-dominated-degree, id); first round uses full degree."""
+    adj, _ = _simple_undirected(edges, vertices)
+    cnt = {v: len(adj[v]) for v in vertices}
+    dom = {v: False for v in vertices}
+    chosen: set[int] = set()
+    while not all(dom.values()):
+        k1 = {}
+        for v in vertices:
+            if dom[v]:
+                continue
+            best = (cnt[v], v)
+            for u in adj[v]:
+                if not dom[u] and (cnt[u], u) > best:
+                    best = (cnt[u], u)
+            k1[v] = best
+        k2 = {}
+        for v in vertices:
+            if dom[v]:
+                continue
+            best = k1[v]
+            for u in adj[v]:
+                if not dom[u] and k1[u] > best:
+                    best = k1[u]
+            k2[v] = best
+        sel = {v for v in k2 if k2[v][1] == v}
+        chosen |= sel
+        for v in sel:
+            dom[v] = True
+            for u in adj[v]:
+                dom[u] = True
+        for v in vertices:
+            if not dom[v]:
+                cnt[v] = sum(1 for u in adj[v] if not dom[u])
+    return chosen

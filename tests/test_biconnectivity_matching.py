@@ -1,0 +1,132 @@
+"""Biconnectivity + matching-family kernels vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphscope_spark.graph import Graph
+
+from tests import oracle
+from tests.conftest import make_random_graph
+
+
+def make_bridgy_graph() -> tuple[list[int], list[tuple[int, int]]]:
+    """Thinned random graph + pendant path/triangle appendages —
+    guarantees a healthy crop of bridges, cut vertices, and small
+    biconnected components."""
+    vertices, edges = make_random_graph()
+    edges = [(s, d) for (s, d) in edges if (s * 7 + d) % 3 != 0]
+    vertices = vertices + [300, 301, 302, 303, 304, 305]
+    edges += [
+        (0, 300),
+        (300, 301),
+        (301, 302),
+        (302, 303),
+        (303, 304),
+        (304, 302),
+    ]
+    return vertices, sorted(set(edges))
+
+
+@pytest.fixture(scope="module")
+def bridgy(spark):
+    vertices, edges = make_bridgy_graph()
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=False, num_partitions=8)
+    return g, vertices, edges
+
+
+def test_bridges(bridgy):
+    from graphscope_spark.algorithms.biconnectivity import bridges
+
+    g, vertices, edges = bridgy
+    _, exp_bridges, _ = oracle.biconnectivity_oracle(edges, vertices)
+    got = {(r["src"], r["dst"]) for r in bridges(g).collect()}
+    assert got == exp_bridges, (len(got), len(exp_bridges))
+
+
+def test_articulation_points(bridgy):
+    from graphscope_spark.algorithms.biconnectivity import articulation_points
+
+    g, vertices, edges = bridgy
+    _, _, exp_arts = oracle.biconnectivity_oracle(edges, vertices)
+    got = {r["vid"] for r in articulation_points(g).collect()}
+    assert got == exp_arts, (sorted(got ^ exp_arts))
+
+
+def test_biconnected_components(bridgy):
+    from graphscope_spark.algorithms.biconnectivity import biconnected_components
+
+    g, vertices, edges = bridgy
+    exp_comps, _, _ = oracle.biconnectivity_oracle(edges, vertices)
+    exp = {frozenset(c) for c in exp_comps}
+    rows = biconnected_components(g).collect()
+    by_label: dict[tuple[int, int], set] = {}
+    for r in rows:
+        by_label.setdefault((r["bcc_u"], r["bcc_v"]), set()).add((r["src"], r["dst"]))
+    got = {frozenset(c) for c in by_label.values()}
+    assert got == exp
+    # the label is the component's lexicographically smallest edge
+    for (bu, bv), es in by_label.items():
+        assert (bu, bv) == min(es)
+
+
+def test_bridges_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.biconnectivity import bridges
+
+    vertices, edges = rand_graph_data
+    _, exp_bridges, _ = oracle.biconnectivity_oracle(edges, vertices)
+    got = {(r["src"], r["dst"]) for r in bridges(rand_graph).collect()}
+    assert got == exp_bridges
+
+
+def test_articulation_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.biconnectivity import articulation_points
+
+    vertices, edges = rand_graph_data
+    _, _, exp_arts = oracle.biconnectivity_oracle(edges, vertices)
+    got = {r["vid"] for r in articulation_points(rand_graph).collect()}
+    assert got == exp_arts
+
+
+def test_maximal_matching(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    vertices, edges = rand_graph_data
+    exp = oracle.maximal_matching_oracle(edges, vertices)
+    got = {r["vid"]: r["mate"] for r in maximal_matching(rand_graph).collect()}
+    assert got == exp
+    # sanity: it IS a maximal matching
+    adj, _ = oracle._simple_undirected(edges, vertices)
+    for v, m in got.items():
+        if m != -1:
+            assert got[m] == v
+    for v in vertices:
+        if got[v] == -1:
+            assert all(got[u] != -1 for u in adj[v])
+
+
+def test_min_vertex_cover(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.matching import min_vertex_cover
+
+    vertices, edges = rand_graph_data
+    exp = oracle.min_vertex_cover_oracle(edges, vertices)
+    got = {r["vid"] for r in min_vertex_cover(rand_graph).collect()}
+    assert got == exp
+    # sanity: every edge covered
+    for s, d in edges:
+        if s != d:
+            assert s in got or d in got
+
+
+def test_min_dominating_set(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.matching import min_dominating_set
+
+    vertices, edges = rand_graph_data
+    exp = oracle.min_dominating_set_oracle(edges, vertices)
+    got = {r["vid"] for r in min_dominating_set(rand_graph).collect()}
+    assert got == exp
+    adj, _ = oracle._simple_undirected(edges, vertices)
+    for v in vertices:
+        assert v in got or any(u in got for u in adj[v])
