@@ -59,6 +59,15 @@ BOUNDARY_MOD = 20      # S = parts with vid % 20 == 0
 DLG_MOD = 7            # linenumber-graph thinning modulus (tpch_graph.py)
 KTRUSS_K = 12          # quiesces in 5 rounds at sf0.01 (probed)
 KTRUSS_UNROLL = 7
+BIC_MOD = 7            # thinned order graph for biconnectivity/matching
+BIC_ENC = 10000000     # (count, vid) lexicographic keys: count*ENC + vid
+BIC_WCC_UNROLL = 6     # probed quiesce 4 at sf0.01 (+margin)
+BIC_BFS_UNROLL = 6     # probed max depth 4
+BIC_ANC_UNROLL = 6     # ancestor closure hops = max depth
+BIC_CLS_UNROLL = 7     # contraction-class label prop, probed 4
+MM_UNROLL = 9          # handshake matching, probed 7 rounds
+COVER_UNROLL = 3       # greedy cover, probed 1 round
+DOMSET_UNROLL = 14     # 2-hop greedy dominating set, probed 11
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -907,6 +916,364 @@ def _clustering_directed_sql() -> str:
     """
 
 
+def _bic_prefix() -> str:
+    """Shared CTE chain for the biconnectivity family over the thinned
+    order graph: WCC → min-parent multi-source BFS forest → ancestor
+    closure → per-non-tree-edge LCA → coverage → contraction classes.
+    Mirrors algorithms/biconnectivity.py step for step (bridge.h /
+    cut-point.h semantics); src < dst holds by construction (customer
+    ids < supplier offset), so tedges is already canonical."""
+    parts = [
+        f"""with tedges as materialized (
+          select src, dst from ({SQL_EDGES}) where (src + dst) % {BIC_MOD} = 0
+        )""",
+        "tverts as materialized (select src as vid from tedges union select dst from tedges)",
+        "tsym as materialized (select src, dst from tedges union select dst, src from tedges)",
+        "w0 as materialized (select vid, vid as comp from tverts)",
+    ]
+    for k in range(BIC_WCC_UNROLL):
+        parts.append(
+            f"""w{k + 1} as materialized (
+              select c.vid, least(c.comp, coalesce(m.mc, c.comp)) as comp
+              from w{k} c left join (
+                select s.dst as vid, min(c2.comp) as mc
+                from tsym s join w{k} c2 on s.src = c2.vid group by 1
+              ) m using(vid)
+            )"""
+        )
+    inf = 999999
+    parts.append(
+        f"""b0 as materialized (
+          select vid, case when vid = comp then 0 else {inf} end as d
+          from w{BIC_WCC_UNROLL}
+        )"""
+    )
+    for k in range(BIC_BFS_UNROLL):
+        parts.append(
+            f"""b{k + 1} as materialized (
+              select b.vid, least(b.d, coalesce(m.md, {inf})) as d
+              from b{k} b left join (
+                select s.dst as vid, min(b2.d) + 1 as md
+                from tsym s join b{k} b2 on s.src = b2.vid group by 1
+              ) m using(vid)
+            )"""
+        )
+    parts.append(
+        f"""tree as materialized (
+          select b.vid, b.d, p.parent
+          from b{BIC_BFS_UNROLL} b left join (
+            select s.dst as vid, min(s.src) as parent
+            from tsym s
+            join b{BIC_BFS_UNROLL} bs on s.src = bs.vid
+            join b{BIC_BFS_UNROLL} bd on s.dst = bd.vid
+            where bs.d = bd.d - 1
+            group by s.dst
+          ) p using(vid)
+        )"""
+    )
+    parts.append(
+        """a0 as materialized (
+          select vid as v, vid as anc, d as ad from tree
+          union all
+          select vid as v, parent as anc, d - 1 as ad from tree where parent is not null
+        )"""
+    )
+    for k in range(BIC_ANC_UNROLL):
+        parts.append(
+            f"""a{k + 1} as materialized (
+              select distinct v, anc, ad from (
+                select v, anc, ad from a{k}
+                union all
+                select a.v, t.parent as anc, a.ad - 1 as ad
+                from a{k} a join tree t on t.vid = a.anc
+                where t.parent is not null
+              )
+            )"""
+        )
+    anc = f"a{BIC_ANC_UNROLL}"
+    parts.append(
+        """nontree as materialized (
+          select src, dst from tedges
+          except
+          select least(parent, vid), greatest(parent, vid)
+          from tree where parent is not null
+        )"""
+    )
+    parts.append(
+        f"""lcat as materialized (
+          select n.src, n.dst, arg_max(au.anc, au.ad) as lca, max(au.ad) as lca_depth
+          from nontree n
+          join {anc} au on au.v = n.src
+          join {anc} av on av.v = n.dst and av.anc = au.anc
+          group by n.src, n.dst
+        )"""
+    )
+    parts.append(
+        f"""pk as materialized (
+          select l.src, l.dst, l.lca, au.anc as c
+          from lcat l join {anc} au on au.v = l.src where au.ad > l.lca_depth
+          union
+          select l.src, l.dst, l.lca, av.anc as c
+          from lcat l join {anc} av on av.v = l.dst where av.ad > l.lca_depth
+        )"""
+    )
+    parts.append("coverage as materialized (select distinct c from pk)")
+    parts.append(
+        """csym as materialized (
+          select src, dst from (
+            select distinct least(p.c, t.parent) as src, greatest(p.c, t.parent) as dst
+            from pk p join tree t on t.vid = p.c
+            where t.parent != p.lca
+            union
+            select src, dst from nontree
+          )
+          union all
+          select dst, src from (
+            select distinct least(p.c, t.parent) as src, greatest(p.c, t.parent) as dst
+            from pk p join tree t on t.vid = p.c
+            where t.parent != p.lca
+            union
+            select src, dst from nontree
+          )
+        )"""
+    )
+    parts.append("cl0 as materialized (select vid, vid as cls from tverts)")
+    for k in range(BIC_CLS_UNROLL):
+        parts.append(
+            f"""cl{k + 1} as materialized (
+              select c.vid, least(c.cls, coalesce(m.mc, c.cls)) as cls
+              from cl{k} c left join (
+                select s.dst as vid, min(c2.cls) as mc
+                from csym s join cl{k} c2 on s.src = c2.vid group by 1
+              ) m using(vid)
+            )"""
+        )
+    parts.append(f"cls as materialized (select vid, cls from cl{BIC_CLS_UNROLL})")
+    return ",\n".join(parts)
+
+
+def _bridges_sql() -> str:
+    return (
+        _bic_prefix()
+        + """
+        select least(parent, vid) as src, greatest(parent, vid) as dst
+        from tree
+        where parent is not null and vid not in (select c from coverage)
+        """
+    )
+
+
+def _articulation_sql() -> str:
+    return (
+        _bic_prefix()
+        + """
+        select distinct vid from (
+          select t.parent as vid
+          from tree t
+          join tree tp on tp.vid = t.parent
+          join cls ct on ct.vid = t.vid
+          join cls cp on cp.vid = t.parent
+          where t.parent is not null and tp.parent is not null
+            and ct.cls != cp.cls
+          union
+          select vid from (
+            select t.parent as vid, count(distinct ct.cls) as nc
+            from tree t
+            join tree tp on tp.vid = t.parent
+            join cls ct on ct.vid = t.vid
+            where t.parent is not null and tp.parent is null
+            group by t.parent
+          ) where nc >= 2
+        )
+        """
+    )
+
+
+def _bcc_sql() -> str:
+    return (
+        _bic_prefix()
+        + f""",
+        lbl as materialized (
+          select e.src, e.dst,
+                 case when cov.c is not null then c1.cls else -(e.child + 1) end as pre
+          from (
+            select least(parent, vid) as src, greatest(parent, vid) as dst, vid as child
+            from tree where parent is not null
+          ) e
+          left join coverage cov on cov.c = e.child
+          join cls c1 on c1.vid = e.child
+          union all
+          select n.src, n.dst, c2.cls as pre
+          from nontree n join cls c2 on c2.vid = n.src
+        ),
+        canon as materialized (
+          select pre, min(src * {BIC_ENC} + dst) as me from lbl group by pre
+        )
+        select l.src, l.dst,
+               c.me // {BIC_ENC} as bcc_u, c.me % {BIC_ENC} as bcc_v
+        from lbl l join canon c using(pre)
+        """
+    )
+
+
+def _bic_graph_prefix() -> str:
+    """Thinned-graph base only (matching family)."""
+    return f"""with tedges as materialized (
+      select src, dst from ({SQL_EDGES}) where (src + dst) % {BIC_MOD} = 0
+    ),
+    tverts as materialized (select src as vid from tedges union select dst from tedges),
+    tsym as materialized (select src, dst from tedges union select dst, src from tedges)"""
+
+
+def _mm_sql() -> str:
+    """Unrolled FLASH handshake matching (mm.h)."""
+    parts = [
+        _bic_graph_prefix(),
+        "m0 as materialized (select vid, cast(-1 as bigint) as mate from tverts)",
+    ]
+    for k in range(1, MM_UNROLL + 1):
+        parts.append(
+            f"u{k} as materialized (select vid from m{k - 1} where mate = -1)"
+        )
+        parts.append(
+            f"""pr{k} as materialized (
+              select s.dst as vid, max(s.src) as p
+              from tsym s
+              join u{k} a on s.src = a.vid
+              join u{k} b on s.dst = b.vid
+              group by s.dst
+            )"""
+        )
+        parts.append(
+            f"""m{k} as materialized (
+              select m.vid, coalesce(x.p, m.mate) as mate
+              from m{k - 1} m left join (
+                select a.vid, a.p from pr{k} a join pr{k} b
+                  on b.vid = a.p and b.p = a.vid
+              ) x using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, mate from m{MM_UNROLL}"
+
+
+def _min_cover_sql() -> str:
+    """Unrolled greedy vertex cover (min-cover-greedy.h)."""
+    parts = [
+        _bic_graph_prefix(),
+        """c0 as materialized (
+          select v.vid, cast(coalesce(dg.d, 0) as bigint) as d, false as c
+          from tverts v left join (
+            select src as vid, count(*) as d from tsym group by 1
+          ) dg using(vid)
+        )""",
+    ]
+    for k in range(1, COVER_UNROLL + 1):
+        parts.append(
+            f"""bl{k} as materialized (
+              select s.dst as vid, max(n.d * {BIC_ENC} + n.vid) as mk
+              from tsym s join c{k - 1} n on n.vid = s.src and not n.c
+              group by s.dst
+            )"""
+        )
+        parts.append(
+            f"""sel{k} as materialized (
+              select c.vid from c{k - 1} c left join bl{k} b using(vid)
+              where not c.c and c.d > 0
+                and (b.mk is null or b.mk <= c.d * {BIC_ENC} + c.vid)
+            )"""
+        )
+        parts.append(
+            f"""dec{k} as materialized (
+              select s.dst as vid, count(*) as dec
+              from tsym s join sel{k} x on x.vid = s.src
+              group by s.dst
+            )"""
+        )
+        parts.append(
+            f"""c{k} as materialized (
+              select c.vid,
+                     case when c.c or s.vid is not null then c.d
+                          else c.d - coalesce(d.dec, 0) end as d,
+                     (c.c or s.vid is not null) as c
+              from c{k - 1} c
+              left join sel{k} s using(vid)
+              left join dec{k} d using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid from c{COVER_UNROLL} where c"
+
+
+def _domset_sql() -> str:
+    """Unrolled 2-hop greedy dominating set (min-dominating-set.h)."""
+    parts = [
+        _bic_graph_prefix(),
+        """s0 as materialized (
+          select v.vid, cast(coalesce(dg.d, 0) as bigint) as cnt,
+                 false as b, false as dom
+          from tverts v left join (
+            select src as vid, count(*) as d from tsym group by 1
+          ) dg using(vid)
+        )""",
+    ]
+    for k in range(1, DOMSET_UNROLL + 1):
+        parts.append(
+            f"""k1_{k} as materialized (
+              select s.vid, greatest(s.cnt * {BIC_ENC} + s.vid, coalesce(m.mx, 0)) as k1
+              from s{k - 1} s left join (
+                select e.dst as vid, max(n.cnt * {BIC_ENC} + n.vid) as mx
+                from tsym e join s{k - 1} n on n.vid = e.src and not n.dom
+                group by e.dst
+              ) m using(vid)
+              where not s.dom
+            )"""
+        )
+        parts.append(
+            f"""k2_{k} as materialized (
+              select s.vid, greatest(s.k1, coalesce(m.mx, 0)) as k2
+              from k1_{k} s left join (
+                select e.dst as vid, max(n.k1) as mx
+                from tsym e join k1_{k} n on n.vid = e.src
+                group by e.dst
+              ) m using(vid)
+            )"""
+        )
+        parts.append(
+            f"sel{k} as materialized (select vid from k2_{k} where k2 % {BIC_ENC} = vid)"
+        )
+        parts.append(
+            f"""dd{k} as materialized (
+              select distinct vid from (
+                select e.dst as vid from tsym e join sel{k} x on x.vid = e.src
+                union all
+                select vid from sel{k}
+              )
+            )"""
+        )
+        parts.append(
+            f"""sh{k} as materialized (
+              select s.vid, s.cnt,
+                     (s.b or x.vid is not null) as b,
+                     (s.dom or d.vid is not null) as dom
+              from s{k - 1} s
+              left join sel{k} x using(vid)
+              left join dd{k} d using(vid)
+            )"""
+        )
+        parts.append(
+            f"""s{k} as materialized (
+              select s.vid,
+                     case when s.dom then s.cnt else coalesce(n.nd, 0) end as cnt,
+                     s.b, s.dom
+              from sh{k} s left join (
+                select e.dst as vid, count(*) as nd
+                from tsym e join sh{k} x on x.vid = e.src and not x.dom
+                group by e.dst
+              ) n using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid from s{DOMSET_UNROLL} where b"
+
+
 def _ktruss_sql() -> str:
     """Unrolled k-truss pruning over the co-purchase graph."""
     parts = [
@@ -1519,6 +1886,48 @@ def _q_clustering_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.biconnectivity import bridges
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return bridges(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.biconnectivity import articulation_points
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return articulation_points(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_bcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.biconnectivity import biconnected_components
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return biconnected_components(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.matching import maximal_matching
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return maximal_matching(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_min_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.matching import min_vertex_cover
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return min_vertex_cover(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_domset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.matching import min_dominating_set
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return min_dominating_set(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
 def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import k_truss
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -1821,6 +2230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_clique": _q_four_clique,
         "ktruss": _q_ktruss,
         "clustering_directed": _q_clustering_directed,
+        "bridges": _q_bridges,
+        "articulation_points": _q_articulation,
+        "bcc": _q_bcc,
+        "maximal_matching": _q_mm,
+        "min_vertex_cover": _q_min_cover,
+        "min_dominating_set": _q_domset,
         "link_prediction": _q_linkpred,
         "node_boundary": _q_node_boundary,
         "edge_boundary": _q_edge_boundary,
@@ -2071,6 +2486,12 @@ def oracle_sql() -> dict[str, str]:
         "four_clique": _k4_sql(),
         "ktruss": _ktruss_sql(),
         "clustering_directed": _clustering_directed_sql(),
+        "bridges": _bridges_sql(),
+        "articulation_points": _articulation_sql(),
+        "bcc": _bcc_sql(),
+        "maximal_matching": _mm_sql(),
+        "min_vertex_cover": _min_cover_sql(),
+        "min_dominating_set": _domset_sql(),
         "link_prediction": _linkpred_sql(),
         "node_boundary": _node_boundary_sql(),
         "edge_boundary": _edge_boundary_sql(),

@@ -49,6 +49,21 @@ def order_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> G
     )
 
 
+def thin_order_graph(
+    spark: SparkSession, sf_dir: str, mod: int = 7, num_partitions: int = 32
+) -> Graph:
+    """UNDIRECTED order graph thinned by a deterministic modulus — the
+    sparse substrate for the biconnectivity / matching family (probed
+    at sf0.01, mod=7: 1576 v / 6871 e, 7 components, 82 BCCs, 75
+    bridges, 55 cut vertices, BFS depth 4)."""
+    e = (
+        order_edges(spark, sf_dir)
+        .select("src", "dst")
+        .where((F.col("src") + F.col("dst")) % mod == 0)
+    )
+    return Graph.from_edges(e, directed=False, num_partitions=num_partitions)
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst): distinct part pairs co-occurring in an order, src < dst."""
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
