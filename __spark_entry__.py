@@ -1274,6 +1274,120 @@ def _domset_sql() -> str:
     return ",\n".join(parts) + f"\nselect vid from s{DOMSET_UNROLL} where b"
 
 
+SQL_CPD_EDGES = """
+  select distinct a.l_partkey as src, b.l_partkey as dst
+  from lineitem a join lineitem b
+    on a.l_orderkey = b.l_orderkey
+   and a.l_linenumber < b.l_linenumber
+   and a.l_partkey <> b.l_partkey
+"""
+
+
+def _subgraph_census_sql() -> str:
+    """Rectangles / diamonds / 3-paths / tailed triangles over the
+    co-purchase graph.  Rectangles use the pair identity
+    C4 = 1/2 Σ_{u<v} C(codeg,2) — an independent formulation of the
+    FLASH wedge-orientation count (rectangle.h)."""
+    return f"""
+      with cpe as materialized ({SQL_CP_EDGES}),
+      sym as materialized (select src, dst from cpe union select dst, src from cpe),
+      deg as materialized (select src as vid, count(*) as d from sym group by 1),
+      sup as materialized (
+        select u.src as a, u.dst as b, count(*) as sup
+        from cpe u
+        join sym p on p.src = u.src
+        join sym q on q.src = u.dst and q.dst = p.dst
+        group by 1, 2
+      ),
+      es as materialized (
+        select u.src as a, u.dst as b, da.d as da, db.d as db,
+               coalesce(s.sup, 0) as sup
+        from cpe u
+        join deg da on da.vid = u.src
+        join deg db on db.vid = u.dst
+        left join sup s on s.a = u.src and s.b = u.dst
+      ),
+      cod as materialized (
+        select p.dst as u, q.dst as v, count(*) as w
+        from sym p join sym q on p.src = q.src and p.dst < q.dst
+        group by 1, 2
+      )
+      select 'rectangles' as kind,
+             cast(coalesce(sum(w * (w - 1) / 2), 0) / 2 as bigint) as cnt
+      from cod
+      union all
+      select 'diamonds',
+             cast(coalesce(sum(sup * (sup - 1) / 2), 0) as bigint) from es
+      union all
+      select 'paths3',
+             cast(coalesce(sum((da - 1) * (db - 1) - sup), 0) as bigint) from es
+      union all
+      select 'tailed',
+             cast(coalesce(sum((da + db - 4) * sup), 0) as bigint) from es
+    """
+
+
+def _triangle_census_directed_sql() -> str:
+    """FLASH directed-triangle census over the directed co-purchase
+    graph (cyclic counted at the max-vid corner; order-invariant)."""
+    return f"""
+      with e as materialized ({SQL_CPD_EDGES}),
+      recip as materialized (
+        select e.src as s, e.dst as d
+        from e join e r on r.src = e.dst and r.dst = e.src
+      )
+      select 'acyclic' as kind, cast(count(*) as bigint) as cnt
+      from e sd
+      join e sx on sx.src = sd.src
+      join e dx on dx.src = sd.dst and dx.dst = sx.dst
+      union all
+      select 'cyclic', cast(count(*) as bigint)
+      from e sd
+      join e xs on xs.dst = sd.src and xs.src > sd.src and xs.src > sd.dst
+      join e dx on dx.src = sd.dst and dx.dst = xs.src
+      union all
+      select 'in', cast(count(*) as bigint)
+      from recip r
+      join e sx on sx.src = r.s
+      join e dx on dx.src = r.d and dx.dst = sx.dst
+      where r.s < r.d
+      union all
+      select 'out', cast(count(*) as bigint)
+      from recip r
+      join e xs on xs.dst = r.s
+      join e xd on xd.src = xs.src and xd.dst = r.d
+      where r.s < r.d
+      union all
+      select 'cycle_plus', cast(count(*) as bigint)
+      from recip r
+      join e dx on dx.src = r.d
+      join e xs on xs.src = dx.dst and xs.dst = r.s
+    """
+
+
+def _densest_sql() -> str:
+    """Max-core subgraph density over the order graph; core numbers
+    from the same unrolled h-index fixpoint as the core_number oracle
+    (densest-sub-2-approx.h: ne counts both edge directions)."""
+    core_body = _core_number_sql().strip()
+    return f"""
+      with cores as materialized ({core_body}),
+      edges as materialized ({SQL_EDGES}),
+      sym as materialized ({SQL_SYM}),
+      top as materialized (
+        select vid from cores where core = (select max(core) from cores)
+      ),
+      nv as materialized (select count(*) as nv from top),
+      ne as materialized (
+        select count(*) as ne from sym
+        where src in (select vid from top) and dst in (select vid from top)
+      )
+      select cast(nv as bigint) as nv, cast(ne as bigint) as ne,
+             round(ne * 1.0 / nv, 8) as density
+      from nv, ne
+    """
+
+
 def _ktruss_sql() -> str:
     """Unrolled k-truss pruning over the co-purchase graph."""
     parts = [
@@ -1935,6 +2049,31 @@ def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(copurchase_graph(spark, sf_dir), k=KTRUSS_K).select("src", "dst")
 
 
+def _q_subgraph_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import subgraph_census
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+
+    return subgraph_census(copurchase_graph(spark, sf_dir)).select("kind", "cnt")
+
+
+def _q_triangle_census_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import directed_triangle_census
+    from graphscope_spark.sources.tpch_graph import copurchase_directed_graph
+
+    return directed_triangle_census(
+        copurchase_directed_graph(spark, sf_dir)
+    ).select("kind", "cnt")
+
+
+def _q_densest_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import densest_subgraph_2approx
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return densest_subgraph_2approx(order_graph(spark, sf_dir)).select(
+        "nv", "ne", F.round("density", 8).alias("density")
+    )
+
+
 def _q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import link_prediction
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -2229,6 +2368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "four_clique": _q_four_clique,
         "ktruss": _q_ktruss,
+        "subgraph_census": _q_subgraph_census,
+        "triangle_census_directed": _q_triangle_census_directed,
+        "densest_density": _q_densest_density,
         "clustering_directed": _q_clustering_directed,
         "bridges": _q_bridges,
         "articulation_points": _q_articulation,
@@ -2485,6 +2627,9 @@ def oracle_sql() -> dict[str, str]:
         "scc": _scc_sql(),
         "four_clique": _k4_sql(),
         "ktruss": _ktruss_sql(),
+        "subgraph_census": _subgraph_census_sql(),
+        "triangle_census_directed": _triangle_census_directed_sql(),
+        "densest_density": _densest_sql(),
         "clustering_directed": _clustering_directed_sql(),
         "bridges": _bridges_sql(),
         "articulation_points": _articulation_sql(),

@@ -43,10 +43,28 @@ from graphscope_spark.algorithms.scc import strongly_connected_components
 from graphscope_spark.algorithms.kclique import four_clique_count
 from graphscope_spark.algorithms.msf import minimum_spanning_forest
 from graphscope_spark.algorithms.ktruss import k_truss
+from graphscope_spark.algorithms.subgraph import (
+    diamond_count,
+    densest_subgraph_2approx,
+    directed_triangle_census,
+    edge_support,
+    rectangle_count,
+    subgraph_census,
+    tailed_triangle_count,
+    three_path_count,
+)
 
 __all__ = [
     "minimum_spanning_forest",
     "k_truss",
+    "rectangle_count",
+    "diamond_count",
+    "three_path_count",
+    "tailed_triangle_count",
+    "densest_subgraph_2approx",
+    "directed_triangle_census",
+    "subgraph_census",
+    "edge_support",
     "personalized_pagerank",
     "multi_source_distances",
     "apsp_sampled",

@@ -83,6 +83,42 @@ def copurchase_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32)
     )
 
 
+def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): DIRECTED part graph — edge a→b when a precedes b
+    (lower line number) in some order.  Both directions can exist via
+    different orders, so the graph has reciprocal pairs and directed
+    cycles — the input for the directed-triangle census."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("src"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_linenumber").alias("ln2"),
+    )
+    return (
+        a.join(b, "ok")
+        .where((F.col("ln") < F.col("ln2")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def copurchase_directed_graph(
+    spark: SparkSession, sf_dir: str, num_partitions: int = 32
+) -> Graph:
+    return Graph.from_edges(
+        copurchase_directed_edges(spark, sf_dir),
+        directed=True,
+        num_partitions=num_partitions,
+    )
+
+
 def linenumber_edges(spark: SparkSession, sf_dir: str, mod: int = 7) -> DataFrame:
     """(src, dst): DIRECTED part graph — an edge when part a directly
     precedes part b (consecutive line numbers) in some order, thinned by

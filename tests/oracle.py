@@ -1052,3 +1052,111 @@ def min_dominating_set_oracle(
             if not dom[v]:
                 cnt[v] = sum(1 for u in adj[v] if not dom[u])
     return chosen
+
+
+def _codeg(adj: dict[int, list[int]]) -> dict[tuple[int, int], int]:
+    """Common-neighbor counts for all unordered pairs with codeg > 0."""
+    from collections import Counter
+    from itertools import combinations
+
+    c: Counter = Counter()
+    for _, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            c[(a, b)] += 1
+    return dict(c)
+
+
+def rectangle_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> int:
+    """4-cycles via the pair identity: C4 = 1/2 Σ_{u<v} C(codeg, 2)
+    (independent of the implementation's rank-orientation wedge count)."""
+    adj, _ = _simple_undirected(edges, vertices)
+    total = sum(w * (w - 1) // 2 for w in _codeg(adj).values())
+    assert total % 2 == 0
+    return total // 2
+
+
+def diamond_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> int:
+    """Σ over undirected edges of C(common, 2)."""
+    adj, es = _simple_undirected(edges, vertices)
+    cd = _codeg(adj)
+    return sum(w * (w - 1) // 2 for (a, b), w in cd.items() if (a, b) in es)
+
+
+def three_path_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> int:
+    """Honest enumeration: for each edge (u,v), pairs (a,b) with a~u,
+    a != v, b~v, b != u, a != b."""
+    adj, es = _simple_undirected(edges, vertices)
+    total = 0
+    for u, v in es:
+        for a in adj[u]:
+            if a == v:
+                continue
+            for b in adj[v]:
+                if b == u or b == a:
+                    continue
+                total += 1
+    return total
+
+
+def tailed_triangle_oracle(edges: list[tuple[int, int]], vertices: list[int]) -> int:
+    """Reference formula (tailed-triangle.h:59-69): per edge
+    (deg(a)+deg(b)-4)*support — 2x the subgraph count (each tailed
+    triangle hits the formula via two triangle edges)."""
+    adj, es = _simple_undirected(edges, vertices)
+    cd = _codeg(adj)
+    return sum(
+        (len(adj[a]) + len(adj[b]) - 4) * cd.get((a, b), 0) for a, b in es
+    )
+
+
+def densest_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> tuple[int, int, float]:
+    """(nv, ne, density) of the max-core subgraph; ne counts both
+    directions (densest-sub-2-approx.h:85-92)."""
+    core = core_number_oracle(edges, vertices)
+    adj, _ = _simple_undirected(edges, vertices)
+    cmax = max(core.values())
+    top = {v for v in vertices if core[v] == cmax}
+    ne = sum(1 for v in top for u in adj[v] if u in top)
+    return len(top), ne, ne / len(top)
+
+
+def directed_census_oracle(edges: list[tuple[int, int]]) -> dict[str, int]:
+    """FLASH directed-triangle census over distinct self-loop-free
+    directed edges; cyclic uses vid order (count is order-invariant)."""
+    es = {(s, d) for s, d in edges if s != d}
+    out: dict[int, set[int]] = {}
+    inn: dict[int, set[int]] = {}
+    for s, d in es:
+        out.setdefault(s, set()).add(d)
+        inn.setdefault(d, set()).add(s)
+    acyclic = sum(
+        len(out.get(s, set()) & out.get(d, set())) for s, d in es
+    )
+    cyclic = 0
+    for s, d in es:
+        for x in inn.get(s, set()) & out.get(d, set()):
+            if x > s and x > d:
+                cyclic += 1
+    recip = {(s, d) for s, d in es if (d, s) in es}
+    in_tri = sum(
+        len(out.get(s, set()) & out.get(d, set()))
+        for s, d in recip
+        if s < d
+    )
+    out_tri = sum(
+        len(inn.get(s, set()) & inn.get(d, set()))
+        for s, d in recip
+        if s < d
+    )
+    cycle_plus = sum(
+        len(inn.get(s, set()) & out.get(d, set())) for s, d in recip
+    )
+    return {
+        "acyclic": acyclic,
+        "cyclic": cyclic,
+        "in": in_tri,
+        "out": out_tri,
+        "cycle_plus": cycle_plus,
+    }
