@@ -68,6 +68,9 @@ BIC_CLS_UNROLL = 7     # contraction-class label prop, probed 4
 MM_UNROLL = 9          # handshake matching, probed 7 rounds
 COVER_UNROLL = 3       # greedy cover, probed 1 round
 DOMSET_UNROLL = 14     # 2-hop greedy dominating set, probed 11
+AR_ROUNDS = 5          # ArticleRank fixed rounds (FLASH articlerank.h)
+DGO_UNROLL = 7         # degeneracy-ordering peel, probed 4 rounds at sf0.01
+ONION_UNROLL = 6       # onion-layer peel, probed 3 rounds at sf0.01
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -526,6 +529,147 @@ def _core_number_sql() -> str:
             )"""
         )
     return ",\n".join(parts) + f"\nselect vid, cast(core as bigint) as core from c{CORE_UNROLL}"
+
+
+def _articlerank_sql() -> str:
+    """FLASH ArticleRank (articlerank.h:41-72), AR_ROUNDS fixed rounds:
+    val'[d] = (1-a) + a * Σ_{s→d} val[s]/(outdeg[s] + avg_outdeg)."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "mm as materialized (select cast(count(*) as double) as m from edges)",
+        "deg as materialized (select src as vid, cast(count(*) as double) as od from edges group by 1)",
+        "r0 as materialized (select vid, 0.0 as ar from verts)",
+    ]
+    for k in range(AR_ROUNDS):
+        parts.append(
+            f"""r{k + 1} as materialized (
+              select v.vid,
+                     (1.0 - {ALPHA}) + {ALPHA} * coalesce(c.s, 0.0) as ar
+              from verts v left join (
+                select e.dst as vid,
+                       sum(r.ar / (dg.od + (select m from mm)/(select n from nn))) as s
+                from edges e
+                join r{k} r on e.src = r.vid
+                join deg dg on dg.vid = e.src
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect vid, round(ar, 8) as ar from r{AR_ROUNDS}"
+
+
+def _degeneracy_ordering_sql() -> str:
+    """Synchronous degeneracy peel (degeneracy-ordering.h:90-105),
+    unrolled: round i ranks unranked vertices whose remaining degree
+    ≤ degeneracy; newly-ranked decrement unranked neighbors."""
+    core_body = _core_number_sql().strip()
+    parts = [
+        f"with cores as materialized ({core_body})",
+        f"edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "dgv as materialized (select max(core) as dg from cores)",
+        "deg as materialized (select src as vid, count(*) as d from sym group by 1)",
+        """s0 as materialized (
+          select v.vid, cast(coalesce(deg.d, 0) as bigint) as d,
+                 cast(-1 as bigint) as rnk
+          from verts v left join deg using(vid)
+        )""",
+    ]
+    for k in range(DGO_UNROLL):
+        parts.append(
+            f"""n{k} as materialized (
+              select vid from s{k}
+              where rnk < 0 and d <= (select dg from dgv)
+            )""",
+        )
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select s.vid,
+                     case when s.rnk < 0 and s.vid in (select vid from n{k})
+                          then s.d
+                          when s.rnk < 0
+                          then s.d - coalesce(c.cnt, 0)
+                          else s.d end as d,
+                     case when s.rnk < 0 and s.vid in (select vid from n{k})
+                          then {k} else s.rnk end as rnk
+              from s{k} s left join (
+                select y.dst as vid, count(*) as cnt
+                from sym y join n{k} nn on y.src = nn.vid
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, cast(rnk as bigint) as rnk from s{DGO_UNROLL}"
+    )
+
+
+def _onion_layers_sql() -> str:
+    """Within-core synchronous peel (onion-layer-ordering.h:73-97):
+    d0 = |{{u∈N(v): core(u) ≥ core(v)}}|; round i ranks unranked with
+    d ≤ core(v); only same-core newly-ranked neighbors decrement."""
+    core_body = _core_number_sql().strip()
+    parts = [
+        f"with cores as materialized ({core_body})",
+        f"edges as materialized ({SQL_EDGES})",
+        f"sym as materialized ({SQL_SYM})",
+        """d0 as materialized (
+          select s.dst as vid, count(*) as d
+          from sym s
+          join cores cu on s.src = cu.vid
+          join cores cv on s.dst = cv.vid
+          where cu.core >= cv.core
+          group by 1
+        )""",
+        """s0 as materialized (
+          select c.vid, cast(coalesce(d0.d, 0) as bigint) as d,
+                 c.core as thr, cast(-1 as bigint) as rnk
+          from cores c left join d0 using(vid)
+        )""",
+    ]
+    for k in range(ONION_UNROLL):
+        parts.append(
+            f"""n{k} as materialized (
+              select vid, thr from s{k} where rnk < 0 and d <= thr
+            )""",
+        )
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select s.vid,
+                     case when s.rnk < 0 and s.vid in (select vid from n{k})
+                          then s.d
+                          when s.rnk < 0
+                          then s.d - coalesce(c.cnt, 0)
+                          else s.d end as d,
+                     s.thr,
+                     case when s.rnk < 0 and s.vid in (select vid from n{k})
+                          then {k} else s.rnk end as rnk
+              from s{k} s left join (
+                select y.dst as vid, count(*) as cnt
+                from sym y
+                join n{k} nn on y.src = nn.vid
+                join s{k} sv on y.dst = sv.vid
+                where sv.thr = nn.thr
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, cast(rnk as bigint) as layer from s{ONION_UNROLL}"
+    )
+
+
+def _kcore_size_sql() -> str:
+    kc_body = _kcore_sql().strip()
+    return f"""
+      with kc as materialized ({kc_body})
+      select cast(count(*) filter (where in_core) as bigint) as size from kc
+    """
 
 
 def _bfs_parent_sql() -> str:
@@ -2309,6 +2453,39 @@ def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import articlerank
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    return articlerank(
+        g, damping=ALPHA, max_iter=AR_ROUNDS, sync_every=AR_ROUNDS
+    ).select("vid", F.round("rank", 8).alias("ar"))
+
+
+def _q_degeneracy_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import degeneracy_ordering
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return degeneracy_ordering(order_graph(spark, sf_dir)).select(
+        "vid", F.col("rank").alias("rnk")
+    )
+
+
+def _q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import onion_layers
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return onion_layers(order_graph(spark, sf_dir)).select("vid", "layer")
+
+
+def _q_kcore_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import kcore_size
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return kcore_size(order_graph(spark, sf_dir), k=KCORE_K)
+
+
 # ---------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------
@@ -2387,6 +2564,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
+        "articlerank": _q_articlerank,
+        "degeneracy_ordering": _q_degeneracy_ordering,
+        "onion_layers": _q_onion_layers,
+        "kcore_size": _q_kcore_size,
     }
 
 
@@ -2456,6 +2637,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bfs_parent": _bfs_parent_sql(),
         "kshell": _kshell_sql(),
+        "articlerank": _articlerank_sql(),
+        "degeneracy_ordering": _degeneracy_ordering_sql(),
+        "onion_layers": _onion_layers_sql(),
+        "kcore_size": _kcore_size_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
         "doc_tokens": r"""

@@ -43,6 +43,13 @@ from graphscope_spark.algorithms.scc import strongly_connected_components
 from graphscope_spark.algorithms.kclique import four_clique_count
 from graphscope_spark.algorithms.msf import minimum_spanning_forest
 from graphscope_spark.algorithms.ktruss import k_truss
+from graphscope_spark.algorithms.articlerank import articlerank
+from graphscope_spark.algorithms.peeling import (
+    degeneracy,
+    degeneracy_ordering,
+    kcore_size,
+    onion_layers,
+)
 from graphscope_spark.algorithms.subgraph import (
     diamond_count,
     densest_subgraph_2approx,
@@ -55,6 +62,11 @@ from graphscope_spark.algorithms.subgraph import (
 )
 
 __all__ = [
+    "articlerank",
+    "degeneracy",
+    "degeneracy_ordering",
+    "kcore_size",
+    "onion_layers",
     "minimum_spanning_forest",
     "k_truss",
     "rectangle_count",

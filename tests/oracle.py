@@ -1160,3 +1160,80 @@ def directed_census_oracle(edges: list[tuple[int, int]]) -> dict[str, int]:
         "out": out_tri,
         "cycle_plus": cycle_plus,
     }
+
+
+def articlerank_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    damping: float = 0.85,
+    rounds: int = 10,
+    directed: bool = True,
+) -> dict[int, float]:
+    """FLASH ArticleRank (articlerank.h:41-72): fixed rounds of
+    val[d] = (1-damping) + damping * Σ_{s→d} val[s]/(deg[s]+avg)."""
+    es = {(s, d) for s, d in edges if s != d}
+    if not directed:
+        es |= {(d, s) for s, d in es}
+    deg = {v: 0 for v in vertices}
+    for s, _ in es:
+        deg[s] += 1
+    n = len(vertices)
+    avg = sum(deg.values()) / n
+    val = {v: 0.0 for v in vertices}
+    for _ in range(rounds):
+        nxt = {v: 0.0 for v in vertices}
+        for s, d in es:
+            nxt[d] += damping * val[s] / (deg[s] + avg)
+        val = {v: nxt[v] + (1 - damping) for v in vertices}
+    return val
+
+
+def degeneracy_ordering_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """Synchronous degeneracy peel (degeneracy-ordering.h:90-105):
+    round i ranks unranked vertices whose degree minus already-ranked
+    neighbors is <= degeneracy."""
+    adj, _ = _simple_undirected(edges, vertices)
+    core = core_number_oracle(edges, vertices)
+    dg = max(core.values()) if core else 0
+    d = {v: len(adj[v]) for v in vertices}
+    rank = {v: -1 for v in vertices}
+    i = 0
+    while any(r < 0 for r in rank.values()):
+        newly = [v for v in vertices if rank[v] < 0 and d[v] <= dg]
+        if not newly:
+            break
+        for v in newly:
+            rank[v] = i
+        for v in newly:
+            for u in adj[v]:
+                if rank[u] < 0:
+                    d[u] -= 1
+        i += 1
+    return rank
+
+
+def onion_layers_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """Within-core synchronous peel (onion-layer-ordering.h:73-97):
+    d0 = |{u in N(v): core(u) >= core(v)}|; round i ranks unranked
+    with d <= core(v); only same-core ranked neighbors decrement."""
+    adj, _ = _simple_undirected(edges, vertices)
+    core = core_number_oracle(edges, vertices)
+    d = {v: sum(1 for u in adj[v] if core[u] >= core[v]) for v in vertices}
+    rank = {v: -1 for v in vertices}
+    i = 0
+    while any(r < 0 for r in rank.values()):
+        newly = [v for v in vertices if rank[v] < 0 and d[v] <= core[v]]
+        if not newly:
+            break
+        for v in newly:
+            rank[v] = i
+        for v in newly:
+            for u in adj[v]:
+                if rank[u] < 0 and core[u] == core[v]:
+                    d[u] -= 1
+        i += 1
+    return rank
