@@ -71,6 +71,14 @@ DOMSET_UNROLL = 14     # 2-hop greedy dominating set, probed 11
 AR_ROUNDS = 5          # ArticleRank fixed rounds (FLASH articlerank.h)
 DGO_UNROLL = 7         # degeneracy-ordering peel, probed 4 rounds at sf0.01
 ONION_UNROLL = 6       # onion-layer peel, probed 3 rounds at sf0.01
+COLOR_MOD = 7          # thinned co-purchase graph for greedy coloring
+COLOR_UNROLL = 17      # coloring fixpoint probed 14 rounds at sf0.01
+MEC_UNROLL = 5         # min-edge-cover handshake, probed 3 rounds
+KC_K = 3               # k-center count
+KC_UNROLL = 6          # per-center BFS relax depth, probed 3
+FLUID_ROUNDS = 6       # fluid communities fixed synchronous rounds
+FLUID_S = 10           # fluid seed count (s smallest vertex ids)
+ENC = 10000000         # (value, vid) lexicographic key: value*ENC + vid
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -661,6 +669,235 @@ def _onion_layers_sql() -> str:
     return (
         ",\n".join(parts)
         + f"\nselect vid, cast(rnk as bigint) as layer from s{ONION_UNROLL}"
+    )
+
+
+def _coloring_sql() -> str:
+    """FLASH greedy coloring fixpoint (clustering/color.h:48-82) over the
+    thinned co-purchase graph, unrolled past the probed fixpoint: per
+    round c[v] = mex of colors of higher-(degree, id)-priority
+    neighbors."""
+    parts = [
+        f"with edges as materialized (select src, dst from ({SQL_CP_EDGES}) "
+        f"where (src + dst) % {COLOR_MOD} = 0)",
+        "verts as materialized (select src as vid from edges union select dst from edges)",
+        "sym as materialized (select src, dst from edges union select dst, src from edges)",
+        "deg as materialized (select src as vid, count(*) as d from sym group by 1)",
+        """pe as materialized (
+          select s.src, s.dst from sym s
+          join deg a on a.vid = s.src
+          join deg b on b.vid = s.dst
+          where a.d > b.d or (a.d = b.d and s.src > s.dst)
+        )""",
+        "c0 as materialized (select vid, 0 as color from verts)",
+    ]
+    for k in range(COLOR_UNROLL):
+        parts.append(
+            f"""u{k} as materialized (
+              select distinct p.dst as vid, c.color as col
+              from pe p join c{k} c on p.src = c.vid
+            )"""
+        )
+        parts.append(
+            f"""cand{k} as materialized (
+              select vid, g.i
+              from (select vid, count(*) as ncl from u{k} group by 1),
+                   unnest(generate_series(0, ncl)) as g(i)
+            )"""
+        )
+        parts.append(
+            f"""c{k + 1} as materialized (
+              select v.vid, coalesce(mx.cc, 0) as color
+              from verts v left join (
+                select c.vid, min(c.i) as cc
+                from cand{k} c left join u{k} u
+                  on u.vid = c.vid and u.col = c.i
+                where u.vid is null
+                group by 1
+              ) mx using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, cast(color as bigint) as color from c{COLOR_UNROLL}"
+    )
+
+
+def _min_edge_cover_sql() -> str:
+    """Min-(degree, id) handshake matching over the thinned order graph,
+    then cover size = matched/2 + unmatched-with-degree
+    (min-edge-cover.h:47-99), unrolled past the probed quiesce."""
+    parts = [
+        f"with edges as materialized (select src, dst from ({SQL_EDGES}) "
+        f"where (src + dst) % {BIC_MOD} = 0)",
+        "verts as materialized (select src as vid from edges union select dst from edges)",
+        "sym as materialized (select src, dst from edges union select dst, src from edges)",
+        "deg as materialized (select src as vid, count(*) as d from sym group by 1)",
+        """s0 as materialized (
+          select v.vid, cast(deg.d as bigint) as d,
+                 cast(-1 as bigint) as mate, cast(-1 as bigint) as p
+          from verts v join deg using(vid)
+        )""",
+    ]
+    for k in range(MEC_UNROLL):
+        parts.append(
+            f"""cand{k} as materialized (
+              select y.dst as vid, min(u.d * {ENC} + u.vid) as mk
+              from sym y
+              join s{k} pk on y.dst = pk.vid and pk.mate = -1 and pk.p = -1
+              join s{k} u on y.src = u.vid and u.mate = -1
+              group by 1
+            )"""
+        )
+        parts.append(
+            f"""t{k} as materialized (
+              select s.vid, s.d, s.mate,
+                     case when s.mate = -1 and s.p = -1
+                          then coalesce(c.mk % {ENC}, -1)
+                          else s.p end as p
+              from s{k} s left join cand{k} c using(vid)
+            )"""
+        )
+        parts.append(
+            f"""mut{k} as materialized (
+              select x.vid as a, x.p as b
+              from t{k} x join t{k} y on x.p = y.vid and y.p = x.vid
+              where x.mate = -1 and x.p >= 0 and y.mate = -1
+            )"""
+        )
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select t.vid, t.d, coalesce(m.b, t.mate) as mate,
+                     case when coalesce(m.b, t.mate) = -1
+                               and t.p in (select b from mut{k})
+                          then -1 else t.p end as p
+              from t{k} t left join mut{k} m on t.vid = m.a
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        select cast(
+          (select count(*) from s{MEC_UNROLL} where mate >= 0) / 2
+          + (select count(*) from s{MEC_UNROLL} where mate = -1 and d > 0)
+          as bigint) as size"""
+    )
+
+
+def _k_center_sql() -> str:
+    """Greedy k-center (measurement/k-center.h:48-74): first center
+    argmax (degree, id), then k-1 rounds of full min-relax BFS +
+    argmax (dis, id); output min hop distance, -1 unreachable."""
+    inf = 999999
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        "deg as materialized (select src as vid, count(*) as d from sym group by 1)",
+        f"""d0_0 as materialized (
+          select v.vid, cast(coalesce(deg.d, 0) as bigint) as d,
+                 cast({inf} as bigint) as dis
+          from verts v left join deg using(vid)
+        )""",
+    ]
+    prev = "d0_0"
+    for i in range(KC_K):
+        key = "d" if i == 0 else "dis"
+        parts.append(
+            f"""cen{i} as materialized (
+              select max({key} * {ENC} + vid) % {ENC} as c from {prev}
+            )"""
+        )
+        parts.append(
+            f"""t{i}_0 as materialized (
+              select vid, d,
+                     case when vid = (select c from cen{i}) then 0
+                          else dis end as dis
+              from {prev}
+            )"""
+        )
+        for j in range(1, KC_UNROLL + 1):
+            parts.append(
+                f"""t{i}_{j} as materialized (
+                  select s.vid, s.d,
+                         least(s.dis, coalesce(m.md, {inf})) as dis
+                  from t{i}_{j - 1} s left join (
+                    select y.dst as vid, min(x.dis) + 1 as md
+                    from sym y join t{i}_{j - 1} x on y.src = x.vid
+                    group by 1
+                  ) m using(vid)
+                )"""
+            )
+        prev = f"t{i}_{KC_UNROLL}"
+    return (
+        ",\n".join(parts)
+        + f"""
+        select vid, cast(case when dis >= {inf} then -1 else dis end
+                         as bigint) as dis
+        from {prev}"""
+    )
+
+
+def _fluid_sql() -> str:
+    """Synchronous fluid communities (clustering/fluid-community.h:73-106)
+    with deterministic seeds (FLUID_S smallest vids), FLUID_ROUNDS fixed
+    rounds; density = one exact double division m_i/cnt_i per candidate
+    (see graphscope_spark/algorithms/fluid.py)."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        f"""seeds as materialized (
+          select vid, cast(row_number() over (order by vid) - 1 as int) as slab
+          from (select vid from verts order by vid limit {FLUID_S})
+        )""",
+        """s0 as materialized (
+          select v.vid, coalesce(s.slab, -1) as lab
+          from verts v left join seeds s using(vid)
+        )""",
+    ]
+    for k in range(FLUID_ROUNDS):
+        parts.append(
+            f"""cnt{k} as materialized (
+              select lab, count(*) as c from s{k} where lab >= 0 group by 1
+            )"""
+        )
+        parts.append(
+            f"""d{k} as materialized (
+              select t.vid, t.lab, cast(count(*) as double) / any_value(c.c) as dens
+              from (
+                select y.dst as vid, x.lab
+                from sym y join s{k} x on y.src = x.vid
+                where x.lab >= 0
+                union all
+                select vid, lab from s{k} where lab >= 0
+              ) t join cnt{k} c using(lab)
+              group by t.vid, t.lab
+            )"""
+        )
+        parts.append(
+            f"""best{k} as materialized (
+              select d.vid, min(d.lab) as blab, any_value(b.md) as bd
+              from d{k} d
+              join (select vid, max(dens) as md from d{k} group by 1) b
+                on d.vid = b.vid and d.dens = b.md
+              group by d.vid
+            )"""
+        )
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select s.vid,
+                     cast(case when b.blab is not null
+                               and (s.lab < 0 or b.bd > coalesce(c2.dens, 0.0))
+                          then b.blab else s.lab end as int) as lab
+              from s{k} s
+              left join best{k} b using(vid)
+              left join d{k} c2 on s.vid = c2.vid and s.lab = c2.lab
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, lab from s{FLUID_ROUNDS}"
     )
 
 
@@ -2486,6 +2723,38 @@ def _q_kcore_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_size(order_graph(spark, sf_dir), k=KCORE_K)
 
 
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import graph_coloring
+    from graphscope_spark.sources.tpch_graph import thin_copurchase_graph
+
+    return graph_coloring(thin_copurchase_graph(spark, sf_dir, COLOR_MOD)).select(
+        "vid", "color"
+    )
+
+
+def _q_min_edge_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import min_edge_cover
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return min_edge_cover(thin_order_graph(spark, sf_dir, BIC_MOD))
+
+
+def _q_k_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import k_center
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return k_center(order_graph(spark, sf_dir), k=KC_K).select("vid", "dis")
+
+
+def _q_fluid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import fluid_communities
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return fluid_communities(
+        order_graph(spark, sf_dir), s=FLUID_S, rounds=FLUID_ROUNDS
+    ).select("vid", "lab")
+
+
 # ---------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------
@@ -2568,6 +2837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degeneracy_ordering": _q_degeneracy_ordering,
         "onion_layers": _q_onion_layers,
         "kcore_size": _q_kcore_size,
+        "coloring": _q_coloring,
+        "min_edge_cover": _q_min_edge_cover,
+        "k_center": _q_k_center,
+        "fluid_communities": _q_fluid,
     }
 
 
@@ -2641,6 +2914,10 @@ def oracle_sql() -> dict[str, str]:
         "degeneracy_ordering": _degeneracy_ordering_sql(),
         "onion_layers": _onion_layers_sql(),
         "kcore_size": _kcore_size_sql(),
+        "coloring": _coloring_sql(),
+        "min_edge_cover": _min_edge_cover_sql(),
+        "k_center": _k_center_sql(),
+        "fluid_communities": _fluid_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
         "doc_tokens": r"""

@@ -44,11 +44,20 @@ from graphscope_spark.algorithms.kclique import four_clique_count
 from graphscope_spark.algorithms.msf import minimum_spanning_forest
 from graphscope_spark.algorithms.ktruss import k_truss
 from graphscope_spark.algorithms.articlerank import articlerank
+from graphscope_spark.algorithms.coloring import graph_coloring
+from graphscope_spark.algorithms.fluid import fluid_communities
+from graphscope_spark.algorithms.kcenter import k_center
 from graphscope_spark.algorithms.peeling import (
     degeneracy,
     degeneracy_ordering,
     kcore_size,
     onion_layers,
+)
+from graphscope_spark.algorithms.matching import (
+    maximal_matching,
+    min_dominating_set,
+    min_edge_cover,
+    min_vertex_cover,
 )
 from graphscope_spark.algorithms.subgraph import (
     diamond_count,
@@ -63,6 +72,13 @@ from graphscope_spark.algorithms.subgraph import (
 
 __all__ = [
     "articlerank",
+    "graph_coloring",
+    "fluid_communities",
+    "k_center",
+    "maximal_matching",
+    "min_dominating_set",
+    "min_edge_cover",
+    "min_vertex_cover",
     "degeneracy",
     "degeneracy_ordering",
     "kcore_size",

@@ -204,3 +204,94 @@ def min_dominating_set(g: Graph, max_iter: int = 500) -> DataFrame:
         if state.where(~F.col("dom")).limit(1).count() == 0:
             break
     return state.where(F.col("b")).select(VID)
+
+
+def min_edge_cover(g: Graph, max_iter: int = 200) -> DataFrame:
+    """Greedy min edge cover size (min-edge-cover.h:47-99): handshake
+    matching with min-(degree, id) preference, then cover size =
+    |matched|/2 + |unmatched with deg>0|.  Returns one row (size long).
+
+    Per round: unmatched vertices needing a pick take the min
+    struct(deg, vid) over unmatched neighbors (one join + groupBy min);
+    mutual picks match (self-join of the pick table); picks pointing at
+    newly-matched vertices reset.  Same shrinking-frontier shape as
+    ``maximal_matching`` but degree-ordered, matching the reference's
+    preference for covering low-degree vertices first.
+    """
+    sym = g.symmetrized().select(SRC, DST).cache()
+    deg = sym.groupBy(F.col(SRC).alias(VID)).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    degv = g.vertices.select(VID).join(deg, VID, "left").select(
+        VID, F.coalesce("d", F.lit(0)).cast("long").alias("d")
+    )
+    # state: (vid, d, mate, p); p = -1 means "needs a (re)pick"
+    state = stats_barrier(
+        degv.select(
+            VID, "d",
+            F.lit(-1).cast("long").alias("mate"),
+            F.lit(-1).cast("long").alias("p"),
+        )
+    )
+    for _ in range(max_iter):
+        un = state.where(F.col("mate") == -1)
+        pickers = un.where(F.col("p") == -1).select(VID)
+        # min (deg, id) over unmatched neighbors of each picker
+        cand = (
+            sym.join(pickers.withColumnRenamed(VID, DST), DST)
+            .join(
+                un.select(
+                    F.col(VID).alias(SRC),
+                    F.struct("d", F.col(VID).alias("v")).alias("k"),
+                ),
+                SRC,
+            )
+            .groupBy(F.col(DST).alias(VID))
+            .agg(F.min("k").alias("mk"))
+            .select(VID, F.col("mk.v").alias("newp"))
+        )
+        st = state.join(cand, VID, "left").select(
+            VID, "d", "mate",
+            F.when(
+                (F.col("mate") == -1) & (F.col("p") == -1),
+                F.coalesce("newp", F.lit(-1)),
+            )
+            .otherwise(F.col("p"))
+            .alias("p"),
+        )
+        picks = st.where((F.col("mate") == -1) & (F.col("p") >= 0)).select(
+            F.col(VID).alias("a"), F.col("p").alias("b")
+        )
+        mutual = picks.intersect(
+            picks.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        matched = mutual.select(F.col("a").alias(VID), F.col("b").alias("nm"))
+        st2 = st.join(matched, VID, "left").select(
+            VID, "d", F.coalesce("nm", "mate").alias("mate"), "p"
+        )
+        # picks aimed at newly-matched vertices reset to -1
+        reset = matched.select(F.col(VID).alias("p")).distinct()
+        state = stats_barrier(
+            st2.join(reset.withColumn("hit", F.lit(True)), "p", "left").select(
+                VID, "d", "mate",
+                F.when(
+                    (F.col("mate") == -1) & F.col("hit").isNotNull(),
+                    F.lit(-1).cast("long"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+        )
+        if matched.limit(1).count() == 0:
+            break
+    matched_n = state.where(F.col("mate") >= 0).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("nm")
+    )
+    single_n = state.where((F.col("mate") == -1) & (F.col("d") > 0)).agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    out = matched_n.crossJoin(single_n).select(
+        (F.col("nm") + F.col("ns")).cast("long").alias("size")
+    )
+    sym.unpersist()
+    return out

@@ -83,6 +83,19 @@ def copurchase_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32)
     )
 
 
+def thin_copurchase_graph(
+    spark: SparkSession, sf_dir: str, mod: int = 7, num_partitions: int = 32
+) -> Graph:
+    """Co-purchase graph thinned by a deterministic modulus — keeps the
+    graph non-bipartite (odd cycles survive) while shrinking the
+    iteration count of round-heavy operators (probed at sf0.01, mod=7:
+    2000 v / 16667 e, greedy coloring fixpoint in 14 rounds)."""
+    e = copurchase_edges(spark, sf_dir).where(
+        (F.col("src") + F.col("dst")) % mod == 0
+    )
+    return Graph.from_edges(e, directed=False, num_partitions=num_partitions)
+
+
 def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst): DIRECTED part graph — edge a→b when a precedes b
     (lower line number) in some order.  Both directions can exist via

@@ -1237,3 +1237,149 @@ def onion_layers_oracle(
                     d[u] -= 1
         i += 1
     return rank
+
+
+def coloring_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], max_rounds: int = 10000
+) -> dict[int, int]:
+    """FLASH speculative greedy coloring (clustering/color.h:48-82):
+    synchronous rounds of c[v] = mex{c[u] : u ∈ N(v), pri(u) > pri(v)}
+    with pri = (degree, id), until fixpoint."""
+    adj, _ = _simple_undirected(edges, vertices)
+    deg = {v: len(adj[v]) for v in vertices}
+    pri = {v: (deg[v], v) for v in vertices}
+    c = {v: 0 for v in vertices}
+    for _ in range(max_rounds):
+        nxt = {}
+        for v in vertices:
+            used = {c[u] for u in adj[v] if pri[u] > pri[v]}
+            i = 0
+            while i in used:
+                i += 1
+            nxt[v] = i
+        if nxt == c:
+            break
+        c = nxt
+    return c
+
+
+def min_edge_cover_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], max_rounds: int = 10000
+) -> tuple[int, int]:
+    """Greedy min edge cover (matching/min-edge-cover.h:47-99): handshake
+    matching where every unmatched vertex picks its min-(degree, id)
+    unmatched neighbor, mutual picks match; cover size = matched/2 +
+    |unmatched with deg>0|.  Returns (cover_size, rounds_used)."""
+    adj, _ = _simple_undirected(edges, vertices)
+    deg = {v: len(adj[v]) for v in vertices}
+    mate = {v: -1 for v in vertices}
+    pick: dict[int, int] = {v: -1 for v in vertices}
+    need = set(v for v in vertices if adj[v])
+    rounds = 0
+    for r in range(max_rounds):
+        # re-pick for vertices flagged as needing one
+        for v in need:
+            if mate[v] != -1:
+                continue
+            best = -1
+            for u in adj[v]:
+                if mate[u] == -1 and (
+                    best == -1 or (deg[u], u) < (deg[best], best)
+                ):
+                    best = u
+            pick[v] = best
+        # mutual picks match
+        newly = []
+        for v in vertices:
+            u = pick[v]
+            if u != -1 and mate[v] == -1 and pick[u] == v and mate[u] == -1:
+                newly.append(v)
+        if not newly:
+            rounds = r
+            break
+        for v in newly:
+            mate[v] = pick[v]
+        # unmatched whose pick got matched must re-pick
+        need = {
+            v
+            for v in vertices
+            if mate[v] == -1 and pick[v] != -1 and mate[pick[v]] != -1
+        }
+        rounds = r + 1
+    n_match = sum(1 for v in vertices if mate[v] != -1) // 2
+    n_single = sum(1 for v in vertices if mate[v] == -1 and deg[v] > 0)
+    return n_match + n_single, rounds
+
+
+def k_center_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], k: int
+) -> tuple[dict[int, int], list[int]]:
+    """Greedy k-center (measurement/k-center.h:48-74): first center is
+    argmax (degree, id); each next center is argmax (current min hop
+    distance, id); dis = min hop distance to any center (-1 unreachable).
+    Returns (dis, centers)."""
+    adj, _ = _simple_undirected(edges, vertices)
+    INF = float("inf")
+    dis = {v: INF for v in vertices}
+    deg = {v: len(adj[v]) for v in vertices}
+    centers = []
+    for i in range(k):
+        if i == 0:
+            c = max(vertices, key=lambda v: (deg[v], v))
+        else:
+            c = max(vertices, key=lambda v: (dis[v], v))
+        centers.append(c)
+        # BFS relax from c
+        dis[c] = 0
+        frontier = [c]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for v in frontier:
+                for u in adj[v]:
+                    if dis[u] > d:
+                        dis[u] = d
+                        nxt.append(u)
+            frontier = nxt
+    return {v: (-1 if dis[v] == INF else int(dis[v])) for v in dis}, centers
+
+
+def fluid_community_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    seeds: list[int],
+    rounds: int,
+) -> dict[int, int]:
+    """Synchronous fluid communities (clustering/fluid-community.h:73-106,
+    Parés et al. 2017): density d_i = m_i / cnt_i with m_i = self+neighbor
+    members of community i and cnt_i = community size at round start; a
+    vertex switches to the smallest argmax community when its density
+    strictly beats the current one.  Exact: one division per candidate."""
+    adj, _ = _simple_undirected(edges, vertices)
+    lab = {v: (seeds.index(v) if v in seeds else -1) for v in vertices}
+    for _ in range(rounds):
+        cnt: dict[int, int] = {}
+        for v in vertices:
+            if lab[v] >= 0:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+        nxt = {}
+        for v in vertices:
+            m: dict[int, int] = {}
+            if lab[v] >= 0:
+                m[lab[v]] = 1
+            for u in adj[v]:
+                if lab[u] >= 0:
+                    m[lab[u]] = m.get(lab[u], 0) + 1
+            if not m:
+                nxt[v] = lab[v]
+                continue
+            d = {i: mi / cnt[i] for i, mi in m.items()}
+            md = max(d.values())
+            blab = min(i for i in d if d[i] == md)
+            if lab[v] < 0 or md > d.get(lab[v], 0.0):
+                nxt[v] = blab
+            else:
+                nxt[v] = lab[v]
+        lab = nxt
+    return lab
