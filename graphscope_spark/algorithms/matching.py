@@ -124,28 +124,40 @@ def min_vertex_cover(g: Graph, max_iter: int = 500) -> DataFrame:
     return state.where(F.col("c")).select(VID)
 
 
-def min_dominating_set(g: Graph, max_iter: int = 500) -> DataFrame:
-    """2-hop greedy dominating set; returns (vid) rows — the members."""
-    sym = g.symmetrized().cache()
+def min_dominating_set(
+    g: Graph, max_iter: int = 500, sync_every: int = 4
+) -> DataFrame:
+    """2-hop greedy dominating set; returns (vid) rows — the members.
+
+    Scale notes (this converges in ~n/Δ-ish rounds on hub-heavy graphs —
+    observed 49 rounds on the thinned sf0.1 order graph — so per-round
+    overhead dominates, not data volume):
+    - ``sync_every`` rounds chain LAZILY into one Catalyst plan between
+      materializations; the termination check runs once per batch (extra
+      rounds past quiescence select nothing and are idempotent).  This
+      cuts driver job count ~4× for the long low-degree cleanup tail.
+    - The alive state holds ONLY still-undominated vertices, and the
+      edge set is re-induced on the alive set once per batch, so late
+      rounds join a collapsing edge table instead of the full |E|.
+    """
+    sym = g.symmetrized().select(SRC, DST)
     deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("cnt"))
-    state = stats_barrier(
+    # reference init quirk (min-dominating-set.h:48-56): round 1 ranks by
+    # FULL degree, not the non-dominated count
+    act = stats_barrier(
         g.vertices.select(VID)
         .join(deg, VID, "left")
-        .select(
-            VID,
-            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
-            F.lit(False).alias("b"),
-            F.lit(False).alias("dom"),
-        )
+        .select(VID, F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
     )
+    asym = stats_barrier(sym)
+    spark = g.edges.sparkSession
+    selected = spark.createDataFrame([], f"{VID} long")
 
-    def hop_max(cur: DataFrame) -> DataFrame:
-        """One fold: max struct(cnt, vid-of-max) over self + non-dominated
-        neighbors; cur has (vid, k struct, dom)."""
+    def hop_max(cur: DataFrame, edges: DataFrame) -> DataFrame:
+        """One fold: max struct over self + alive neighbors."""
         msgs = (
-            sym.join(
-                cur.where(~F.col("dom")).select(F.col(VID).alias(SRC), F.col("k").alias("nk")),
-                SRC,
+            edges.join(
+                cur.select(F.col(VID).alias(SRC), F.col("k").alias("nk")), SRC
             )
             .groupBy(F.col(DST).alias(VID))
             .agg(F.max("nk").alias("mk"))
@@ -155,55 +167,51 @@ def min_dominating_set(g: Graph, max_iter: int = 500) -> DataFrame:
             F.when(F.col("mk").isNotNull() & (F.col("mk") > F.col("k")), F.col("mk"))
             .otherwise(F.col("k"))
             .alias("k"),
-            "dom",
         )
 
-    for _ in range(max_iter):
-        cur = state.where(~F.col("dom")).select(
-            VID, F.struct("cnt", F.col(VID).alias("m")).alias("k"), "dom"
-        )
-        cur = hop_max(hop_max(cur))
-        sel = cur.where(F.col("k.m") == F.col(VID)).select(VID)
-        # dominate: selected + their neighbors
-        dominated = (
-            sym.join(sel.withColumnRenamed(VID, SRC), SRC)
-            .select(F.col(DST).alias(VID))
-            .unionByName(sel)
-            .distinct()
-            .withColumn("hit", F.lit(True))
-        )
-        st2 = (
-            state.join(sel.withColumn("s", F.lit(True)), VID, "left")
-            .join(dominated, VID, "left")
-            .select(
-                VID,
-                "cnt",
-                (F.col("b") | F.col("s").isNotNull()).alias("b"),
-                (F.col("dom") | F.col("hit").isNotNull()).alias("dom"),
+    for _ in range(0, max_iter, sync_every):
+        edges = asym
+        for _ in range(sync_every):
+            cur = act.select(VID, F.struct("cnt", F.col(VID).alias("m")).alias("k"))
+            cur = hop_max(hop_max(cur, edges), edges)
+            sel = cur.where(F.col("k.m") == F.col(VID)).select(VID)
+            dominated = (
+                edges.join(sel.withColumnRenamed(VID, SRC), SRC)
+                .select(F.col(DST).alias(VID))
+                .unionByName(sel)
+                .distinct()
             )
-        )
-        # recount non-dominated neighbors for survivors
-        ndcnt = (
-            sym.join(
-                st2.where(~F.col("dom")).select(F.col(VID).alias(SRC)), SRC
+            selected = selected.unionByName(sel)
+            # lazily shrink within the batch so chained rounds don't
+            # message through freshly-dominated vertices
+            edges = edges.join(
+                dominated.withColumnRenamed(VID, SRC), SRC, "anti"
+            ).join(dominated.withColumnRenamed(VID, DST), DST, "anti")
+            ndcnt = edges.groupBy(F.col(SRC).alias(VID)).agg(
+                F.count(F.lit(1)).alias("nd")
             )
-            .groupBy(F.col(DST).alias(VID))
-            .agg(F.count(F.lit(1)).alias("nd"))
-        )
-        state = stats_barrier(
-            st2.join(ndcnt, VID, "left").select(
-                VID,
-                F.when(F.col("dom"), F.col("cnt"))
-                .otherwise(F.coalesce("nd", F.lit(0)))
-                .cast("long")
-                .alias("cnt"),
-                "b",
-                "dom",
+            act = (
+                act.join(dominated, VID, "anti")
+                .join(ndcnt, VID, "left")
+                .select(VID, F.coalesce("nd", F.lit(0)).cast("long").alias("cnt"))
             )
-        )
-        if state.where(~F.col("dom")).limit(1).count() == 0:
+            # lazy checkpoints make each frame a plan LEAF for the next
+            # round — without them the plan TREE (not DAG) quintuples
+            # per chained round and the analyzer melts — while deferring
+            # actual materialization to the batch-end barrier
+            edges = edges.localCheckpoint(eager=False)
+            act = act.localCheckpoint(eager=False)
+            selected = selected.localCheckpoint(eager=False)
+        act = stats_barrier(act)
+        selected = stats_barrier(selected)
+        if act.limit(1).count() == 0:
             break
-    return state.where(F.col("b")).select(VID)
+        asym = stats_barrier(
+            asym.join(act.select(F.col(VID).alias(SRC)), SRC, "semi").join(
+                act.select(F.col(VID).alias(DST)), DST, "semi"
+            )
+        )
+    return selected.select(VID)
 
 
 def min_edge_cover(g: Graph, max_iter: int = 200) -> DataFrame:
