@@ -79,6 +79,9 @@ KC_UNROLL = 6          # per-center BFS relax depth, probed 3
 FLUID_ROUNDS = 6       # fluid communities fixed synchronous rounds
 FLUID_S = 10           # fluid seed count (s smallest vertex ids)
 ENC = 10000000         # (value, vid) lexicographic key: value*ENC + vid
+SPATH_LEN = 3          # sampling_path walk length (edges)
+SPATH_LIMIT = 1000     # deterministic lexicographic path cap
+ASP_CUTOFF = 4         # all_simple_paths max hops
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -899,6 +902,90 @@ def _fluid_sql() -> str:
         ",\n".join(parts)
         + f"\nselect vid, lab from s{FLUID_ROUNDS}"
     )
+
+
+SQL_CPD_THIN_EDGES = """
+  select src, dst from (
+    select distinct a.l_partkey as src, b.l_partkey as dst
+    from lineitem a join lineitem b
+      on a.l_orderkey = b.l_orderkey
+     and a.l_linenumber < b.l_linenumber
+     and a.l_partkey != b.l_partkey
+  ) where (src + dst) % 7 = 0
+"""
+
+
+def _sampling_path_sql() -> str:
+    """Deterministic pattern-walk sample (sampling_path.h:43-135):
+    lexicographically smallest SPATH_LIMIT directed walks of SPATH_LEN
+    edges over the thinned line-number-ordered co-purchase graph."""
+    joins = []
+    for i in range(2, SPATH_LEN + 1):
+        joins.append(f"join edges e{i} on e{i - 1}.dst = e{i}.src")
+    cols = ["e1.src as v0"] + [
+        f"e{i}.dst as v{i}" for i in range(1, SPATH_LEN + 1)
+    ]
+    order = ", ".join(f"v{i}" for i in range(SPATH_LEN + 1))
+    return f"""
+      with edges as materialized ({SQL_CPD_THIN_EDGES})
+      select {", ".join(cols)}
+      from edges e1
+      {" ".join(joins)}
+      order by {order}
+      limit {SPATH_LIMIT}
+    """
+
+
+def _is_simple_path_sql() -> str:
+    """Whether the lexicographically-first SPATH_LEN-edge walk is a
+    simple path (is_simple_path.h:44-96): pairwise-distinct check over
+    the deterministic first walk."""
+    body = _sampling_path_sql().strip()
+    n = SPATH_LEN + 1
+    pairs = " and ".join(
+        f"v{i} != v{j}" for i in range(n) for j in range(i + 1, n)
+    )
+    return f"""
+      with walks as materialized ({body})
+      select ({pairs}) as is_simple
+      from (select * from walks order by {", ".join(f"v{i}" for i in range(n))}
+            limit 1)
+    """
+
+
+def _all_simple_paths_sql() -> str:
+    """All simple paths min(vid)→max(vid) over the symmetrized thinned
+    order graph with ≤ ASP_CUTOFF hops (all_simple_paths.h, NX
+    semantics), as unrolled join enumeration."""
+    parts = [
+        f"with edges as materialized (select src, dst from ({SQL_EDGES}) "
+        f"where (src + dst) % {BIC_MOD} = 0)",
+        "verts as materialized (select src as vid from edges union select dst from edges)",
+        "sym as materialized (select src, dst from edges union select dst, src from edges)",
+        "st as materialized (select min(vid) as s, "
+        "(select max(dst) from sym where src = (select min(vid) from verts)) as t "
+        "from verts)",
+    ]
+    selects = []
+    for k in range(1, ASP_CUTOFF + 1):
+        tabs = ["sym e1"] + [
+            f"join sym e{i} on e{i - 1}.dst = e{i}.src" for i in range(2, k + 1)
+        ]
+        vs = ["e1.src"] + [f"e{i}.dst" for i in range(1, k + 1)]
+        conds = [f"e1.src = (select s from st)", f"e{k}.dst = (select t from st)"]
+        for i in range(k + 1):
+            for j in range(i + 1, k + 1):
+                conds.append(f"{vs[i]} != {vs[j]}")
+        # interior vertices must not be the target (paths stop there)
+        for i in range(1, k):
+            conds.append(f"{vs[i]} != (select t from st)")
+        selects.append(
+            f"""select concat_ws('-', {", ".join(vs)}) as path,
+                       cast({k} as int) as hops
+                from {" ".join(tabs)}
+                where {" and ".join(conds)}"""
+        )
+    return ",\n".join(parts) + "\n" + "\nunion all\n".join(selects)
 
 
 def _kcore_size_sql() -> str:
@@ -2755,6 +2842,52 @@ def _q_fluid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vid", "lab")
 
 
+def _thin_cpd_graph(spark: SparkSession, sf_dir: str):
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.sources.tpch_graph import copurchase_directed_edges
+
+    e = copurchase_directed_edges(spark, sf_dir).where(
+        (F.col("src") + F.col("dst")) % 7 == 0
+    )
+    return Graph.from_edges(e, directed=True, num_partitions=32)
+
+
+def _q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import sampling_path
+
+    return sampling_path(
+        _thin_cpd_graph(spark, sf_dir), length=SPATH_LEN, limit=SPATH_LIMIT
+    )
+
+
+def _q_is_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import is_simple_path, sampling_path
+
+    g = _thin_cpd_graph(spark, sf_dir)
+    first = sampling_path(g, length=SPATH_LEN, limit=1).collect()[0]
+    return is_simple_path(g, [first[f"v{i}"] for i in range(SPATH_LEN + 1)])
+
+
+def _q_all_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import all_simple_paths
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    g = thin_order_graph(spark, sf_dir, BIC_MOD)
+    lo = g.vertices.agg(F.min("vid")).collect()[0][0]
+    sym = g.symmetrized()
+    hi = sym.where(F.col("src") == lo).agg(F.max("dst")).collect()[0][0]
+    return all_simple_paths(g, lo, hi, cutoff=ASP_CUTOFF)
+
+
+def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import dfs_preorder
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    return dfs_preorder(thin_order_graph(spark, sf_dir, BIC_MOD)).select(
+        "vid", "rank"
+    )
+
+
 # ---------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------
@@ -2841,6 +2974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "k_center": _q_k_center,
         "fluid_communities": _q_fluid,
+        "sampling_path": _q_sampling_path,
+        "is_simple_path": _q_is_simple_path,
+        "all_simple_paths": _q_all_simple_paths,
+        "dfs_preorder": _q_dfs,
     }
 
 
@@ -2918,6 +3055,9 @@ def oracle_sql() -> dict[str, str]:
         "min_edge_cover": _min_edge_cover_sql(),
         "k_center": _k_center_sql(),
         "fluid_communities": _fluid_sql(),
+        "sampling_path": _sampling_path_sql(),
+        "is_simple_path": _is_simple_path_sql(),
+        "all_simple_paths": _all_simple_paths_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
         "doc_tokens": r"""

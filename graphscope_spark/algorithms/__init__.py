@@ -47,6 +47,12 @@ from graphscope_spark.algorithms.articlerank import articlerank
 from graphscope_spark.algorithms.coloring import graph_coloring
 from graphscope_spark.algorithms.fluid import fluid_communities
 from graphscope_spark.algorithms.kcenter import k_center
+from graphscope_spark.algorithms.paths import (
+    all_simple_paths,
+    dfs_preorder,
+    is_simple_path,
+    sampling_path,
+)
 from graphscope_spark.algorithms.peeling import (
     degeneracy,
     degeneracy_ordering,
@@ -74,6 +80,10 @@ __all__ = [
     "articlerank",
     "graph_coloring",
     "fluid_communities",
+    "all_simple_paths",
+    "dfs_preorder",
+    "is_simple_path",
+    "sampling_path",
     "k_center",
     "maximal_matching",
     "min_dominating_set",

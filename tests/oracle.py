@@ -1383,3 +1383,75 @@ def fluid_community_oracle(
                 nxt[v] = lab[v]
         lab = nxt
     return lab
+
+
+def sampling_path_oracle(
+    edges: list[tuple[int, int]], length: int, limit: int
+) -> list[tuple[int, ...]]:
+    """Lexicographically-smallest `limit` directed walks of `length`
+    edges (sampling_path.h:43-135 with a deterministic cut)."""
+    es = sorted(set(edges))
+    out = {s: [] for s, _ in es}
+    for s, d in es:
+        out[s].append(d)
+    paths = [(s, d) for s, d in es]
+    for _ in range(length - 1):
+        paths = [p + (d,) for p in paths for d in out.get(p[-1], [])]
+    return sorted(paths)[:limit]
+
+
+def all_simple_paths_oracle(
+    edges: list[tuple[int, int]],
+    vertices: list[int],
+    source: int,
+    target: int,
+    cutoff: int,
+) -> list[tuple[str, int]]:
+    """All simple undirected paths source→target with ≤ cutoff edges."""
+    adj, _ = _simple_undirected(edges, vertices)
+    out = []
+
+    def rec(path):
+        v = path[-1]
+        if v == target and len(path) > 1:
+            out.append(("-".join(map(str, path)), len(path) - 1))
+            return
+        if len(path) - 1 >= cutoff:
+            return
+        for u in adj[v]:
+            if u not in path:
+                rec(path + [u])
+
+    rec([source])
+    return out
+
+
+def dfs_preorder_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, int]:
+    """Per-WCC DFS preorder from min-vid root, neighbors ascending."""
+    adj, _ = _simple_undirected(edges, vertices)
+    rank = {}
+    seen = set()
+    for root in sorted(vertices):
+        if root in seen:
+            continue
+        order = []
+        seen.add(root)
+        order.append(root)
+        stack = [(root, iter(sorted(adj[root])))]
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for u in it:
+                if u not in seen:
+                    seen.add(u)
+                    order.append(u)
+                    stack.append((u, iter(sorted(adj[u]))))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+        for i, v in enumerate(order):
+            rank[v] = i
+    return rank
