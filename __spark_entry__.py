@@ -2852,6 +2852,19 @@ def _thin_cpd_graph(spark: SparkSession, sf_dir: str):
     return Graph.from_edges(e, directed=True, num_partitions=32)
 
 
+def _q_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.sssp import sssp_delta_stepping
+    from graphscope_spark.sources.tpch_graph import order_graph
+    from graphscope_spark.graph import Graph
+
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return sssp_delta_stepping(g, source=source, weight="weight").select(
+        "vid", "dist"
+    )
+
+
 def _q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import sampling_path
 
@@ -2974,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "k_center": _q_k_center,
         "fluid_communities": _q_fluid,
+        "sssp_delta": _q_sssp_delta,
         "sampling_path": _q_sampling_path,
         "is_simple_path": _q_is_simple_path,
         "all_simple_paths": _q_all_simple_paths,
@@ -3055,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "min_edge_cover": _min_edge_cover_sql(),
         "k_center": _k_center_sql(),
         "fluid_communities": _fluid_sql(),
+        "sssp_delta": _sssp_sql(),
         "sampling_path": _sampling_path_sql(),
         "is_simple_path": _is_simple_path_sql(),
         "all_simple_paths": _all_simple_paths_sql(),

@@ -139,3 +139,26 @@ def test_wcc_resume(tiny_graph, tmp_path):
     wcc(tiny_graph, max_iter=1, checkpoint_dir=ck)  # "crash" after iter 0
     got = _dict(wcc(tiny_graph, checkpoint_dir=ck))  # resume to convergence
     assert got == oracle.wcc_oracle(TINY_EDGES, TINY_VERTICES)
+
+
+def test_sssp_delta_stepping_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.sssp import sssp_delta_stepping
+
+    vertices, edges = rand_graph_data
+    exp = oracle.sssp_oracle([(s, d, 1.0) for s, d in edges], vertices, source=1)
+    got = _dict(sssp_delta_stepping(rand_graph, source=1))
+    assert got == exp
+
+
+def test_sssp_delta_stepping_weighted(spark):
+    from graphscope_spark.algorithms.sssp import sssp_delta_stepping
+    from graphscope_spark.graph import Graph
+
+    edges = [(0, 1, 2.0), (0, 2, 5.0), (1, 2, 1.0), (2, 3, 1.0), (1, 3, 10.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in range(5)], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4, weight="weight")
+    exp = oracle.sssp_oracle(edges, list(range(5)), source=0)
+    assert _dict(sssp_delta_stepping(g, source=0)) == exp
+    # explicit tiny delta exercises many buckets, same answer
+    assert _dict(sssp_delta_stepping(g, source=0, delta=1.5)) == exp
