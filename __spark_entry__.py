@@ -988,6 +988,46 @@ def _all_simple_paths_sql() -> str:
     return ",\n".join(parts) + "\n" + "\nunion all\n".join(selects)
 
 
+def _kclique_sql(k: int) -> str:
+    """Generic k-clique count over the thinned co-purchase graph:
+    degree-orientation DAG chains, i-th vertex checked against all
+    prior via EXISTS (k-clique.h generic form)."""
+    parts = [
+        f"with cpe as materialized (select src, dst from ({SQL_CP_EDGES}) "
+        f"where (src + dst) % {COLOR_MOD} = 0)",
+        "sym as materialized (select src, dst from cpe union select dst, src from cpe)",
+        "deg as materialized (select src as vid, count(*) as d from sym group by 1)",
+        """eor as materialized (
+          select s.src as a, s.dst as b
+          from sym s
+          join deg ds on ds.vid = s.src
+          join deg dd on dd.vid = s.dst
+          where (ds.d < dd.d) or (ds.d = dd.d and s.src < s.dst)
+        )""",
+        "c1 as materialized (select a as v0, b as v1 from eor)",
+    ]
+    for i in range(2, k):
+        conds = [f"e.a = c.v{i - 1}"] + [
+            f"e.b != c.v{j}" for j in range(i - 1)
+        ]
+        exists = " and ".join(
+            f"exists (select 1 from eor x where x.a = c.v{j} and x.b = e.b)"
+            for j in range(i - 1)
+        )
+        cols = ", ".join(f"c.v{j}" for j in range(i))
+        parts.append(
+            f"""c{i} as materialized (
+              select {cols}, e.b as v{i}
+              from c{i - 1} c join eor e on {" and ".join(conds)}
+              where {exists}
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect cast(count(*) as bigint) as kc from c{k - 1}"
+    )
+
+
 def _kcore_size_sql() -> str:
     kc_body = _kcore_sql().strip()
     return f"""
@@ -2852,6 +2892,15 @@ def _thin_cpd_graph(spark: SparkSession, sf_dir: str):
     return Graph.from_edges(e, directed=True, num_partitions=32)
 
 
+def _q_five_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms.kclique import k_clique_count
+    from graphscope_spark.sources.tpch_graph import thin_copurchase_graph
+
+    return k_clique_count(
+        thin_copurchase_graph(spark, sf_dir, COLOR_MOD), k=5
+    ).select("kc")
+
+
 def _q_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms.sssp import sssp_delta_stepping
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -2987,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_edge_cover": _q_min_edge_cover,
         "k_center": _q_k_center,
         "fluid_communities": _q_fluid,
+        "five_clique": _q_five_clique,
         "sssp_delta": _q_sssp_delta,
         "sampling_path": _q_sampling_path,
         "is_simple_path": _q_is_simple_path,
@@ -3069,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "min_edge_cover": _min_edge_cover_sql(),
         "k_center": _k_center_sql(),
         "fluid_communities": _fluid_sql(),
+        "five_clique": _kclique_sql(5),
         "sssp_delta": _sssp_sql(),
         "sampling_path": _sampling_path_sql(),
         "is_simple_path": _is_simple_path_sql(),

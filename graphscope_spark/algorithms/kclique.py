@@ -61,3 +61,32 @@ def four_clique_count(g: Graph) -> DataFrame:
     )
     out = k4.agg(F.count(F.lit(1)).alias("k4"))
     return out
+
+
+def k_clique_count(g: Graph, k: int) -> DataFrame:
+    """Returns one row (kc long) — the number of k-cliques (k ≥ 3),
+    the generic form of k-clique.h: cliques enumerate exactly once as
+    chains v0 < v1 < … < v_{k-1} in the degree-orientation DAG; the
+    i-th vertex extends via the tight v_{i-1}→v_i edge and semi-join
+    checks of the remaining v_j→v_i edges (each join's fan-out bounded
+    by the max oriented out-degree, O(sqrt(E)))."""
+    eor = _oriented(g).cache()
+    cliques = eor.select(F.col("a").alias("v0"), F.col("b").alias("v1"))
+    for i in range(2, k):
+        ext = eor.select(
+            F.col("a").alias(f"v{i - 1}"), F.col("b").alias(f"v{i}")
+        )
+        cand = cliques.join(ext, f"v{i - 1}")
+        for j in range(i - 1):
+            cand = cand.where(F.col(f"v{i}") != F.col(f"v{j}"))
+        for j in range(i - 1):
+            cand = cand.join(
+                eor.select(
+                    F.col("a").alias(f"v{j}"), F.col("b").alias(f"v{i}")
+                ),
+                [f"v{j}", f"v{i}"],
+                "semi",
+            )
+        cliques = cand.select(*[f"v{t}" for t in range(i + 1)])
+    out = cliques.agg(F.count(F.lit(1)).alias("kc"))
+    return out

@@ -1455,3 +1455,24 @@ def dfs_preorder_oracle(
         for i, v in enumerate(order):
             rank[v] = i
     return rank
+
+
+def k_clique_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], k: int
+) -> int:
+    """Brute-force k-clique count (pivot-free recursive extension over
+    sorted adjacency)."""
+    adj, _ = _simple_undirected(edges, vertices)
+    nbr = {v: set(adj[v]) for v in vertices}
+    count = 0
+
+    def rec(clique: list[int], cand: list[int]):
+        nonlocal count
+        if len(clique) == k:
+            count += 1
+            return
+        for i, v in enumerate(cand):
+            rec(clique + [v], [u for u in cand[i + 1 :] if u in nbr[v]])
+
+    rec([], sorted(vertices))
+    return count

@@ -182,3 +182,13 @@ def test_clustering_directed_rand(rand_graph, rand_graph_data):
     assert set(got) == set(exp)
     for v in exp:
         assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
+
+
+def test_k_clique_generic_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.kclique import k_clique_count
+
+    vertices, edges = rand_graph_data
+    for k in (3, 4, 5):
+        exp = oracle.k_clique_oracle(edges, vertices, k)
+        got = k_clique_count(rand_graph, k=k).collect()[0]["kc"]
+        assert got == exp, k
