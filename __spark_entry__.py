@@ -82,6 +82,9 @@ ENC = 10000000         # (value, vid) lexicographic key: value*ENC + vid
 SPATH_LEN = 3          # sampling_path walk length (edges)
 SPATH_LIMIT = 1000     # deterministic lexicographic path cap
 ASP_CUTOFF = 4         # all_simple_paths max hops
+HASPATH_UNROLL = 15    # directed dlg reachability, probed quiesce 12
+RMB_K = 8              # random-multi-bfs root count (md5-ordered sample)
+RMB_UNROLL = 7         # md5-root BFS quiesce, probed 5 at sf0.01
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -2950,6 +2953,182 @@ def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sssp_path_sql() -> str:
+    """Shortest-path tree over the weighted order graph: the sssp
+    distance chain, then pred(v) = min u with dist(u)+w = dist(v)
+    (exact double equality — both sides are the same IEEE additions)."""
+    inf = "1e18"
+    body = _sssp_sql()
+    head, _tail = body.rsplit("\nselect", 1)
+    return (
+        head
+        + f""",
+        d as materialized (select vid, dist from s{SSSP_UNROLL}),
+        preds as materialized (
+          select e.dst as vid, min(e.src) as pred
+          from sym e
+          join d ds on ds.vid = e.src
+          join d dd on dd.vid = e.dst
+          where ds.dist < {inf} and ds.dist + e.w = dd.dist
+          group by e.dst
+        )
+        select case when d.vid = (select s from srcv) then d.vid
+                    else p.pred end as pred,
+               d.vid, d.dist
+        from d left join preds p using(vid)
+        where d.dist < {inf}"""
+    )
+
+
+def _has_path_sql() -> str:
+    """Directed reachability on the linenumber digraph from min(src):
+    frontier closure unrolled past the probed quiesce depth (12 rounds
+    at sf0.01), then two membership probes."""
+    parts = [
+        f"with de as materialized ({SQL_DLG_EDGES})",
+        "srcv as materialized (select min(src) as s from de)",
+        "r0 as materialized (select s as vid from srcv)",
+    ]
+    for k in range(HASPATH_UNROLL):
+        parts.append(
+            f"""r{k + 1} as materialized (
+              select distinct vid from (
+                select vid from r{k}
+                union all
+                select e.dst from r{k} x join de e on e.src = x.vid
+              )
+            )"""
+        )
+    last = f"r{HASPATH_UNROLL}"
+    return (
+        ",\n".join(parts)
+        + f""",
+        t1 as materialized (
+          select max(dst) as t from de where src = (select s from srcv)
+        ),
+        t2 as materialized (select max(dst) as t from de)
+        select 'direct' as which,
+               exists(select 1 from {last} where vid = (select t from t1)) as has_path
+        union all
+        select 'far',
+               exists(select 1 from {last} where vid = (select t from t2))"""
+    )
+
+
+def _lcc_directed_sql() -> str:
+    """LDBC directed LCC over the linenumber digraph: undirected
+    neighborhood, directed edges among neighbors, denominator d(d-1)."""
+    return f"""
+      with de as materialized ({SQL_DLG_EDGES}),
+      nbr as materialized (
+        select src as vid, dst as u from de union select dst, src from de
+      ),
+      verts as materialized (select distinct vid from nbr),
+      deg as materialized (select vid, count(*) as d from nbr group by vid),
+      tri as materialized (
+        select n1.vid, count(*) as t
+        from de e
+        join nbr n1 on n1.u = e.src
+        join nbr n2 on n2.vid = n1.vid and n2.u = e.dst
+        group by n1.vid
+      )
+      select v.vid,
+             round(case when coalesce(g.d, 0) >= 2
+                   then coalesce(t.t, 0) * 1.0 / (g.d * (g.d - 1))
+                   else 0.0 end, 8) as lcc
+      from verts v
+      left join deg g using(vid)
+      left join tri t using(vid)
+    """
+
+
+def _random_multi_bfs_sql() -> str:
+    """Multi-source BFS from the RMB_K pseudo-random (md5-ordered)
+    roots over the symmetrized order graph; per-vertex max depth over
+    roots, -1 when unreached by all (random-multi-bfs.h res = max d[i])."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        f"sym as materialized ({SQL_SYM})",
+        f"""roots as materialized (
+          select vid from verts order by md5(cast(vid as varchar)) limit {RMB_K}
+        )""",
+        "d0 as materialized (select vid as root, vid, 0 as d from roots)",
+    ]
+    for k in range(RMB_UNROLL):
+        parts.append(
+            f"""d{k + 1} as materialized (
+              select root, vid, min(d) as d from (
+                select root, vid, d from d{k}
+                union all
+                select x.root, s.dst as vid, x.d + 1 as d
+                from d{k} x join sym s on x.vid = s.src
+              ) group by root, vid
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f""",
+        res as materialized (
+          select vid, max(d) as res from d{RMB_UNROLL} group by vid
+        )
+        select v.vid, cast(coalesce(r.res, -1) as bigint) as res
+        from verts v left join res r using(vid)"""
+    )
+
+
+def _q_sssp_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import sssp_path
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return sssp_path(g, source=source, weight="weight").select("pred", "vid", "dist")
+
+
+def _q_has_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.sources.tpch_graph import linenumber_graph
+
+    g = linenumber_graph(spark, sf_dir)
+    row = g.edges.agg(F.min("src").alias("s"), F.max("dst").alias("far")).collect()[0]
+    source, far = row["s"], row["far"]
+    direct = (
+        g.edges.where(F.col("src") == source).agg(F.max("dst")).collect()[0][0]
+    )
+    from graphscope_spark.algorithms import sssp
+
+    d = sssp(g, source=source, weight=None)
+    a = d.where(F.col("vid") == direct).select(
+        F.lit("direct").alias("which"),
+        (F.col("dist") != float("inf")).alias("has_path"),
+    )
+    b = d.where(F.col("vid") == far).select(
+        F.lit("far").alias("which"),
+        (F.col("dist") != float("inf")).alias("has_path"),
+    )
+    return a.unionByName(b)
+
+
+def _q_lcc_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import lcc_directed
+    from graphscope_spark.sources.tpch_graph import linenumber_graph
+
+    return lcc_directed(linenumber_graph(spark, sf_dir)).select(
+        "vid", F.round("lcc", 8).alias("lcc")
+    )
+
+
+def _q_random_multi_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import random_multi_bfs
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return random_multi_bfs(
+        order_graph(spark, sf_dir), k=RMB_K, directed=False
+    ).select("vid", "res")
+
+
 # ---------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------
@@ -3042,6 +3221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "is_simple_path": _q_is_simple_path,
         "all_simple_paths": _q_all_simple_paths,
         "dfs_preorder": _q_dfs,
+        "sssp_path": _q_sssp_path,
+        "has_path": _q_has_path,
+        "lcc_directed": _q_lcc_directed,
+        "random_multi_bfs": _q_random_multi_bfs,
     }
 
 
@@ -3124,6 +3307,10 @@ def oracle_sql() -> dict[str, str]:
         "sampling_path": _sampling_path_sql(),
         "is_simple_path": _is_simple_path_sql(),
         "all_simple_paths": _all_simple_paths_sql(),
+        "sssp_path": _sssp_path_sql(),
+        "has_path": _has_path_sql(),
+        "lcc_directed": _lcc_directed_sql(),
+        "random_multi_bfs": _random_multi_bfs_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
         "doc_tokens": r"""

@@ -13,7 +13,7 @@ from graphscope_spark.algorithms.centrality import (
     eigenvector_centrality,
     katz_centrality,
 )
-from graphscope_spark.algorithms.clustering import avg_clustering, transitivity
+from graphscope_spark.algorithms.clustering import avg_clustering, lcc_directed, transitivity
 from graphscope_spark.algorithms.assortativity import (
     attribute_assortativity,
     average_degree_connectivity,
@@ -24,6 +24,7 @@ from graphscope_spark.algorithms.traversal import (
     bfs_parent,
     sssp_average_length,
     sssp_has_path,
+    sssp_path,
 )
 from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.betweenness import betweenness_centrality
@@ -35,6 +36,7 @@ from graphscope_spark.algorithms.distances import (
     diameter_approx,
     eccentricity,
     harmonic_centrality,
+    random_multi_bfs,
 )
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.mis import maximal_independent_set
@@ -109,6 +111,7 @@ __all__ = [
     "diameter_approx",
     "eccentricity",
     "harmonic_centrality",
+    "random_multi_bfs",
     "edge_boundary",
     "node_boundary",
     "maximal_independent_set",
@@ -130,6 +133,7 @@ __all__ = [
     "katz_centrality",
     "closeness_centrality",
     "avg_clustering",
+    "lcc_directed",
     "transitivity",
     "degree_assortativity",
     "attribute_assortativity",
@@ -139,6 +143,7 @@ __all__ = [
     "bfs_parent",
     "sssp_has_path",
     "sssp_average_length",
+    "sssp_path",
     "voterank",
     "betweenness_centrality",
     "louvain",

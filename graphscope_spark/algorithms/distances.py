@@ -80,3 +80,39 @@ def harmonic_centrality(
         F.col("root").alias(VID),
         F.coalesce("centrality", F.lit(0.0)).alias("centrality"),
     )
+
+
+def random_multi_bfs(
+    g: Graph,
+    k: int = 8,
+    roots: list[int] | None = None,
+    directed: bool | None = False,
+) -> DataFrame:
+    """FLASH random-multi-bfs (apps/flash/traversal/random-multi-bfs.h:42-90):
+    BFS from k random roots; per-vertex result = MAX over roots of the
+    BFS depth (the reference inits every slot to -1 and takes the max,
+    so a vertex unreached by every root reports -1).  Used as a cheap
+    eccentricity / diameter probe.
+
+    The reference seeds rand_r with time() (:49-52) — irreproducible by
+    design.  Here the "random" sample is the k smallest md5(vid) hex
+    strings: deterministic, uniformly pseudo-random, and computable
+    bit-identically in any engine with md5().
+
+    Returns (vid long, res long).
+    """
+    if roots is None:
+        roots = [
+            r[0]
+            for r in g.vertices.select(VID)
+            .orderBy(F.md5(F.col(VID).cast("string")))
+            .limit(k)
+            .collect()
+        ]
+    pairs = multi_source_distances(g, roots, weight=None, directed=directed)
+    res = pairs.groupBy(VID).agg(F.max("dist").cast("long").alias("res"))
+    return (
+        g.vertices.select(VID)
+        .join(res, VID, "left")
+        .select(VID, F.coalesce("res", F.lit(-1)).cast("long").alias("res"))
+    )

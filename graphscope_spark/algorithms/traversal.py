@@ -59,6 +59,57 @@ def sssp_has_path(g: Graph, source: int, target: int, weight: str | None = "weig
     )
 
 
+def sssp_path(g: Graph, source: int, weight: str | None = "weight") -> DataFrame:
+    """Shortest-path tree: (pred long, vid long, dist double), one row
+    per REACHABLE vertex; the source's predecessor is itself.
+
+    Reference `sssp_path` (apps/sssp/sssp_path.h:33-41) emits
+    [predecessor, node, sssp_length]; its tie-break among equal-distance
+    predecessors is message-arrival order (sssp_path.h:96-103), which is
+    partition-dependent — here the canonical deterministic choice: the
+    minimum-id u with dist(u) + w(u,v) = dist(v).  At the fixpoint every
+    non-source vertex has at least one such u, and both equality sides
+    are identical IEEE double additions, so the float comparison is
+    exact.
+
+    Plan: one SSSP for distances, then a single edges⋈dist⋈dist join
+    assigning predecessors — cheaper than carrying parent pointers
+    through every superstep (same shape as bfs_parent above).
+    """
+    inf = float("inf")
+    d = sssp(g, source=source, weight=weight)
+    cols = g.edges.columns
+    if weight and weight in cols:
+        edges = g.edges.select(SRC, DST, F.col(weight).cast("double").alias("w"))
+    else:
+        edges = g.edges.select(SRC, DST, F.lit(1.0).alias("w"))
+    if not g.directed:
+        edges = edges.unionByName(
+            edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+        )
+    dsrc = d.select(F.col(VID).alias(SRC), F.col("dist").alias("sd"))
+    ddst = d.select(F.col(VID).alias(DST), F.col("dist").alias("dd"))
+    preds = (
+        edges.join(dsrc, SRC)
+        .join(ddst, DST)
+        .where((F.col("sd") < inf) & (F.col("sd") + F.col("w") == F.col("dd")))
+        .groupBy(F.col(DST).alias(VID))
+        .agg(F.min(SRC).alias("pred"))
+    )
+    return (
+        d.where(F.col("dist") < inf)
+        .join(preds, VID, "left")
+        .select(
+            F.when(F.col(VID) == source, F.lit(source))
+            .otherwise(F.col("pred"))
+            .cast("long")
+            .alias("pred"),
+            VID,
+            "dist",
+        )
+    )
+
+
 def sssp_average_length(
     g: Graph,
     sources: DataFrame | None = None,
