@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_mode
 
 
 def articlerank(
@@ -36,9 +36,12 @@ def articlerank(
 ) -> DataFrame:
     """Returns (vid long, rank double) after exactly ``max_iter`` rounds."""
     spark: SparkSession = g.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (g.distinct_edges() if g.directed else g.symmetrized()).select(
         SRC, DST
     )
+    if g.num_partitions != p:
+        edges = edges.repartition(p, SRC)
     edges = edges.cache()
 
     n = g.num_vertices()
@@ -54,15 +57,18 @@ def articlerank(
     avg = (edges.count()) / n
 
     def init() -> DataFrame:
-        return degrees.select(VID, F.lit(0.0).alias("rank"), "deg")
+        return degrees.select(VID, F.lit(0.0).alias("rank"), "deg").repartition(
+            p, VID
+        )
 
     def step(state: DataFrame, k: int) -> StepResult:
+        state = state.hint("shuffle_hash")
         msgs = edges.join(state, edges[SRC] == state[VID]).select(
             F.col(DST).alias(VID),
             (damping * F.col("rank") / (F.col("deg") + F.lit(avg))).alias("c"),
         )
         contribs = msgs.groupBy(VID).agg(F.sum("c").alias("contrib"))
-        nxt = state.join(contribs, VID, "left").select(
+        nxt = state.hint("shuffle_hash").join(contribs, VID, "left").select(
             VID,
             (F.coalesce("contrib", F.lit(0.0)) + (1.0 - damping)).alias("rank"),
             "deg",
@@ -72,8 +78,9 @@ def articlerank(
     run = runner or SuperstepRunner(
         spark, "articlerank", checkpoint_dir=checkpoint_dir, resume=resume
     )
-    final = run.run(init, step, max_iterations=max_iter, tol=None,
-                    sync_every=sync_every)
+    with one_shuffle_mode(spark):
+        final = run.run(init, step, max_iterations=max_iter, tol=None,
+                        sync_every=sync_every)
     result = final.select(VID, "rank")
     edges.unpersist()
     return result

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_mode
 
 
 def eigenvector_centrality(
@@ -44,7 +44,11 @@ def eigenvector_centrality(
     broadcast (flash_utils.h:40-42 all-reduce analog, no driver stop).
     """
     spark = g.edges.sparkSession
-    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    if g.num_partitions != p:
+        edges = edges.repartition(p, SRC)
+    edges = edges.cache()
     n = g.num_vertices()
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
@@ -52,16 +56,17 @@ def eigenvector_centrality(
     cached: list[DataFrame] = []
 
     def init() -> DataFrame:
-        return g.vertices.select(VID, F.lit(1.0 / n).alias("x"))
+        return g.vertices.select(VID, F.lit(1.0 / n).alias("x")).repartition(p, VID)
 
     def step(state: DataFrame, k: int) -> StepResult:
+        hstate = state.hint("shuffle_hash")
         msgs = (
-            edges.join(state, edges[SRC] == state[VID])
+            edges.join(hstate, edges[SRC] == hstate[VID])
             .select(F.col(DST).alias(VID), F.col("x").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("s"))
         )
-        raw = state.join(msgs, VID, "left").select(
+        raw = state.hint("shuffle_hash").join(msgs, VID, "left").select(
             VID,
             (F.col("x") + F.coalesce("s", F.lit(0.0))).alias("raw"),
             F.col("x").alias("old_x"),
@@ -85,14 +90,15 @@ def eigenvector_centrality(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "eigenvector", checkpoint_dir=checkpoint_dir)
-    final = run.run(
-        init,
-        step,
-        max_iterations=max_iter,
-        tol=(tol * n if tol is not None else None),
-        sync_every=sync_every if tol is None else 1,
-    )
-    final = final.localCheckpoint(eager=True)
+    with one_shuffle_mode(spark):
+        final = run.run(
+            init,
+            step,
+            max_iterations=max_iter,
+            tol=(tol * n if tol is not None else None),
+            sync_every=sync_every if tol is None else 1,
+        )
+        final = final.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
     edges.unpersist()
@@ -114,22 +120,27 @@ def katz_centrality(
     Σ|x'−x| < n·tol; then x /= ‖x‖₂.
     """
     spark = g.edges.sparkSession
-    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    if g.num_partitions != p:
+        edges = edges.repartition(p, SRC)
+    edges = edges.cache()
     n = g.num_vertices()
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
 
     def init() -> DataFrame:
-        return g.vertices.select(VID, F.lit(0.0).alias("x"))
+        return g.vertices.select(VID, F.lit(0.0).alias("x")).repartition(p, VID)
 
     def step(state: DataFrame, k: int) -> StepResult:
+        hstate = state.hint("shuffle_hash")
         msgs = (
-            edges.join(state, edges[SRC] == state[VID])
+            edges.join(hstate, edges[SRC] == hstate[VID])
             .select(F.col(DST).alias(VID), F.col("x").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("s"))
         )
-        nxt = state.join(msgs, VID, "left").select(
+        nxt = state.hint("shuffle_hash").join(msgs, VID, "left").select(
             VID,
             (alpha * F.coalesce("s", F.lit(0.0)) + F.lit(beta)).alias("x"),
             F.col("x").alias("old_x"),
@@ -144,13 +155,14 @@ def katz_centrality(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "katz", checkpoint_dir=checkpoint_dir)
-    final = run.run(
-        init,
-        step,
-        max_iterations=max_iter,
-        tol=(tol * n if tol is not None else None),
-        sync_every=sync_every if tol is None else 1,
-    )
+    with one_shuffle_mode(spark):
+        final = run.run(
+            init,
+            step,
+            max_iterations=max_iter,
+            tol=(tol * n if tol is not None else None),
+            sync_every=sync_every if tol is None else 1,
+        )
     norm = final.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
     edges.unpersist()
     return final.select(VID, (F.col("x") / norm).alias("centrality"))

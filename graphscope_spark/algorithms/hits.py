@@ -7,7 +7,12 @@ each vector normalized by its SUM each round (L1), fixed-round variant
 L1 tolerance on the hub vector).
 
 Spark plan: two join-aggs per round (one along dst, one along src) +
-one small normalization aggregate.
+one small normalization aggregate.  The edge table is cached in BOTH
+partitionings — hash(src, P) for the auth pass and hash(dst, P) for the
+hub pass (the analog of the reference's kBothOutIn load strategy, which
+also materializes both CSR directions) — so with the state kept
+hash(vid, P), shuffle_hash join hints, and AQE off (one_shuffle_mode),
+each round shuffles exactly its two message streams and nothing else.
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_mode
 
 
 def hits(
@@ -32,19 +37,25 @@ def hits(
     into the plan (no driver round-trip), so fixed-round runs may chain
     supersteps with ``sync_every`` > 1."""
     spark = g.edges.sparkSession
-    edges = g.distinct_edges().cache()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base_edges = g.distinct_edges()
+    edges_out = (
+        base_edges if g.num_partitions == p else base_edges.repartition(p, SRC)
+    ).cache()
+    edges_in = base_edges.repartition(p, DST).cache()
     n = g.num_vertices()
 
     def init() -> DataFrame:
         return g.vertices.select(
             VID, F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
-        )
+        ).repartition(p, VID)
 
     cached: list[DataFrame] = []
 
     def step(state: DataFrame, k: int) -> StepResult:
+        hubs = state.select(VID, "hub").hint("shuffle_hash")
         auth_raw = (
-            edges.join(state.select(VID, "hub"), edges[SRC] == F.col(VID))
+            edges_out.join(hubs, edges_out[SRC] == hubs[VID])
             .select(F.col(DST).alias(VID), F.col("hub").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("auth_raw"))
@@ -56,8 +67,9 @@ def hits(
         auth = auth_raw.crossJoin(F.broadcast(a_norm)).select(
             VID, (F.col("auth_raw") / F.col("_an")).alias("new_auth")
         )
+        hauth = auth.hint("shuffle_hash")
         hub_raw = (
-            edges.join(auth, edges[DST] == F.col(VID))
+            edges_in.join(hauth, edges_in[DST] == hauth[VID])
             .select(F.col(SRC).alias(VID), F.col("new_auth").alias("m"))
             .groupBy(VID)
             .agg(F.sum("m").alias("hub_raw"))
@@ -71,8 +83,9 @@ def hits(
         )
         nxt = (
             state.select(VID, "hub")
-            .join(auth, VID, "left")
-            .join(hub, VID, "left")
+            .hint("shuffle_hash")
+            .join(auth.hint("shuffle_hash"), VID, "left")
+            .join(hub.hint("shuffle_hash"), VID, "left")
             .select(
                 VID,
                 F.coalesce("new_hub", F.lit(0.0)).alias("new_hub"),
@@ -88,15 +101,17 @@ def hits(
         )
 
     run = SuperstepRunner(spark, "hits", checkpoint_dir=checkpoint_dir)
-    final = run.run(
-        init,
-        step,
-        max_iterations=max_iter,
-        tol=tol,
-        sync_every=sync_every if tol is None else 1,
-    )
-    final = final.localCheckpoint(eager=True)  # detach from round caches
+    with one_shuffle_mode(spark):
+        final = run.run(
+            init,
+            step,
+            max_iterations=max_iter,
+            tol=tol,
+            sync_every=sync_every if tol is None else 1,
+        )
+        final = final.localCheckpoint(eager=True)  # detach from round caches
     for c in cached:
         c.unpersist()
-    edges.unpersist()
+    edges_out.unpersist()
+    edges_in.unpersist()
     return final.select(VID, "hub", "auth")

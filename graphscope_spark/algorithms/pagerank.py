@@ -12,16 +12,30 @@ Python binding defaults alpha=0.85, max_iter=100, tol=1e-6
 fixed-round form (grape::PageRankOpt, .gs_conf.yaml:2-9) is the same
 recurrence with tol=None and max_iter=max_round.
 
-Spark plan per superstep (one job):
-    scatter: edges ⋈ state on src            (state reshuffled to edge
-                                              partitioning — edges stay put)
-    gather:  groupBy(dst).sum(rank/out_deg)  (map-side partial agg; AQE
-                                              skew-join splits hub keys)
-    apply:   alpha·contrib + teleport + dangling share
-    all-reduce: one small agg → driver collects (delta, next dangling)
-The dangling sum for round k+1 is computed in the same aggregate as the
-convergence delta, so each superstep runs exactly one action plus the
-checkpoint write.
+Spark plan per superstep (one job, ONE shuffle):
+    scatter: edges ⋈ state on src — ShuffledHashJoin with ZERO exchanges:
+             edges are cached hash(src, P); the state DataFrame is
+             hash(vid, P) (init repartitions once, and every round's
+             output inherits hash(vid) from the gather), so both sides
+             are already co-partitioned.
+    gather:  groupBy(dst).sum(rank/out_deg) — THE per-round shuffle
+             (|E| message rows); map-side partial aggregation collapses
+             hub keys before the exchange, which is also the skew story.
+    apply:   state ⋈ contribs on vid — again co-partitioned, no exchange.
+    all-reduce: lazy 1-row aggregate broadcast into the apply step.
+
+Two ingredients make the one-shuffle plan real (verified with
+.explain("formatted") at 4M vertices / 13M edges: the round plan shows
+exactly one Exchange and no Sort):
+- `hint("shuffle_hash")` on the state side of both joins — otherwise
+  Catalyst picks SortMergeJoin and re-SORTS the 13M-row cached edge
+  table every round;
+- AQE is toggled OFF for the duration of the loop (restored after) —
+  under AQE a localCheckpoint's LogicalRDD reports UnknownPartitioning,
+  so every round would re-exchange the state on both joins.  AQE's
+  skew-join is not needed here: the only shuffle is an aggregation,
+  already skew-resistant via partial aggregation (plus the optional
+  explicit hub salting below).
 """
 
 from __future__ import annotations
@@ -30,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_mode
 
 
 def pagerank(
@@ -56,7 +70,12 @@ def pagerank(
     The hub set is computed once before the loop and broadcast.
     """
     spark: SparkSession = g.edges.sparkSession
+    # P must be one value everywhere: edge cache, state, and the gather
+    # shuffle — co-partitioning is what removes the join exchanges.
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    if g.num_partitions != p:
+        edges = edges.repartition(p, SRC)
     edges = edges.cache()
 
     n = g.num_vertices()
@@ -72,7 +91,9 @@ def pagerank(
 
     def init() -> DataFrame:
         r0 = F.lit(1.0 / n)
-        return degrees.select(VID, r0.alias("rank"), r0.alias("old_rank"), "out_deg")
+        return degrees.select(
+            VID, r0.alias("rank"), r0.alias("old_rank"), "out_deg"
+        ).repartition(p, VID)
 
     # one tiny job up front: graphs with no dangling vertices (every
     # vertex has an out-edge) skip the dangling-pool aggregate entirely
@@ -108,7 +129,8 @@ def pagerank(
             if has_dangling
             else None
         )
-        msgs = edges.join(state, edges[SRC] == state[VID]).select(
+        hstate = state.hint("shuffle_hash")
+        msgs = edges.join(hstate, edges[SRC] == hstate[VID]).select(
             F.col(SRC).alias("_src"),
             F.col(DST).alias(VID),
             (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -121,7 +143,7 @@ def pagerank(
             )
         else:
             contribs = msgs.groupBy(VID).agg(F.sum("c").alias("contrib"))
-        joined = state.join(contribs, VID, "left")
+        joined = state.hint("shuffle_hash").join(contribs, VID, "left")
         if dang is not None:
             joined = joined.crossJoin(F.broadcast(dang))
             rank_expr = (
@@ -150,13 +172,14 @@ def pagerank(
     run = runner or SuperstepRunner(
         spark, "pagerank", checkpoint_dir=checkpoint_dir, resume=resume
     )
-    final = run.run(
-        init,
-        step,
-        max_iterations=max_iter,
-        tol=(tol * n if tol is not None else None),
-        sync_every=sync_every if tol is None else 1,
-    )
+    with one_shuffle_mode(spark):
+        final = run.run(
+            init,
+            step,
+            max_iterations=max_iter,
+            tol=(tol * n if tol is not None else None),
+            sync_every=sync_every if tol is None else 1,
+        )
     result = final.select(VID, "rank")
     edges.unpersist()
     if hot is not None:
@@ -188,7 +211,11 @@ def personalized_pagerank(
     Returns (vid long, rank double); ranks sum to 1 every round.
     """
     spark: SparkSession = g.edges.sparkSession
-    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST).cache()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    if g.num_partitions != p:
+        edges = edges.repartition(p, SRC)
+    edges = edges.cache()
     n = g.num_vertices()
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("rank"))
@@ -209,7 +236,7 @@ def personalized_pagerank(
 
     def init() -> DataFrame:
         return base.select(VID, F.col("p").alias("rank"), F.col("p").alias("old_rank"),
-                           "out_deg", "p")
+                           "out_deg", "p").repartition(p, VID)
 
     def step(state: DataFrame, k: int) -> StepResult:
         dang = state.agg(
@@ -217,14 +244,15 @@ def personalized_pagerank(
                 F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
             ).alias("_dang")
         )
+        hstate = state.hint("shuffle_hash")
         contribs = (
-            edges.join(state, edges[SRC] == state[VID])
+            edges.join(hstate, edges[SRC] == hstate[VID])
             .select(F.col(DST).alias(VID), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy(VID)
             .agg(F.sum("c").alias("contrib"))
         )
         nxt = (
-            state.join(contribs, VID, "left")
+            state.hint("shuffle_hash").join(contribs, VID, "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 VID,
@@ -247,13 +275,14 @@ def personalized_pagerank(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "ppr")
-    final = run.run(
-        init,
-        step,
-        max_iterations=max_iter,
-        tol=(tol * n if tol is not None else None),
-        sync_every=sync_every if tol is None else 1,
-    )
+    with one_shuffle_mode(spark):
+        final = run.run(
+            init,
+            step,
+            max_iterations=max_iter,
+            tol=(tol * n if tol is not None else None),
+            sync_every=sync_every if tol is None else 1,
+        )
     result = final.select(VID, "rank")
     edges.unpersist()
     return result

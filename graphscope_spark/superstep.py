@@ -35,9 +35,33 @@ import os
 import shutil
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def one_shuffle_mode(spark: SparkSession):
+    """Run an iterative loop with AQE disabled (restored on exit).
+
+    Why: under AQE, the LogicalRDD produced by ``localCheckpoint``
+    reports UnknownPartitioning, so every superstep re-exchanges the
+    vertex-state DataFrame into both of its joins.  With AQE off the
+    checkpoint keeps its HashPartitioning(vid, P): a state kept
+    hash(vid, P), edges cached hash(src, P), and ``shuffle_hash`` join
+    hints plan each superstep with exactly ONE exchange (the message
+    groupBy) and no sorts — verified via .explain("formatted") at 4M
+    vertices / 13M edges.  AQE's skew-join split is not lost value
+    inside these loops: the single remaining shuffle is an aggregation,
+    which partial (map-side) aggregation already de-skews.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def stats_barrier(df: DataFrame) -> DataFrame:
