@@ -14,6 +14,12 @@ FLASH's sparse/dense switch (api.h:361-369: dense when |U| > |V|/50)
 maps to a broadcast hint on the frontier when it is small — the
 previous round's update count is already on the driver, so the switch
 is free.
+
+One-shuffle superstep (same recipe as pagerank.py): edges cached
+hash(src, P), state kept hash(vid, P), ``shuffle_hash`` hints on the
+state side of both joins, AQE off for the loop — the dense round plans
+exactly one exchange (the min aggregation); sparse rounds replace the
+scatter with a broadcast join, still one exchange.
 """
 
 from __future__ import annotations
@@ -22,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_mode
 
 DENSE_FRACTION = 50  # dense when frontier > |V|/50 (flash_utils.h:36)
 
@@ -35,13 +41,17 @@ def wcc(
 ) -> DataFrame:
     """Returns (vid long, comp long) with comp = min vid in component."""
     spark = g.edges.sparkSession
-    sym = g.symmetrized().cache()
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = g.symmetrized()
+    if g.num_partitions != p:
+        sym = sym.repartition(p, SRC)
+    sym = sym.cache()
     n = g.num_vertices()
 
     def init() -> DataFrame:
         return g.vertices.select(
             VID, F.col(VID).alias("comp"), F.lit(True).alias("changed")
-        )
+        ).repartition(p, VID)
 
     carry: dict[str, float | None] = {"frontier": None}
 
@@ -50,6 +60,11 @@ def wcc(
         fsize = carry["frontier"]
         if fsize is not None and fsize <= max(1, n // DENSE_FRACTION):
             frontier = F.broadcast(frontier)  # sparse mode (EdgeMapSparse)
+        else:
+            # dense: frontier inherits state's hash(vid, P); with the
+            # shuffle_hash hint the scatter join re-uses both cached
+            # layouts instead of planning a sort-merge with two sorts.
+            frontier = frontier.hint("shuffle_hash")
         msgs = (
             sym.join(frontier, sym[SRC] == frontier[VID])
             .select(F.col(DST).alias(VID), "comp")
@@ -58,6 +73,7 @@ def wcc(
         )
         nxt = (
             state.select(VID, "comp")
+            .hint("shuffle_hash")
             .join(msgs, VID, "left")
             .select(
                 VID,
@@ -73,7 +89,8 @@ def wcc(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir, resume=resume)
-    final = run.run(init, step, max_iterations=max_iter, tol=0.0)
+    with one_shuffle_mode(spark):
+        final = run.run(init, step, max_iterations=max_iter, tol=0.0)
     out = final.select(VID, "comp")
     sym.unpersist()
     return out
