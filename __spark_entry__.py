@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 ALPHA = 0.85
 PR_ROUNDS = 5
 CDLP_ROUNDS = 5
+LPAU2I_ROUNDS = 5      # lpa_u2i round budget: stages u2i@2, i2u@3, u2i@4, i2u@5
 HITS_ROUNDS = 5
 WCC_UNROLL = 8
 BFS_UNROLL = 6
@@ -199,6 +200,77 @@ def _cdlp_sql() -> str:
             )"""
         )
     return ",\n".join(parts) + f"\nselect vid, label from l{CDLP_ROUNDS}"
+
+
+def _lpa_u2i_sql() -> str:
+    """Unrolled LPA-U2I (apps/lpa/lpa_u2i.h): alternating u2i / i2u
+    stages for steps 2..LPAU2I_ROUNDS over the customer→part quantity
+    graph; clamp-on-{0,1} + degree-normalised update per property."""
+    parts = [
+        """with e as materialized (
+          select o_custkey as src, 1000000 + l_partkey as dst,
+                 sum(l_quantity) as w
+          from orders join lineitem on o_orderkey = l_orderkey
+          group by 1, 2
+        )""",
+        """u1 as materialized (
+          select c_custkey as vid,
+                 case when c_custkey % 4 = 0 then 0.0
+                      when c_custkey % 4 = 1 then 1.0
+                      else (c_custkey % 7) / 10.0 + 0.2 end as p0,
+                 case when c_custkey % 3 = 0 then 1.0
+                      else (c_custkey % 9) / 20.0 + 0.3 end as p1
+          from customer
+        )""",
+        "ideg as materialized (select dst, cast(count(*) as double) as id_ from e group by 1)",
+        """stat as materialized (
+          select u.vid, coalesce(o.od, 0.0) as od, coalesce(o.onids, 0.0) as onids
+          from u1 u left join (
+            select e.src as vid, cast(count(*) as double) as od,
+                   sum(i.id_) as onids
+            from e join ideg i using(dst)
+            group by 1
+          ) o using(vid)
+        )""",
+    ]
+    prev_u = "u1"
+    for step in range(2, LPAU2I_ROUNDS + 1):
+        if step % 2 == 0:
+            parts.append(
+                f"""i{step} as materialized (
+                  select e.dst as vid, sum(e.w * u.p0) as p0, sum(e.w * u.p1) as p1
+                  from e join {prev_u} u on e.src = u.vid
+                  group by 1
+                )"""
+            )
+            prev_i = f"i{step}"
+        else:
+            branches = []
+            for c in ("p0", "p1"):
+                branches.append(
+                    f"""case when u.{c} = 0.0 or u.{c} = 1.0 then u.{c}
+                             when s.onids != s.od
+                               then (coalesce(t.t_{c}, 0.0) - s.od * u.{c})
+                                    / (s.onids - s.od)
+                             else u.{c} end as {c}"""
+                )
+            parts.append(
+                f"""u{step} as materialized (
+                  select s.vid, {', '.join(branches)}
+                  from stat s join {prev_u} u using(vid)
+                  left join (
+                    select e.src as vid, sum(e.w * i.p0) as t_p0,
+                           sum(e.w * i.p1) as t_p1
+                    from e join {prev_i} i on e.dst = i.vid
+                    group by 1
+                  ) t using(vid)
+                )"""
+            )
+            prev_u = f"u{step}"
+    return (
+        ",\n".join(parts)
+        + f"\nselect vid, round(p0, 4) as p0, round(p1, 4) as p1 from {prev_u}"
+    )
 
 
 def _triangles_sql() -> str:
@@ -2184,6 +2256,44 @@ def _q_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdlp(order_graph(spark, sf_dir), max_round=CDLP_ROUNDS, sync_every=CDLP_ROUNDS).select("vid", "label")
 
 
+def _lpa_u2i_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed labels exercising all three i2u branches: exact 0/1 clamps
+    and free values (integer-mod arithmetic → identical doubles in
+    Spark and DuckDB)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    return cust.select(
+        k.alias("vid"),
+        F.when(k % 4 == 0, 0.0)
+        .when(k % 4 == 1, 1.0)
+        .otherwise((k % 7) / F.lit(10.0) + 0.2)
+        .alias("p0"),
+        F.when(k % 3 == 0, 1.0)
+        .otherwise((k % 9) / F.lit(20.0) + 0.3)
+        .alias("p1"),
+    )
+
+
+def _q_lpa_u2i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import lpa_u2i
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))  # integer-valued ⇒ exact
+    )
+    out = lpa_u2i(_lpa_u2i_users(spark, sf_dir), edges, ["p0", "p1"], max_round=LPAU2I_ROUNDS)
+    # labels grow ~650× per u2i+i2u cycle (≈4e5 after 2 cycles); round
+    # to 4 decimals so cross-engine sum-order noise (~1e-8 abs) can't
+    # flip the value hash.
+    return out.select("vid", F.round("p0", 4).alias("p0"), F.round("p1", 4).alias("p1"))
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import triangles
     from graphscope_spark.sources.tpch_graph import copurchase_graph
@@ -3145,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
+        "lpa_u2i": _q_lpa_u2i,
         "triangles": _q_triangles,
         "lcc": _q_lcc,
         "bfs": _q_bfs,
@@ -3246,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "wcc": _wcc_sql(),
         "cdlp": _cdlp_sql(),
+        "lpa_u2i": _lpa_u2i_sql(),
         "triangles": _triangles_sql(),
         "lcc": _lcc_sql(),
         "bfs": _bfs_sql(),

@@ -49,6 +49,7 @@ from graphscope_spark.algorithms.articlerank import articlerank
 from graphscope_spark.algorithms.coloring import graph_coloring
 from graphscope_spark.algorithms.fluid import fluid_communities
 from graphscope_spark.algorithms.kcenter import k_center
+from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
 from graphscope_spark.algorithms.paths import (
     all_simple_paths,
     dfs_preorder,
@@ -147,4 +148,5 @@ __all__ = [
     "voterank",
     "betweenness_centrality",
     "louvain",
+    "lpa_u2i",
 ]

@@ -1476,3 +1476,51 @@ def k_clique_oracle(
 
     rec([], sorted(vertices))
     return count
+
+
+def lpa_u2i_oracle(
+    users: dict[int, list[float]],
+    edges: list[tuple[int, int, float]],
+    max_round: int,
+) -> dict[int, list[float]]:
+    """Reference twin of apps/lpa/lpa_u2i.h:42-245 (see
+    graphscope_spark/algorithms/lpa_u2i.py for the semantics map)."""
+    prop_num = len(next(iter(users.values())))
+    ideg: dict[int, int] = {}
+    odeg: dict[int, int] = {}
+    for u, i, _ in edges:
+        ideg[i] = ideg.get(i, 0) + 1
+        odeg[u] = odeg.get(u, 0) + 1
+    onids = {u: 0 for u in users}
+    for u, i, _ in edges:
+        onids[u] += ideg[i]
+
+    ulab = {u: list(p) for u, p in users.items()}
+    ilab: dict[int, list[float]] = {}
+    for step in range(2, max_round + 1):
+        if step % 2 == 0:  # u2i
+            ilab = {}
+            for u, i, w in edges:
+                acc = ilab.setdefault(i, [0.0] * prop_num)
+                for p in range(prop_num):
+                    acc[p] += w * ulab[u][p]
+        else:  # i2u
+            tmp = {u: [0.0] * prop_num for u in users}
+            for u, i, w in edges:
+                if i in ilab:
+                    for p in range(prop_num):
+                        tmp[u][p] += w * ilab[i][p]
+            for u in users:
+                od = odeg.get(u, 0)
+                on = onids.get(u, 0)
+                new = []
+                for p in range(prop_num):
+                    old = ulab[u][p]
+                    if old == 0.0 or old == 1.0:
+                        new.append(old)
+                    elif on != od:
+                        new.append((tmp[u][p] - od * old) / (on - od))
+                    else:
+                        new.append(old)
+                ulab[u] = new
+    return ulab
