@@ -74,6 +74,8 @@ DGO_UNROLL = 7         # degeneracy-ordering peel, probed 4 rounds at sf0.01
 ONION_UNROLL = 6       # onion-layer peel, probed 3 rounds at sf0.01
 COLOR_MOD = 7          # thinned co-purchase graph for greedy coloring
 COLOR_UNROLL = 17      # coloring fixpoint probed 14 rounds at sf0.01
+LPAC_COLORS = 10       # lpa_by_color classes: probed 9 at sf0.01 (+1 no-op margin)
+LPAC_SWEEPS = 6        # lpa_by_color sweeps: probed fixpoint at 5 (+margin)
 MEC_UNROLL = 5         # min-edge-cover handshake, probed 3 rounds
 KC_K = 3               # k-center count
 KC_UNROLL = 6          # per-center BFS relax depth, probed 3
@@ -750,11 +752,12 @@ def _onion_layers_sql() -> str:
     )
 
 
-def _coloring_sql() -> str:
-    """FLASH greedy coloring fixpoint (clustering/color.h:48-82) over the
-    thinned co-purchase graph, unrolled past the probed fixpoint: per
-    round c[v] = mex of colors of higher-(degree, id)-priority
-    neighbors."""
+def _coloring_parts() -> list[str]:
+    """Shared CTE list: FLASH greedy coloring fixpoint (clustering/
+    color.h:48-82) over the thinned co-purchase graph, unrolled past the
+    probed fixpoint: per round c[v] = mex of colors of
+    higher-(degree, id)-priority neighbors.  Final frame:
+    ``c{COLOR_UNROLL}`` (vid, color)."""
     parts = [
         f"with edges as materialized (select src, dst from ({SQL_CP_EDGES}) "
         f"where (src + dst) % {COLOR_MOD} = 0)",
@@ -795,9 +798,53 @@ def _coloring_sql() -> str:
               ) mx using(vid)
             )"""
         )
+    return parts
+
+
+def _coloring_sql() -> str:
+    return (
+        ",\n".join(_coloring_parts())
+        + f"\nselect vid, cast(color as bigint) as color from c{COLOR_UNROLL}"
+    )
+
+
+def _lpa_by_color_sql() -> str:
+    """FLASH lpa_by_color (flash/clustering/lpa-by-color.h:44-146, LDBC
+    min-label tie-break): the coloring fixpoint CTEs, then
+    LPAC_SWEEPS × LPAC_COLORS sequential class stages — class c of a
+    sweep updates only color-c vertices (an independent set) using the
+    labels as rewritten by classes 0..c-1 of the same sweep."""
+    parts = _coloring_parts()
+    parts.append(
+        f"colors as materialized (select vid, color from c{COLOR_UNROLL})"
+    )
+    parts.append("ls0 as materialized (select vid, vid as label from verts)")
+    n = 0
+    for _ in range(LPAC_SWEEPS):
+        for c in range(LPAC_COLORS):
+            parts.append(
+                f"""ls{n + 1} as materialized (
+                  select l.vid,
+                         case when col.color = {c} and p.nl is not null
+                              then p.nl else l.label end as label
+                  from ls{n} l
+                  join colors col using(vid)
+                  left join (
+                    select vid, label as nl from (
+                      select s.dst as vid, r.label, count(*) as cnt
+                      from sym s
+                      join ls{n} r on s.src = r.vid
+                      join colors cd on cd.vid = s.dst and cd.color = {c}
+                      group by 1, 2
+                    ) qualify row_number() over (
+                      partition by vid order by cnt desc, label asc) = 1
+                  ) p using(vid)
+                )"""
+            )
+            n += 1
     return (
         ",\n".join(parts)
-        + f"\nselect vid, cast(color as bigint) as color from c{COLOR_UNROLL}"
+        + f"\nselect vid, cast(label as bigint) as label from ls{n}"
     )
 
 
@@ -2972,6 +3019,15 @@ def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lpa_by_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import lpa_by_color
+    from graphscope_spark.sources.tpch_graph import thin_copurchase_graph
+
+    return lpa_by_color(thin_copurchase_graph(spark, sf_dir, COLOR_MOD)).select(
+        "vid", "label"
+    )
+
+
 def _q_min_edge_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import min_edge_cover
     from graphscope_spark.sources.tpch_graph import thin_order_graph
@@ -3323,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_layers": _q_onion_layers,
         "kcore_size": _q_kcore_size,
         "coloring": _q_coloring,
+        "lpa_by_color": _q_lpa_by_color,
         "min_edge_cover": _q_min_edge_cover,
         "k_center": _q_k_center,
         "fluid_communities": _q_fluid,
@@ -3411,6 +3468,7 @@ def oracle_sql() -> dict[str, str]:
         "onion_layers": _onion_layers_sql(),
         "kcore_size": _kcore_size_sql(),
         "coloring": _coloring_sql(),
+        "lpa_by_color": _lpa_by_color_sql(),
         "min_edge_cover": _min_edge_cover_sql(),
         "k_center": _k_center_sql(),
         "fluid_communities": _fluid_sql(),

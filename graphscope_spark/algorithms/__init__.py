@@ -48,6 +48,7 @@ from graphscope_spark.algorithms.ktruss import k_truss
 from graphscope_spark.algorithms.articlerank import articlerank
 from graphscope_spark.algorithms.coloring import graph_coloring
 from graphscope_spark.algorithms.fluid import fluid_communities
+from graphscope_spark.algorithms.lpa_color import lpa_by_color
 from graphscope_spark.algorithms.kcenter import k_center
 from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
 from graphscope_spark.algorithms.paths import (
@@ -83,6 +84,7 @@ __all__ = [
     "articlerank",
     "graph_coloring",
     "fluid_communities",
+    "lpa_by_color",
     "all_simple_paths",
     "dfs_preorder",
     "is_simple_path",

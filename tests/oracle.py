@@ -1524,3 +1524,32 @@ def lpa_u2i_oracle(
                         new.append(old)
                 ulab[u] = new
     return ulab
+
+
+def lpa_by_color_oracle(
+    edges: list[tuple[int, int]], vertices: list[int], max_sweeps: int = 50
+) -> dict[int, int]:
+    """FLASH lpa_by_color (flash/clustering/lpa-by-color.h:44-146) with
+    the deterministic LDBC tie-break (max count, then min label): greedy
+    (degree, id)-priority coloring, then sweeps processing color classes
+    sequentially (class j sees classes 0..j-1's updates of the same
+    sweep) until a full sweep changes nothing."""
+    adj, _ = _simple_undirected(edges, vertices)
+    colors = coloring_oracle(edges, vertices)
+    n_colors = (max(colors.values()) + 1) if colors else 0
+    lab = {v: v for v in vertices}
+    for _ in range(max_sweeps):
+        prev = dict(lab)
+        for c in range(n_colors):
+            upd = {}
+            for v in vertices:
+                if colors[v] != c or not adj[v]:
+                    continue
+                cnt: dict[int, int] = {}
+                for u in adj[v]:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                upd[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            lab.update(upd)
+        if lab == prev:
+            break
+    return lab

@@ -71,3 +71,20 @@ def test_fluid_tiny(tiny_graph):
         for r in fluid_communities(tiny_graph, seeds=seeds, rounds=4).collect()
     }
     assert got == exp
+
+
+def test_lpa_by_color_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms import lpa_by_color
+
+    vertices, edges = rand_graph_data
+    exp = oracle.lpa_by_color_oracle(edges, vertices)
+    got = {r["vid"]: r["label"] for r in lpa_by_color(rand_graph).collect()}
+    assert got == exp
+
+
+def test_lpa_by_color_tiny(tiny_graph):
+    from graphscope_spark.algorithms import lpa_by_color
+
+    exp = oracle.lpa_by_color_oracle(TINY_EDGES, TINY_VERTICES)
+    got = {r["vid"]: r["label"] for r in lpa_by_color(tiny_graph).collect()}
+    assert got == exp
