@@ -35,6 +35,8 @@ HITS_ROUNDS = 5
 WCC_UNROLL = 8
 BFS_UNROLL = 6
 SSSP_UNROLL = 8
+PWCC_UNROLL = 11       # property union graph min-propagation (probed 8 @ sf0.01)
+PSSSP_UNROLL = 26      # property union graph Bellman-Ford (probed 22 @ sf0.01)
 KCORE_K = 30
 KCORE_UNROLL = 6
 KNN_K = 3
@@ -377,6 +379,85 @@ def _sssp_sql() -> str:
             )"""
         )
     return ",\n".join(parts) + f"\nselect vid, dist from s{SSSP_UNROLL}"
+
+
+SQL_PROP_EDGES = """
+  select o_orderkey*4+1 as src, o_custkey*4+0 as dst, 1.0 as w from orders
+  union all
+  select l_orderkey*4+1 as src, l_partkey*4+2 as dst,
+         cast(min(l_quantity) as double) as w
+  from lineitem group by l_orderkey, l_partkey
+"""
+SQL_PROP_VERTS = """
+  select c_custkey*4+0 as vid from customer
+  union all select o_orderkey*4+1 from orders
+  union all select p_partkey*4+2 from part
+"""
+SQL_PROP_LABEL = (
+    "case when vid % 4 = 0 then 'customer' "
+    "when vid % 4 = 1 then 'orders' else 'part' end"
+)
+
+
+def _wcc_property_sql() -> str:
+    """Union-graph WCC over the 3-label TPC-H property graph
+    (apps/property/wcc_property.h semantics: min-gvid propagation over
+    every label pair)."""
+    parts = [
+        f"with pedges as materialized ({SQL_PROP_EDGES})",
+        f"verts as materialized ({SQL_PROP_VERTS})",
+        "sym as materialized (select src, dst from pedges union select dst, src from pedges)",
+        "c0 as materialized (select vid, vid as comp from verts)",
+    ]
+    for k in range(PWCC_UNROLL):
+        parts.append(
+            f"""c{k + 1} as materialized (
+              select c.vid, least(c.comp, coalesce(m.mc, c.comp)) as comp
+              from c{k} c left join (
+                select s.dst as vid, min(c2.comp) as mc
+                from sym s join c{k} c2 on s.src = c2.vid
+                group by 1
+              ) m using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        select {SQL_PROP_LABEL} as vlabel, vid // 4 as oid, comp
+        from c{PWCC_UNROLL}"""
+    )
+
+
+def _sssp_property_sql() -> str:
+    """Union-graph SSSP (apps/property/sssp_property.h: relax every
+    edge label each round) from the min-custkey customer vertex."""
+    inf = "1e18"
+    parts = [
+        f"with pedges as materialized ({SQL_PROP_EDGES})",
+        f"verts as materialized ({SQL_PROP_VERTS})",
+        "sym as materialized (select src, dst, w from pedges union all select dst, src, w from pedges)",
+        "srcv as materialized (select min(c_custkey)*4 as s from customer)",
+        f"s0 as materialized (select vid, case when vid = (select s from srcv) then 0.0 else {inf} end as dist from verts)",
+    ]
+    for k in range(PSSSP_UNROLL):
+        parts.append(
+            f"""s{k + 1} as materialized (
+              select s.vid, least(s.dist, coalesce(m.md, {inf})) as dist
+              from s{k} s left join (
+                select e.dst as vid, min(s2.dist + e.w) as md
+                from sym e join s{k} s2 on e.src = s2.vid
+                where s2.dist < {inf}
+                group by 1
+              ) m using(vid)
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        select {SQL_PROP_LABEL} as vlabel, vid // 4 as oid,
+               round(dist, 6) as dist
+        from s{PSSSP_UNROLL}"""
+    )
 
 
 def _kcore_sql() -> str:
@@ -2500,6 +2581,44 @@ def _q_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_numeric_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.algorithms import numeric_assortativity
+    from graphscope_spark.sources.tpch_graph import SUPPLIER_OFFSET, order_graph
+
+    g = order_graph(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("vid"), F.col("c_nationkey").alias("attr")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).alias("vid"),
+        F.col("s_nationkey").alias("attr"),
+    )
+    return numeric_assortativity(g, cust.unionByName(supp)).select(
+        F.round("numeric_assortativity", 8).alias("numeric_assortativity")
+    )
+
+
+def _q_wcc_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.property_graph import tpch_property_graph, wcc_property
+
+    pg = tpch_property_graph(spark, sf_dir)
+    return wcc_property(pg).select("vlabel", "oid", "comp")
+
+
+def _q_sssp_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.property_graph import sssp_property, tpch_property_graph
+
+    pg = tpch_property_graph(spark, sf_dir)
+    src = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .agg(F.min("c_custkey"))
+        .collect()[0][0]
+    )
+    return sssp_property(pg, "customer", int(src)).select(
+        "vlabel", "oid", F.round("dist", 6).alias("dist")
+    )
+
+
 def _q_bfs_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import bfs_parent
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -3328,6 +3447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_degree_connectivity": _q_avg_degree_connectivity,
         "core_number": _q_core_number,
         "attr_assortativity": _q_attr_assortativity,
+        "numeric_assortativity": _q_numeric_assortativity,
+        "wcc_property": _q_wcc_property,
+        "sssp_property": _q_sssp_property,
         "bfs_parent": _q_bfs_parent,
         "kshell": _q_kshell,
         "sssp_avg_length": _q_sssp_avg_length,
@@ -3438,6 +3560,8 @@ def oracle_sql() -> dict[str, str]:
         "avg_clustering": _avg_clustering_sql(),
         "transitivity": _transitivity_sql(),
         "degree_assortativity": _assortativity_sql(),
+        "wcc_property": _wcc_property_sql(),
+        "sssp_property": _sssp_property_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
         "attr_assortativity": f"""
@@ -3460,6 +3584,20 @@ def oracle_sql() -> dict[str, str]:
           cols_ as (select a_dst as k, count(*) / (select n from m) as colsum from pairs group by 1),
           sq as (select coalesce(sum(rowsum * colsum), 0.0) as s from rows_ join cols_ using(k))
           select round(((select t from tr) - s) / (1.0 - s), 8) as attr_assortativity from sq
+        """,
+        "numeric_assortativity": f"""
+          with edges as materialized ({SQL_EDGES}),
+          sym as materialized ({SQL_SYM}),
+          attrs as materialized (
+            select c_custkey as vid, c_nationkey as attr from customer
+            union all
+            select 1000000 + s_suppkey, s_nationkey from supplier
+          )
+          select round(corr(cast(sa.attr as double), cast(sb.attr as double)), 8)
+                 as numeric_assortativity
+          from sym s
+          join attrs sa on sa.vid = s.src
+          join attrs sb on sb.vid = s.dst
         """,
         "bfs_parent": _bfs_parent_sql(),
         "kshell": _kshell_sql(),

@@ -18,6 +18,7 @@ from graphscope_spark.algorithms.assortativity import (
     attribute_assortativity,
     average_degree_connectivity,
     degree_assortativity,
+    numeric_assortativity,
 )
 from graphscope_spark.algorithms.corenum import core_number, kshell
 from graphscope_spark.algorithms.traversal import (
@@ -140,6 +141,7 @@ __all__ = [
     "transitivity",
     "degree_assortativity",
     "attribute_assortativity",
+    "numeric_assortativity",
     "average_degree_connectivity",
     "core_number",
     "kshell",

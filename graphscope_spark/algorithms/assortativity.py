@@ -89,6 +89,32 @@ def attribute_assortativity(g: Graph, attrs: DataFrame) -> DataFrame:
     return spark.createDataFrame([(float(r),)], "attr_assortativity double")
 
 
+def numeric_assortativity(g: Graph, attrs: DataFrame) -> DataFrame:
+    """NX ``numeric_assortativity_coefficient``: Pearson r of a NUMERIC
+    vertex attribute at the endpoints of ordered symmetrized edges.
+
+    Reference: apps/assortativity/attribute_assortativity.h:76-81 with
+    ctx.numeric=true builds the value mixing matrix and evaluates
+    utils.h ProcessMatrix — algebraically the same Pearson correlation
+    (Σ x·y weighting via the normalized matrix / marginal variances),
+    so one `corr` aggregate replaces the whole matrix.
+
+    ``attrs``: (vid, attr numeric) DataFrame; returns a single row
+    (numeric_assortativity double).
+    """
+    sym = g.symmetrized()
+    pairs = (
+        sym.join(attrs.select(F.col(VID).alias(SRC), F.col("attr").alias("a_src")), SRC)
+        .join(attrs.select(F.col(VID).alias(DST), F.col("attr").alias("a_dst")), DST)
+    )
+    return pairs.agg(
+        F.coalesce(
+            F.corr(F.col("a_src").cast("double"), F.col("a_dst").cast("double")),
+            F.lit(0.0),
+        ).alias("numeric_assortativity")
+    )
+
+
 def average_degree_connectivity(g: Graph) -> DataFrame:
     """Returns (degree long, knn double): for each degree value, the
     mean over vertices of that degree of their average neighbor degree."""

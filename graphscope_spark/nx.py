@@ -56,6 +56,14 @@ def degree_centrality(g: Graph) -> dict:
     return _to_dict(A.degree_centrality(g))
 
 
+def in_degree_centrality(g: Graph) -> dict:
+    return _to_dict(A.degree_centrality(g, centrality_type="in"))
+
+
+def out_degree_centrality(g: Graph) -> dict:
+    return _to_dict(A.degree_centrality(g, centrality_type="out"))
+
+
 def eigenvector_centrality(g: Graph, max_iter: int = 100, tol: float = 1e-6) -> dict:
     return _to_dict(A.eigenvector_centrality(g, max_iter=max_iter, tol=tol))
 
@@ -165,6 +173,56 @@ def bfs_predecessors(g: Graph, source: int) -> dict:
     return {r[VID]: r["parent"] for r in rows if r["depth"] > 0}
 
 
+def bfs_successors(g: Graph, source: int) -> dict:
+    """parent → sorted list of children in the (deterministic min-parent)
+    BFS tree (builtin.py bfs_successors analog)."""
+    rows = A.bfs_parent(g, source=source).collect()
+    out: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["depth"], r[VID])):
+        if r["depth"] > 0:
+            out.setdefault(r["parent"], []).append(r[VID])
+    return out
+
+
+def bfs_edges(g: Graph, source: int) -> list:
+    """Tree edges (parent, child) in discovery (depth, parent, child)
+    order (builtin.py bfs_edges analog, deterministic parent choice)."""
+    rows = A.bfs_parent(g, source=source).collect()
+    return [
+        (r["parent"], r[VID])
+        for r in sorted(rows, key=lambda r: (r["depth"], r["parent"], r[VID]))
+        if r["depth"] > 0
+    ]
+
+
+def bfs_tree(g: Graph, source: int) -> Graph:
+    """The BFS tree as a directed Graph (builtin.py bfs_tree returns a
+    DiGraph; here the same edge set stays a DataFrame-backed Graph)."""
+    parents = A.bfs_parent(g, source=source)
+    edges = parents.where(F.col("depth") > 0).select(
+        F.col("parent").alias("src"), F.col(VID).alias("dst")
+    )
+    verts = parents.where(F.col("depth") >= 0).select(VID)
+    return Graph.from_edges(
+        edges, vertices=verts, directed=True, num_partitions=g.num_partitions
+    )
+
+
+def single_source_dijkstra_path_length(g: Graph, source: int, weight: str = "weight") -> dict:
+    """builtin.py single_source_dijkstra_path_length analog — weighted
+    distances from ``source`` (inf-unreachable dropped)."""
+    rows = A.sssp(g, source=source, weight=weight).collect()
+    return {r[VID]: r["dist"] for r in rows if r["dist"] != float("inf")}
+
+
+def all_simple_edge_paths(g: Graph, source: int, target: int, cutoff: int = 5) -> list:
+    """Each simple path as its edge list (builtin.py
+    all_simple_edge_paths analog)."""
+    rows = A.all_simple_paths(g, source=source, target=target, cutoff=cutoff).collect()
+    paths = sorted([int(v) for v in r["path"].split("-")] for r in rows)
+    return [list(zip(p[:-1], p[1:])) for p in paths]
+
+
 def eccentricity(g: Graph) -> dict:
     return {r[VID]: r["ecc"] for r in A.eccentricity(g).collect()}
 
@@ -180,6 +238,10 @@ def degree_assortativity_coefficient(g: Graph) -> float:
 
 def attribute_assortativity_coefficient(g: Graph, attrs: DataFrame) -> float:
     return _scalar(A.attribute_assortativity(g, attrs))
+
+
+def numeric_assortativity_coefficient(g: Graph, attrs: DataFrame) -> float:
+    return _scalar(A.numeric_assortativity(g, attrs))
 
 
 def average_degree_connectivity(g: Graph) -> dict:

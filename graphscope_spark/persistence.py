@@ -22,6 +22,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from graphscope_spark.graph import VID, Graph
 
@@ -136,6 +137,24 @@ def load_graphar(spark: SparkSession, path: str) -> Graph:
         edges,
         verts.drop("index", "chunk"),
         directed=meta["directed"],
+    )
+
+
+def consolidate_columns(
+    g: Graph, columns: list[str], name: str, as_struct: bool = False
+) -> Graph:
+    """CONSOLIDATE_COLUMNS (dag_utils.py:232-280, graph.py:715-762):
+    merge several vertex property columns into one array (or struct)
+    column — pure column rewriting, no shuffle."""
+    merged = (
+        F.struct(*[F.col(c) for c in columns])
+        if as_struct
+        else F.array(*[F.col(c).cast("double") for c in columns])
+    )
+    from dataclasses import replace
+
+    return replace(
+        g, vertices=g.vertices.withColumn(name, merged).drop(*columns)
     )
 
 
