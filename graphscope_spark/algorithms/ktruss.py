@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.superstep import stats_barrier
+from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
@@ -50,6 +50,7 @@ def k_truss(g: Graph, k: int, max_rounds: int = 100) -> DataFrame:
             .select("a", "b")
         ).transform(stats_barrier)
         dropped = cur.count() - nxt.count()
+        unpersist_barrier(cur)  # nxt is materialized; last round is dead
         cur = nxt
         if dropped == 0:
             break

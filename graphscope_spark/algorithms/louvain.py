@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.superstep import stats_barrier
+from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
@@ -87,6 +87,10 @@ def louvain(
             break
 
         comm = nodes.select("v", F.col("v").alias("comm")).transform(stats_barrier)
+        # barrier'd state of the PREVIOUS round — dead (and released)
+        # as soon as the next round's state is materialized; a stale
+        # round otherwise stays in block storage for the whole phase
+        prev_comm_state = comm
         for _round in range(max_rounds):
             tot = (
                 comm.join(deg, "v").groupBy("comm").agg(F.sum("k").alias("tot"))
@@ -151,15 +155,19 @@ def louvain(
             ).transform(stats_barrier)
             moved = nxt.where(F.col("comm") != F.col("old_comm")).count()
             comm = nxt.select("v", "comm")
+            unpersist_barrier(prev_comm_state)
+            prev_comm_state = nxt
             if moved == 0:
                 break
 
         n_nodes = nodes.count()
         n_comms = comm.select("comm").distinct().count()
+        old_mapping = mapping
         mapping = (
             mapping.join(comm.select(F.col("v").alias("node"), "comm"), "node")
             .select(VID, F.col("comm").alias("node"))
         ).transform(stats_barrier)
+        unpersist_barrier(old_mapping)
         if n_comms == n_nodes:
             break
 
@@ -179,6 +187,7 @@ def louvain(
             .groupBy(F.col("comm").alias("v"))
             .agg(F.sum("sw").alias("cw"))
         )
+        old_selfs, old_edges, old_nodes = selfs, edges, nodes
         selfs = (
             new_self.join(carried_self, "v", "full")
             .select(
@@ -199,6 +208,11 @@ def louvain(
             .agg(F.sum("w").cast("long").alias("w"))
         ).transform(stats_barrier)
         nodes = comm.select(F.col("comm").alias("v")).distinct().transform(stats_barrier)
+        # the contracted graph is materialized; the previous level's
+        # graph, this phase's degree table and last round's comm state
+        # are all dead now
+        for dead in (old_selfs, old_edges, old_nodes, deg, prev_comm_state):
+            unpersist_barrier(dead)
 
     # stable labels: min original vid per final community
     labels = mapping.groupBy("node").agg(F.min(VID).alias("community"))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import stats_barrier
+from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 
 
 def degeneracy(g: Graph) -> DataFrame:
@@ -58,6 +58,7 @@ def _peel(
     unranked vertices with d ≤ threshold, then newly-ranked vertices
     decrement unranked neighbors' d (optionally same-core only)."""
     for i in range(max_rounds):
+        prev = state
         newly = state.where(
             (F.col("rank") < 0) & (F.col("d") <= F.col(threshold_col))
         )
@@ -110,6 +111,7 @@ def _peel(
                 "rank",
             )
         ).transform(stats_barrier)
+        unpersist_barrier(prev)  # new round materialized; last one dead
     return state
 
 

@@ -64,6 +64,41 @@ def one_shuffle_mode(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _ckpt_handle(df: DataFrame):
+    """The persisted RDD behind a (local)checkpointed DataFrame — the
+    LogicalRDD's rdd, which IS the unpersist handle (the derived
+    ``queryExecution().toRdd()`` is a different RDD; unpersisting it is
+    a no-op).  None when the plan isn't a LogicalRDD."""
+    try:
+        an = df._jdf.queryExecution().analyzed()
+        if an.getClass().getSimpleName() == "LogicalRDD":
+            return an.rdd()
+    except Exception:  # pragma: no cover - handle is best-effort
+        pass
+    return None
+
+
+def unpersist_barrier(df: DataFrame) -> None:
+    """Free the storage of a DataFrame produced by ``stats_barrier`` /
+    ``localCheckpoint`` once nothing downstream will read it again.
+
+    Iterative drivers that re-bind their state every round otherwise
+    RETAIN every round's materialized state (4M rows ≈ 320 MB
+    deserialized) until the session dies — measured as 25-40% of task
+    time spent in GC at 4M vertices / 13M edges.  NOTE: a local
+    checkpoint truncates lineage, so only call this when the DataFrame
+    is truly dead — any later action on it would fail.
+    """
+    h = getattr(df, "_gs_ckpt_handle", None)
+    if h is None:
+        h = _ckpt_handle(df)
+    if h is not None:
+        try:
+            h.unpersist(False)
+        except Exception:  # pragma: no cover
+            pass
+
+
 def stats_barrier(df: DataFrame) -> DataFrame:
     """Materialize ``df`` (lineage truncation, like an eager
     localCheckpoint) AND reset Catalyst's size statistics.
@@ -83,14 +118,18 @@ def stats_barrier(df: DataFrame) -> DataFrame:
     explicit (``F.broadcast``) throughout this repo.
     """
     d2 = df.localCheckpoint(eager=True)
+    handle = _ckpt_handle(d2)
     try:
         jdf = d2._jdf
         jrdd = jdf.queryExecution().toRdd()
         jspark = d2.sparkSession._jsparkSession
         new_jdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
-        return DataFrame(new_jdf, d2.sparkSession)
+        out = DataFrame(new_jdf, d2.sparkSession)
     except Exception:  # pragma: no cover - future-Spark fallback
-        return d2
+        out = d2
+    # carry the unpersist handle so loops can release dead rounds
+    out._gs_ckpt_handle = handle
+    return out
 
 
 @dataclass
@@ -202,6 +241,11 @@ class SuperstepRunner:
         if state is None:
             state = init()
 
+        # storage handles of rounds not yet known-dead: everything here
+        # is unpersisted as soon as a NEWER state is durably
+        # materialized (chained intermediates + the previous sync
+        # state); the final state's handle is left live for the caller
+        stale: list = []
         for k in range(start_k, max_iterations):
             t0 = time.time()
             res = step(state, k)
@@ -216,6 +260,9 @@ class SuperstepRunner:
                 # checkpointed RDD is persisted on first compute, so
                 # multi-consumer steps read it once.
                 state = res.state.localCheckpoint(eager=False)
+                h = _ckpt_handle(state)
+                if h is not None:
+                    stale.append(h)
                 self._record(
                     {
                         "algorithm": self.name,
@@ -240,6 +287,17 @@ class SuperstepRunner:
                         shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
             else:
                 state = stats_barrier(res.state)
+            # the new state is durably materialized (parquet or eager
+            # local checkpoint): every older round's storage is dead
+            for h in stale:
+                try:
+                    h.unpersist(False)
+                except Exception:  # pragma: no cover
+                    pass
+            stale = []
+            h = getattr(state, "_gs_ckpt_handle", None)
+            if h is not None:
+                stale.append(h)
             delta = res.delta
             if delta is None and res.delta_fn is not None:
                 delta = res.delta_fn(state)
