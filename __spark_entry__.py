@@ -37,6 +37,7 @@ BFS_UNROLL = 6
 SSSP_UNROLL = 8
 PWCC_UNROLL = 11       # property union graph min-propagation (probed 8 @ sf0.01)
 PSSSP_UNROLL = 26      # property union graph Bellman-Ford (probed 22 @ sf0.01)
+BETW_UNROLL = 5        # Brandes BFS depth from supplier roots (probed 3 @ sf0.01)
 KCORE_K = 30
 KCORE_UNROLL = 6
 KNN_K = 3
@@ -397,6 +398,68 @@ SQL_PROP_LABEL = (
     "case when vid % 4 = 0 then 'customer' "
     "when vid % 4 = 1 then 'orders' else 'part' end"
 )
+
+
+def _betweenness_sql() -> str:
+    """Fully-unrolled sampled Brandes over the order graph: forward
+    level-synchronous BFS accumulating path counts σ (levels 1..D,
+    cumulative CTEs with a NOT EXISTS frontier guard), then the
+    backward dependency sweep δ(v) += σ_v·Σ_w (1+δ_w)/σ_w for
+    successors w one level deeper (betweenness.py _chunk_delta
+    recurrence; apps/centrality/betweenness semantics).  Scores scaled
+    by 0.5·n/|roots| (undirected halving × Brandes sampling
+    estimator), matching the Spark query bit-for-bit at 6 decimals."""
+    D = BETW_UNROLL
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"sym as materialized ({SQL_SYM})",
+        f"verts as materialized ({SQL_VERTS})",
+        "roots as materialized (select 1000000+s_suppkey as r from supplier "
+        "where (1000000+s_suppkey)%10=0)",
+        "l0 as materialized (select r, r as vid, 0 as d, 1.0 as sig from roots)",
+    ]
+    for k in range(1, D + 1):
+        parts.append(
+            f"""l{k} as materialized (
+          select * from l{k - 1}
+          union all
+          select m.r, m.vid, {k} as d, m.sig from (
+            select p.r, s.dst as vid, sum(p.sig) as sig
+            from sym s join l{k - 1} p on s.src = p.vid and p.d = {k - 1}
+            group by 1, 2
+          ) m where not exists (
+            select 1 from l{k - 1} x where x.r = m.r and x.vid = m.vid)
+        )"""
+        )
+    parts.append(
+        f"b{D + 1} as materialized (select r, vid, d, sig, 0.0 as delta from l{D})"
+    )
+    j = D + 1
+    for lvl in range(D, 0, -1):
+        parts.append(
+            f"""b{j + 1} as materialized (
+          select t.r, t.vid, t.d, t.sig,
+                 case when t.d = {lvl - 1}
+                      then t.delta + t.sig * coalesce(c.coef, 0.0)
+                      else t.delta end as delta
+          from b{j} t left join (
+            select w.r, s.src as vid, sum((1.0 + w.delta) / w.sig) as coef
+            from sym s join b{j} w on s.dst = w.vid and w.d = {lvl}
+            group by 1, 2
+          ) c on c.vid = t.vid and c.r = t.r
+        )"""
+        )
+        j += 1
+    return (
+        ",\n".join(parts)
+        + f"""
+      select v.vid,
+             round(0.5 * (select count(*) from verts) / (select count(*) from roots)
+                   * coalesce(s.bsum, 0.0), 6) as betweenness
+      from verts v left join (
+        select vid, sum(delta) as bsum from b{j} where vid <> r group by 1
+      ) s on s.vid = v.vid"""
+    )
 
 
 def _wcc_property_sql() -> str:
@@ -2649,9 +2712,8 @@ def _q_sssp_avg_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampled Brandes betweenness (supplier-side roots).  No DuckDB
-    oracle: the backward dependency sweep is not practically
-    SQL-expressible — driver records the rows-only check."""
+    """Sampled Brandes betweenness (supplier-side roots), exact vs the
+    fully-unrolled forward(σ)+backward(δ) SQL oracle."""
     from graphscope_spark.algorithms import betweenness_centrality
     from graphscope_spark.sources.tpch_graph import order_graph
 
@@ -3562,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _assortativity_sql(),
         "wcc_property": _wcc_property_sql(),
         "sssp_property": _sssp_property_sql(),
+        "betweenness_sampled": _betweenness_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
         "attr_assortativity": f"""
