@@ -38,6 +38,8 @@ SSSP_UNROLL = 8
 PWCC_UNROLL = 11       # property union graph min-propagation (probed 8 @ sf0.01)
 PSSSP_UNROLL = 26      # property union graph Bellman-Ford (probed 22 @ sf0.01)
 BETW_UNROLL = 5        # Brandes BFS depth from supplier roots (probed 3 @ sf0.01)
+LOUVAIN_ROUNDS = 5     # louvain: fixed unroll == the query's max_rounds
+LOUVAIN_PHASES = 2     # and max_phases (extra quiesced rounds are no-ops)
 KCORE_K = 30
 KCORE_UNROLL = 6
 KNN_K = 3
@@ -398,6 +400,112 @@ SQL_PROP_LABEL = (
     "case when vid % 4 = 0 then 'customer' "
     "when vid % 4 = 1 then 'orders' else 'part' end"
 )
+
+
+def _louvain_phase_sql(parts: list[str], p: int, rounds: int) -> None:
+    """One Louvain phase (louvain.py semantics, all-integer scores):
+    inputs e{p}(a,b,w), s{p}(v,sw), n{p}(v); emits c{p}_{rounds}."""
+    parts.append(
+        f"""sym{p} as materialized (
+      select a as v, b as u, w from e{p} union all select b, a, w from e{p})"""
+    )
+    parts.append(
+        f"""deg{p} as materialized (
+      select n.v, cast(coalesce(d.kd,0) + 2*coalesce(s.sw,0) as bigint) as k
+      from n{p} n
+      left join (select v, sum(w) as kd from sym{p} group by 1) d on d.v = n.v
+      left join s{p} s on s.v = n.v)"""
+    )
+    parts.append(f"m2_{p} as materialized (select sum(k) as m2 from deg{p})")
+    parts.append(f"c{p}_0 as materialized (select v, v as comm from n{p})")
+    for r in range(1, rounds + 1):
+        pr = f"c{p}_{r - 1}"
+        parts.append(
+            f"""tot{p}_{r} as materialized (
+          select c.comm, sum(d.k) as tot from {pr} c join deg{p} d on d.v=c.v group by 1)"""
+        )
+        parts.append(
+            f"""kvc{p}_{r} as materialized (
+          select s.v, c.comm as cu, sum(s.w) as kvc
+          from sym{p} s join {pr} c on c.v = s.u group by 1, 2)"""
+        )
+        parts.append(
+            f"""c{p}_{r} as materialized (
+          select base.v,
+                 case when b.s_best is not null and b.s_best > base.s_stay
+                      then b.c_best else base.comm end as comm
+          from (
+            select c.v, c.comm,
+                   (select m2 from m2_{p}) * coalesce(kd.kvc, 0)
+                   - d.k * (t.tot - d.k) as s_stay
+            from {pr} c
+            join deg{p} d on d.v = c.v
+            join tot{p}_{r} t on t.comm = c.comm
+            left join kvc{p}_{r} kd on kd.v = c.v and kd.cu = c.comm
+          ) base
+          left join (
+            select v, s as s_best, cu as c_best from (
+              select kv.v, kv.cu,
+                     (select m2 from m2_{p}) * kv.kvc - d.k * t.tot as s,
+                     row_number() over (partition by kv.v order by
+                       ((select m2 from m2_{p}) * kv.kvc - d.k * t.tot) desc,
+                       kv.cu asc) as rn
+              from kvc{p}_{r} kv
+              join {pr} c on c.v = kv.v
+              join deg{p} d on d.v = kv.v
+              join tot{p}_{r} t on t.comm = kv.cu
+              where kv.cu <> c.comm
+            ) where rn = 1
+          ) b on b.v = base.v)"""
+        )
+
+
+def _louvain_sql() -> str:
+    """Fully-unrolled deterministic synchronous Louvain over the
+    co-purchase graph: LOUVAIN_PHASES phases of LOUVAIN_ROUNDS
+    synchronous local-moving rounds each (S(C) = m2·k_{v,C} − k_v·tot_C
+    argmax with min-id tie-break, move iff strictly better than
+    S_stay — all integer arithmetic, louvain.py:1-31 semantics), with
+    the exact contraction between phases (inter-community weights
+    summed, intra mass to self-loops feeding k).  Quiesced extra rounds
+    are no-ops, so the fixed unroll equals the Spark query's
+    early-breaking loop.  Output: (vid, community=min original vid)."""
+    R = LOUVAIN_ROUNDS
+    parts = [
+        f"with cpe as materialized ({SQL_CP_EDGES})",
+        "e1 as materialized (select src as a, dst as b, cast(count(*) as bigint) as w "
+        "from cpe where src <> dst group by 1,2)",
+        "n1 as materialized (select a as v from e1 union select b from e1)",
+        "s1 as materialized (select cast(null as bigint) as v, "
+        "cast(null as bigint) as sw where false)",
+    ]
+    _louvain_phase_sql(parts, 1, R)
+    parts.append(
+        f"""ec1 as materialized (
+      select ca.comm as ca, cb.comm as cb, e.w
+      from e1 e join c1_{R} ca on ca.v = e.a join c1_{R} cb on cb.v = e.b)"""
+    )
+    parts.append(
+        "s2 as materialized (select ca as v, cast(sum(w) as bigint) as sw "
+        "from ec1 where ca = cb group by 1)"
+    )
+    parts.append(
+        "e2 as materialized (select least(ca,cb) as a, greatest(ca,cb) as b, "
+        "cast(sum(w) as bigint) as w from ec1 where ca <> cb group by 1,2)"
+    )
+    parts.append(f"n2 as materialized (select distinct comm as v from c1_{R})")
+    _louvain_phase_sql(parts, 2, R)
+    return (
+        ",\n".join(parts)
+        + f""",
+      fmap as materialized (
+        select c1.v as vid, c2.comm as node
+        from c1_{R} c1 join c2_{R} c2 on c2.v = c1.comm)
+      select m.vid, l.community
+      from fmap m join (
+        select node, min(vid) as community from fmap group by node
+      ) l on l.node = m.node"""
+    )
 
 
 def _betweenness_sql() -> str:
@@ -2725,10 +2833,9 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synchronous Louvain (integer modularity scores).
-    No DuckDB oracle: multi-phase contraction is impractical in SQL —
-    driver records the rows-only check; exactness vs the Python oracle
-    is pinned in tests/test_louvain.py."""
+    """Deterministic synchronous Louvain (integer modularity scores),
+    exact vs the fully-unrolled 2-phase/5-round SQL oracle (also pinned
+    vs the Python twin in tests/test_louvain.py)."""
     from graphscope_spark.algorithms import louvain
     from graphscope_spark.sources.tpch_graph import copurchase_graph
 
@@ -3625,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_property": _wcc_property_sql(),
         "sssp_property": _sssp_property_sql(),
         "betweenness_sampled": _betweenness_sql(),
+        "louvain": _louvain_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
         "attr_assortativity": f"""
