@@ -243,6 +243,79 @@ class Graph:
         )
         return replace(self, vertices=v, edges=e)
 
+    def add_vertices(self, new_vertices: DataFrame) -> "Graph":
+        """MODIFY_VERTICES/ADD analog (dag_utils.py:359-412): functional
+        update — returns a new Graph with the (vid [, props]) rows
+        merged in (NX G.add_nodes_from; existing vids keep their row)."""
+        from dataclasses import replace
+
+        nv = new_vertices.withColumn(VID, F.col(VID).cast("long"))
+        fresh = nv.join(self.vertices.select(VID), VID, "anti")
+        for c in self.vertices.columns:
+            if c not in fresh.columns:
+                fresh = fresh.withColumn(c, F.lit(None))
+        return replace(
+            self,
+            vertices=self.vertices.unionByName(
+                fresh.select(*self.vertices.columns)
+            ),
+        )
+
+    def add_edges(self, new_edges: DataFrame) -> "Graph":
+        """MODIFY_EDGES/ADD analog: append (src, dst [, weight]) rows;
+        endpoints missing from the vertex table are added
+        (NX G.add_edges_from)."""
+        from dataclasses import replace
+
+        cols = [F.col(SRC).cast("long"), F.col(DST).cast("long")]
+        if "weight" in self.edges.columns:
+            w = (
+                F.col("weight").cast("double")
+                if "weight" in new_edges.columns
+                else F.lit(1.0)
+            )
+            cols.append(w.alias("weight"))
+        ne = new_edges.select(*cols)
+        ends = (
+            ne.select(F.col(SRC).alias(VID))
+            .unionByName(ne.select(F.col(DST).alias(VID)))
+            .distinct()
+        )
+        g2 = self.add_vertices(ends)
+        return replace(
+            g2, edges=self.edges.unionByName(ne.select(*self.edges.columns))
+        )
+
+    def remove_edges(self, gone: DataFrame) -> "Graph":
+        """MODIFY_EDGES/DEL analog: drop the listed (src, dst) pairs —
+        an anti join, broadcast when the removal set is small."""
+        from dataclasses import replace
+
+        return replace(
+            self,
+            edges=self.edges.join(
+                gone.select(
+                    F.col(SRC).cast("long").alias(SRC),
+                    F.col(DST).cast("long").alias(DST),
+                ),
+                [SRC, DST],
+                "anti",
+            ),
+        )
+
+    def remove_vertices(self, gone: DataFrame) -> "Graph":
+        """MODIFY_VERTICES/DEL analog: drop vids and every incident
+        edge (NX G.remove_nodes_from)."""
+        from dataclasses import replace
+
+        gv = gone.select(F.col(VID).cast("long").alias(VID))
+        v = self.vertices.join(gv, VID, "anti")
+        e = (
+            self.edges.join(gv.select(F.col(VID).alias(SRC)), SRC, "anti")
+            .join(gv.select(F.col(VID).alias(DST)), DST, "anti")
+        )
+        return replace(self, vertices=v, edges=e)
+
     def num_vertices(self) -> int:
         return self.vertices.count()
 
