@@ -89,11 +89,17 @@ def pagerank(
         .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
     )
 
+    # fixed-round runs never read old_rank (no convergence test): drop
+    # the column — a third less state to checkpoint and re-scan per
+    # round, which is the memory-bandwidth-bound part of a superstep
+    track_delta = tol is not None
+
     def init() -> DataFrame:
         r0 = F.lit(1.0 / n)
-        return degrees.select(
-            VID, r0.alias("rank"), r0.alias("old_rank"), "out_deg"
-        ).repartition(p, VID)
+        cols = [VID, r0.alias("rank")]
+        if track_delta:
+            cols.append(r0.alias("old_rank"))
+        return degrees.select(*cols, "out_deg").repartition(p, VID)
 
     # one tiny job up front: graphs with no dangling vertices (every
     # vertex has an out-edge) skip the dangling-pool aggregate entirely
@@ -153,12 +159,12 @@ def pagerank(
             )
         else:
             rank_expr = alpha * F.coalesce("contrib", F.lit(0.0)) + (1.0 - alpha) / n
-        nxt = joined.select(
-            VID,
-            rank_expr.alias("rank"),
-            state["rank"].alias("old_rank"),
-            "out_deg",
-        )
+        out_cols = [VID, rank_expr.alias("rank")]
+        if track_delta:
+            out_cols.append(state["rank"].alias("old_rank"))
+        nxt = joined.select(*out_cols, "out_deg")
+        if not track_delta:
+            return StepResult(nxt)
 
         def delta_fn(m: DataFrame) -> float:
             # L1 convergence metric over the materialized state

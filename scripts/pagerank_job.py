@@ -102,9 +102,12 @@ def main() -> None:
     max_iter = args.max_iter
     sync_every = 1
     if args.rounds is not None:
-        # fixed-round mode: chain supersteps (5 per job) — same results,
-        # no per-round driver stall
-        tol, max_iter, sync_every = None, args.rounds, 5
+        # fixed-round mode: chain ALL rounds into one job — same
+        # results, no per-round driver stall at all (lazy 1-row
+        # broadcast all-reduces keep each step collect-free)
+        tol, max_iter, sync_every = None, args.rounds, args.rounds
+    from pyspark.sql import functions as F
+
     t0 = time.time()
     result = pagerank(g, tol=tol, max_iter=max_iter, runner=runner, sync_every=sync_every)
     result.count()  # materialize final state
@@ -123,7 +126,14 @@ def main() -> None:
                 "load_sec": round(t_load, 3),
                 "pagerank_sec": round(wall, 3),
                 "edges_per_sec_per_superstep": round(eps, 1),
-                "final_delta": runner.metrics[-1]["delta"] if runner.metrics else None,
+                # work-identity check across parallelism levels:
+                # vid-weighted rank mass discriminates any per-vertex drift
+                "rank_checksum": round(
+                    result.agg(
+                        F.sum(F.col("rank") * (F.pmod(F.col("vid"), F.lit(97)) + 1))
+                    ).collect()[0][0],
+                    9,
+                ),
             }
         )
     )
