@@ -38,10 +38,17 @@ BATCH = 128
 
 
 def _chunk_delta(
-    sym: DataFrame, verts: DataFrame, chunk: list[int], max_depth: int
+    sym: DataFrame,
+    verts: DataFrame,
+    chunk: list[int],
+    max_depth: int,
+    endpoints: bool = False,
 ) -> DataFrame:
     """Forward + backward Brandes sweep for one root batch.  Returns
-    (vid, bc_part) where bc_part = Σ_i delta_i[v], v ≠ root_i."""
+    (vid, bc_part) where bc_part = Σ_i delta_i[v], v ≠ root_i; with
+    ``endpoints`` (betweenness_centrality_generic.h:155-165,207-217 /
+    NX endpoints=True) each reached w≠root contributes delta+1 and the
+    root contributes |reached|−1."""
     k = len(chunk)
     dp = [f"dp{i}" for i in range(k)]
     sg = [f"sg{i}" for i in range(k)]
@@ -148,10 +155,26 @@ def _chunk_delta(
             ],
         ).transform(stats_barrier)
 
-    bc = sum(
-        F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
-        for l, r in zip(dl, chunk)
-    )
+    if endpoints:
+        # |reached| per root as a lazy 1-row broadcast (no driver trip)
+        reach = state.agg(
+            *[
+                F.sum((F.col(d) >= 0).cast("long")).alias(f"rc{i}")
+                for i, d in enumerate(dp)
+            ]
+        )
+        state = state.crossJoin(F.broadcast(reach))
+        bc = sum(
+            F.when(F.col(VID) == F.lit(r), (F.col(f"rc{i}") - 1).cast("double"))
+            .when(F.col(d) >= 0, F.col(l) + 1.0)
+            .otherwise(0.0)
+            for i, (d, l, r) in enumerate(zip(dp, dl, chunk))
+        )
+    else:
+        bc = sum(
+            F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
+            for l, r in zip(dl, chunk)
+        )
     return state.select(VID, bc.alias("bc_part"))
 
 
@@ -160,11 +183,14 @@ def betweenness_centrality(
     roots: DataFrame | None = None,
     max_depth: int = 64,
     normalized: bool = False,
+    endpoints: bool = False,
 ) -> DataFrame:
     """Returns (vid long, betweenness double).
 
     ``roots=None`` uses every vertex (exact; small graphs only).
     With a sampled root set, scores are scaled by n/|roots|.
+    ``endpoints`` counts path endpoints (NX betweenness_centrality
+    endpoints=True; betweenness_centrality_generic.h ctx.endpoints).
     """
     sym = (
         g.symmetrized()
@@ -181,7 +207,9 @@ def betweenness_centrality(
 
     total: DataFrame | None = None
     for lo in range(0, n_roots, BATCH):
-        part = _chunk_delta(sym, verts, root_list[lo : lo + BATCH], max_depth)
+        part = _chunk_delta(
+            sym, verts, root_list[lo : lo + BATCH], max_depth, endpoints=endpoints
+        )
         total = part if total is None else (
             total.unionByName(part)
             .groupBy(VID)

@@ -34,6 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master URL; e.g. spark://127.0.0.1:7077 for the "
+        "standalone multi-executor cluster (scripts/cluster_scaling.sh). "
+        "--cores then caps spark.cores.max (total executor cores); "
+        "default stays local[--cores]",
+    )
+    ap.add_argument("--executor-memory", default="10g")
+    ap.add_argument(
+        "--barrier",
+        default="checkpoint",
+        choices=["checkpoint", "columnar"],
+        help="per-round state barrier: localCheckpoint rows vs compressed columnar cache",
+    )
     ap.add_argument("--pages", type=int, default=60_000)
     ap.add_argument("--pages-path", default=None, help="pre-generated pages parquet")
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -59,8 +74,17 @@ def main() -> None:
 
     spark = get_spark(
         app_name=f"pagerank-scaling-{args.cores}",
-        master=f"local[{args.cores}]",
+        master=args.master or f"local[{args.cores}]",
         shuffle_partitions=max(args.cores, 8),
+        extra_conf=(
+            {
+                "spark.executor.memory": args.executor_memory,
+                "spark.executor.cores": "1",
+                "spark.cores.max": str(args.cores),
+            }
+            if args.master and args.master.startswith("spark://")
+            else None
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -96,7 +120,11 @@ def main() -> None:
     from graphscope_spark.superstep import SuperstepRunner
 
     runner = SuperstepRunner(
-        spark, "pagerank", checkpoint_dir=args.checkpoint_dir, resume=False
+        spark,
+        "pagerank",
+        checkpoint_dir=args.checkpoint_dir,
+        resume=False,
+        barrier_mode=args.barrier,
     )
     tol = args.tol
     max_iter = args.max_iter

@@ -496,6 +496,48 @@ def betweenness_oracle(
     return {v: bc[v] / 2.0 for v in vertices}
 
 
+def betweenness_endpoints_oracle(
+    edges: list[tuple[int, int]], vertices: list[int]
+) -> dict[int, float]:
+    """Brandes with endpoint counting (NX endpoints=True): root gets
+    |reached|−1, every other reached w gets delta[w]+1."""
+    from collections import deque
+
+    nbr = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            nbr[s].add(d)
+            nbr[d].add(s)
+    bc = {v: 0.0 for v in vertices}
+    for s in vertices:
+        stack = []
+        pred = {v: [] for v in vertices}
+        sigma = {v: 0.0 for v in vertices}
+        dist = {v: -1 for v in vertices}
+        sigma[s] = 1.0
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in nbr[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        bc[s] += len(stack) - 1
+        delta = {v: 0.0 for v in vertices}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w] + 1
+    return {v: bc[v] / 2.0 for v in vertices}
+
+
 def louvain_oracle(
     edges: list[tuple[int, int]],
     vertices: list[int],

@@ -35,6 +35,20 @@ def test_betweenness_random_small(spark):
     _allclose(betweenness_centrality(g), exp)
 
 
+def test_betweenness_endpoints(spark):
+    """endpoints=True (betweenness_centrality_generic.h ctx.endpoints /
+    NX endpoints) vs the endpoint-counting oracle."""
+    from graphscope_spark.graph import Graph
+    from tests.conftest import make_random_graph
+
+    vertices, edges = make_random_graph(n=40, seed=11)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4)
+    exp = oracle.betweenness_endpoints_oracle(edges, vertices)
+    _allclose(betweenness_centrality(g, endpoints=True), exp)
+
+
 def test_betweenness_sampled_scales(tiny_graph, spark):
     """Sampled roots scale by n/|roots|; with all roots explicitly
     passed the result equals the default."""
