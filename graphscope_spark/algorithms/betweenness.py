@@ -184,6 +184,7 @@ def betweenness_centrality(
     max_depth: int = 64,
     normalized: bool = False,
     endpoints: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """Returns (vid long, betweenness double).
 
@@ -191,12 +192,22 @@ def betweenness_centrality(
     With a sampled root set, scores are scaled by n/|roots|.
     ``endpoints`` counts path endpoints (NX betweenness_centrality
     endpoints=True; betweenness_centrality_generic.h ctx.endpoints).
+    ``weight``: edge-weight column → Dijkstra-DAG Brandes
+    (betweenness_centrality_generic.h dijkstra path).
     """
-    sym = (
-        g.symmetrized()
-        .select(SRC, DST)
-        .cache()
-    )
+    weighted = weight is not None and weight in g.edges.columns
+    if weighted:
+        e = g.edges.select(SRC, DST, F.col(weight).cast("double").alias("w"))
+        sym = (
+            e.unionByName(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+            )
+            .groupBy(SRC, DST)
+            .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+            .cache()
+        )
+    else:
+        sym = g.symmetrized().select(SRC, DST).cache()
     n = g.num_vertices()
     root_list = _collect_roots(g, roots)
     n_roots = len(root_list)
@@ -207,9 +218,14 @@ def betweenness_centrality(
 
     total: DataFrame | None = None
     for lo in range(0, n_roots, BATCH):
-        part = _chunk_delta(
-            sym, verts, root_list[lo : lo + BATCH], max_depth, endpoints=endpoints
-        )
+        if weighted:
+            part = _chunk_delta_weighted(
+                sym, verts, root_list[lo : lo + BATCH], max_depth, endpoints=endpoints
+            )
+        else:
+            part = _chunk_delta(
+                sym, verts, root_list[lo : lo + BATCH], max_depth, endpoints=endpoints
+            )
         total = part if total is None else (
             total.unionByName(part)
             .groupBy(VID)
@@ -228,3 +244,266 @@ def betweenness_centrality(
     )
     sym.unpersist()
     return out
+
+
+def _chunk_delta_weighted(
+    wsym: DataFrame,
+    verts: DataFrame,
+    chunk: list[int],
+    max_rounds: int,
+    endpoints: bool = False,
+) -> DataFrame:
+    """Dijkstra-DAG Brandes for one root batch on a WEIGHTED graph
+    (betweenness_centrality_generic.h:106-153 dijkstra path; NX
+    _single_source_dijkstra_path_basic semantics).
+
+    Wide-column sweeps, all join+groupBy supersteps:
+    1. dist_i: frontier Bellman-Ford over (src, dst, w).
+    2. DAG edge flags: is_i(src→dst) = (dist_i[src] + w == dist_i[dst])
+       — exact float equality is sound because both sides come from the
+       same min-plus relaxation arithmetic.  One cached table.
+    3. hop_i: longest-hop depth inside the DAG (hop levels are a
+       topological order, since every DAG edge increases hop by ≥1).
+    4. σ by ascending hop level, δ by descending level — the same
+       sweeps as the unweighted kernel with DAG flags as the
+       predecessor test.
+    """
+    from graphscope_spark.superstep import unpersist_barrier
+
+    # Catalyst's constraint propagation is super-linear in expression
+    # width; at 4 column families × |chunk| roots it OOMs the driver
+    # deriving isNotNull constraints that buy nothing here.
+    spark = wsym.sparkSession
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _chunk_delta_weighted_inner(
+            wsym, verts, chunk, max_rounds, endpoints, unpersist_barrier
+        )
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def _chunk_delta_weighted_inner(
+    wsym: DataFrame,
+    verts: DataFrame,
+    chunk: list[int],
+    max_rounds: int,
+    endpoints: bool,
+    unpersist_barrier,
+) -> DataFrame:
+    k = len(chunk)
+    INF = float("inf")
+    ds = [f"ds{i}" for i in range(k)]
+    hp = [f"hp{i}" for i in range(k)]
+    sg = [f"sg{i}" for i in range(k)]
+    dl = [f"dl{i}" for i in range(k)]
+    iscol = [f"is{i}" for i in range(k)]
+
+    # ---- 1. weighted distances ---------------------------------------
+    state = verts.select(
+        VID,
+        *[
+            F.when(F.col(VID) == F.lit(r), 0.0).otherwise(INF).alias(d)
+            for d, r in zip(ds, chunk)
+        ],
+        F.lit(True).alias("chg"),
+    ).transform(stats_barrier)
+    for _ in range(max_rounds):
+        frontier = state.where(F.col("chg")).select(VID, *ds)
+        msgs = (
+            wsym.join(frontier, wsym[SRC] == frontier[VID])
+            .groupBy(DST)
+            .agg(
+                *[
+                    F.min(F.col(d) + F.col("w")).alias(f"m{i}")
+                    for i, d in enumerate(ds)
+                ]
+            )
+        )
+        nxt = state.join(msgs, state[VID] == msgs[DST], "left").select(
+            state[VID],
+            *[
+                F.least(F.col(d), F.coalesce(F.col(f"m{i}"), F.lit(INF))).alias(d)
+                for i, d in enumerate(ds)
+            ],
+            (
+                sum(
+                    (F.coalesce(F.col(f"m{i}"), F.lit(INF)) < F.col(d)).cast("int")
+                    for i, d in enumerate(ds)
+                )
+                > 0
+            ).alias("chg"),
+        )
+        prev = state
+        state = stats_barrier(nxt)
+        changed = state.agg(F.sum(F.col("chg").cast("long"))).collect()[0][0] or 0
+        unpersist_barrier(prev)
+        if changed == 0:
+            break
+    dists = state.select(VID, *ds)
+
+    # ---- 2. DAG edge flags (cached once) ------------------------------
+    dsrc = dists.select(F.col(VID).alias(SRC), *[F.col(d).alias(f"s_{d}") for d in ds])
+    ddst = dists.select(F.col(VID).alias(DST), *[F.col(d).alias(f"t_{d}") for d in ds])
+    dag = (
+        wsym.join(dsrc, SRC)
+        .join(ddst, DST)
+        .select(
+            SRC,
+            DST,
+            *[
+                (
+                    (F.col(f"s_{d}") < INF)
+                    & (F.col(f"s_{d}") + F.col("w") == F.col(f"t_{d}"))
+                ).alias(c)
+                for d, c in zip(ds, iscol)
+            ],
+        )
+        .where(F.greatest(*[F.col(c).cast("int") for c in iscol]) > 0 if k > 1
+               else F.col(iscol[0]))
+    ).transform(stats_barrier)
+
+    # ---- 3. hop depth (longest path from root inside the DAG) --------
+    hstate = dists.select(
+        VID,
+        *[
+            F.when(F.col(VID) == F.lit(r), 0).otherwise(-1).cast("int").alias(h)
+            for h, r in zip(hp, chunk)
+        ],
+    ).transform(stats_barrier)
+    # stop only when NO vertex's hop changed (the global max can
+    # plateau while interior longest-paths are still rising); the hop
+    # sum is monotone nondecreasing, so equality means fixpoint
+    prev_hopsum = None
+    for _ in range(max_rounds):
+        fr = hstate.select(VID, *hp)
+        msgs = (
+            dag.join(fr, dag[SRC] == fr[VID])
+            .groupBy(DST)
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col(c) & (F.col(h) >= 0), F.col(h) + 1).otherwise(-1)
+                    ).alias(f"mh{i}")
+                    for i, (c, h) in enumerate(zip(iscol, hp))
+                ]
+            )
+        )
+        nxt = hstate.join(msgs, hstate[VID] == msgs[DST], "left").select(
+            hstate[VID],
+            *[
+                F.greatest(F.col(h), F.coalesce(F.col(f"mh{i}"), F.lit(-1))).alias(h)
+                for i, h in enumerate(hp)
+            ],
+        )
+        prev = hstate
+        hstate = stats_barrier(nxt)
+        unpersist_barrier(prev)
+        hopsum = hstate.agg(
+            F.sum(sum(F.col(h).cast("long") for h in hp))
+        ).collect()[0][0]
+        if hopsum == prev_hopsum:
+            break
+        prev_hopsum = hopsum
+    max_hop = int(
+        hstate.agg(
+            F.max(F.greatest(*[F.col(h) for h in hp]) if k > 1 else F.col(hp[0]))
+        ).collect()[0][0]
+        or 0
+    )
+
+    # ---- 4. σ ascending, δ descending ---------------------------------
+    state = hstate.select(
+        VID,
+        *hp,
+        *[
+            F.when(F.col(VID) == F.lit(r), 1.0).otherwise(0.0).alias(s)
+            for s, r in zip(sg, chunk)
+        ],
+        *[F.lit(0.0).alias(l) for l in dl],
+    ).transform(stats_barrier)
+    for lvl in range(1, max_hop + 1):
+        fr = state.select(VID, *hp, *sg)
+        msgs = (
+            dag.join(fr, dag[SRC] == fr[VID])
+            .groupBy(DST)
+            .agg(
+                *[
+                    F.sum(F.when(F.col(c), F.col(s)).otherwise(0.0)).alias(f"m{i}")
+                    for i, (c, s) in enumerate(zip(iscol, sg))
+                ]
+            )
+        )
+        nxt = state.join(msgs, state[VID] == msgs[DST], "left").select(
+            state[VID],
+            *hp,
+            *[
+                F.when(
+                    F.col(h) == lvl, F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+                ).otherwise(F.col(s)).alias(s)
+                for i, (h, s) in enumerate(zip(hp, sg))
+            ],
+            *dl,
+        )
+        prev = state
+        state = stats_barrier(nxt)
+        unpersist_barrier(prev)
+    for lvl in range(max_hop, 0, -1):
+        w_side = state.select(VID, *hp, *sg, *dl)
+        msgs = (
+            dag.join(w_side, dag[DST] == w_side[VID])
+            .groupBy(SRC)
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col(c) & (F.col(h) == lvl),
+                            (1.0 + F.col(l)) / F.col(s),
+                        ).otherwise(0.0)
+                    ).alias(f"c{i}")
+                    for i, (c, h, s, l) in enumerate(zip(iscol, hp, sg, dl))
+                ]
+            )
+        )
+        # ACCUMULATE unconditionally: a weighted-DAG edge can skip hop
+        # levels (hop_w ≥ hop_v+1, not ==), so a predecessor at any
+        # lower hop receives from level-lvl successors; each (v,w) pair
+        # contributes exactly once because coef sums only over w at
+        # hop == lvl, and δ_v is consumed only when lvl reaches hop_v
+        nxt = state.join(msgs, state[VID] == msgs[SRC], "left").select(
+            state[VID],
+            *hp,
+            *sg,
+            *[
+                (
+                    F.col(l)
+                    + F.col(s) * F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+                ).alias(l)
+                for i, (s, l) in enumerate(zip(sg, dl))
+            ],
+        )
+        prev = state
+        state = stats_barrier(nxt)
+        unpersist_barrier(prev)
+
+    if endpoints:
+        reach = state.agg(
+            *[
+                F.sum((F.col(h) >= 0).cast("long")).alias(f"rc{i}")
+                for i, h in enumerate(hp)
+            ]
+        )
+        state = state.crossJoin(F.broadcast(reach))
+        bc = sum(
+            F.when(F.col(VID) == F.lit(r), (F.col(f"rc{i}") - 1).cast("double"))
+            .when(F.col(h) >= 0, F.col(l) + 1.0)
+            .otherwise(0.0)
+            for i, (h, l, r) in enumerate(zip(hp, dl, chunk))
+        )
+    else:
+        bc = sum(
+            F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
+            for l, r in zip(dl, chunk)
+        )
+    return state.select(VID, bc.alias("bc_part"))

@@ -1595,3 +1595,65 @@ def lpa_by_color_oracle(
         if lab == prev:
             break
     return lab
+
+
+def betweenness_weighted_oracle(
+    edges: list[tuple[int, int, float]],
+    vertices: list[int],
+    endpoints: bool = False,
+) -> dict[int, float]:
+    """Dijkstra Brandes, undirected weighted, unnormalized (pairs /2).
+    Parallel edges keep the lightest weight (engine convention)."""
+    import heapq
+    from collections import defaultdict as dd
+
+    wmin: dict[tuple[int, int], float] = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        for a, b in ((s, d), (d, s)):
+            key = (a, b)
+            if key not in wmin or w < wmin[key]:
+                wmin[key] = w
+    nbr = dd(list)
+    for (a, b), w in wmin.items():
+        nbr[a].append((b, w))
+    bc = {v: 0.0 for v in vertices}
+    for s in vertices:
+        dist = {v: float("inf") for v in vertices}
+        sigma = {v: 0.0 for v in vertices}
+        seen = []
+        dist[s] = 0.0
+        sigma[s] = 1.0
+        pq = [(0.0, s)]
+        done = set()
+        while pq:
+            dv, v = heapq.heappop(pq)
+            if v in done:
+                continue
+            done.add(v)
+            seen.append(v)
+            for w, wt in nbr[v]:
+                nd = dist[v] + wt
+                if nd < dist[w]:
+                    dist[w] = nd
+                    heapq.heappush(pq, (nd, w))
+        # sigma over the DAG in ascending-dist order
+        for v in seen:
+            if v == s:
+                continue
+            sigma[v] = 0.0
+        for v in seen:
+            for w, wt in nbr[v]:
+                if dist[v] + wt == dist[w]:
+                    sigma[w] += sigma[v]
+        if endpoints:
+            bc[s] += len(seen) - 1
+        delta = {v: 0.0 for v in vertices}
+        for w in reversed(seen):
+            for v, wt in nbr[w]:
+                if dist[v] + wt == dist[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w] + (1.0 if endpoints else 0.0)
+    return {v: bc[v] / 2.0 for v in vertices}

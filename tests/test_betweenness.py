@@ -49,6 +49,37 @@ def test_betweenness_endpoints(spark):
     _allclose(betweenness_centrality(g, endpoints=True), exp)
 
 
+def test_betweenness_weighted(spark):
+    """weight= → Dijkstra-DAG Brandes (betweenness_centrality_generic.h
+    dijkstra path) vs the weighted Python oracle.  Integer-valued
+    weights keep float comparisons exact on both sides."""
+    import random
+
+    from graphscope_spark.graph import Graph
+
+    rng = random.Random(5)
+    n = 30
+    wedges = []
+    seen = set()
+    for v in range(n):
+        for _ in range(3):
+            d = rng.randrange(n)
+            if d != v and (v, d) not in seen:
+                seen.add((v, d))
+                wedges.append((v, d, float(rng.choice([1, 2, 3, 5, 8]))))
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4, weight="weight")
+    exp = oracle.betweenness_weighted_oracle(wedges, list(range(n)))
+    _allclose(betweenness_centrality(g, weight="weight"), exp)
+    exp_ep = oracle.betweenness_weighted_oracle(
+        wedges, list(range(n)), endpoints=True
+    )
+    _allclose(
+        betweenness_centrality(g, weight="weight", endpoints=True), exp_ep
+    )
+
+
 def test_betweenness_sampled_scales(tiny_graph, spark):
     """Sampled roots scale by n/|roots|; with all roots explicitly
     passed the result equals the default."""
