@@ -44,6 +44,13 @@ def main() -> None:
     )
     ap.add_argument("--executor-memory", default="10g")
     ap.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="shuffle/data partitions (default max(cores, 8)); several "
+        "waves per stage smooth stragglers on noisy hosts",
+    )
+    ap.add_argument(
         "--barrier",
         default="checkpoint",
         choices=["checkpoint", "columnar"],
@@ -75,7 +82,7 @@ def main() -> None:
     spark = get_spark(
         app_name=f"pagerank-scaling-{args.cores}",
         master=args.master or f"local[{args.cores}]",
-        shuffle_partitions=max(args.cores, 8),
+        shuffle_partitions=args.partitions or max(args.cores, 8),
         extra_conf=(
             {
                 "spark.executor.memory": args.executor_memory,
@@ -95,10 +102,9 @@ def main() -> None:
         from graphscope_spark.graph import Graph
         from graphscope_spark.sources.synthetic import powerlaw_edges
 
-        edges = powerlaw_edges(
-            spark, args.synthetic_vertices, partitions=max(args.cores, 8)
-        )
-        g = Graph.from_edges(edges, num_partitions=max(args.cores, 8))
+        nparts = args.partitions or max(args.cores, 8)
+        edges = powerlaw_edges(spark, args.synthetic_vertices, partitions=nparts)
+        g = Graph.from_edges(edges, num_partitions=nparts)
         n_pages = args.synthetic_vertices
     else:
         from graphscope_spark.sources.linkgraph import graph_from_pages
