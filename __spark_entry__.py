@@ -1444,6 +1444,95 @@ def _kshell_sql() -> str:
     """
 
 
+MSF_PHASES = 8  # Borůvka halves components per phase; fixpoint by phase 3 at sf0.01
+MSF_JUMPS = 14  # min-label + pointer-doubling contraction; fixpoint by 6 at sf0.01
+
+
+def _msf_sql() -> str:
+    """Fully-unrolled Borůvka MSF, mirroring algorithms/msf.py
+    step-for-step: per phase, each component picks its minimum outgoing
+    edge under the deterministic (w, oa, ob) total order, the picked
+    supergraph is contracted to completion (min-label hook +
+    pointer-doubling, ``MSF_JUMPS`` unrolled rounds), and surviving
+    inter-component edges are relabeled keeping one minimal
+    representative per pair.  Extra phases past convergence run on
+    empty tables and are no-ops, so ``MSF_PHASES``/``MSF_JUMPS`` carry
+    large safety margins (verified vs a sequential Kruskal with the
+    identical tie-break at sf0.001 and sf0.01)."""
+    parts = [
+        f"with wedges as materialized ({SQL_WEDGES})",
+        """w0 as materialized (
+          select least(src, dst) as ca, greatest(src, dst) as cb, min(w) as w,
+                 least(src, dst) as oa, greatest(src, dst) as ob
+          from wedges where src <> dst group by 1, 2, 4, 5)""",
+        """ch0 as materialized (
+          select cast(null as bigint) as src, cast(null as bigint) as dst,
+                 cast(null as double) as w where false)""",
+    ]
+    for p in range(1, MSF_PHASES + 1):
+        q = p - 1
+        parts.append(
+            f"""pick{p} as materialized (
+          select ca, cb, w, oa, ob from (
+            select *, row_number() over (partition by ca order by w, oa, ob) as rn
+            from (select ca, cb, w, oa, ob from w{q}
+                  union all
+                  select cb, ca, w, oa, ob from w{q})
+          ) where rn = 1)"""
+        )
+        parts.append(
+            f"""ch{p} as materialized (
+          select src, dst, w from ch{q}
+          union
+          select least(oa, ob) as src, greatest(oa, ob) as dst, w from pick{p})"""
+        )
+        parts.append(
+            f"""lk{p} as materialized (
+          select ca as x, cb as y from pick{p}
+          union all select cb, ca from pick{p})"""
+        )
+        parts.append(
+            f"""pt{p}_0 as materialized (
+          select x, x as p from (select distinct x from lk{p}))"""
+        )
+        for j in range(MSF_JUMPS):
+            parts.append(
+                f"""pt{p}_{j + 1} as materialized (
+              select pa.x,
+                     least(pa.p,
+                           coalesce(m.mn, pa.p),
+                           coalesce(pj.p, pa.p)) as p
+              from pt{p}_{j} pa
+              left join (
+                select lk.x as x, min(pr.p) as mn
+                from lk{p} lk join pt{p}_{j} pr on lk.y = pr.x
+                group by 1
+              ) m on m.x = pa.x
+              left join pt{p}_{j} pj on pa.p = pj.x)"""
+            )
+        parts.append(
+            f"""w{p} as materialized (
+          select ca, cb, w, oa, ob from (
+            select least(nca, ncb) as ca, greatest(nca, ncb) as cb, w, oa, ob,
+                   row_number() over (
+                     partition by least(nca, ncb), greatest(nca, ncb)
+                     order by w, oa, ob) as rn
+            from (
+              select coalesce(na.p, e.ca) as nca, coalesce(nb.p, e.cb) as ncb,
+                     e.w, e.oa, e.ob
+              from w{q} e
+              left join pt{p}_{MSF_JUMPS} na on na.x = e.ca
+              left join pt{p}_{MSF_JUMPS} nb on nb.x = e.cb
+            )
+            where nca <> ncb
+          ) where rn = 1)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nselect src, dst, round(w, 8) as weight from ch{MSF_PHASES}"
+    )
+
+
 def _sssp_avg_length_sql() -> str:
     """Average shortest weighted path from supplier roots over the
     symmetrized weighted graph, multi-source min-plus unrolled."""
@@ -3066,10 +3155,10 @@ def _q_edge_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum spanning forest of the weighted order graph.  No DuckDB
-    oracle: Borůvka's nested contraction is impractical in SQL — driver
-    records the rows-only check; exactness vs a Kruskal oracle with the
-    identical tie-break is pinned in tests/test_round2_ops.py."""
+    """Minimum spanning forest of the weighted order graph.  Exact
+    DuckDB oracle: fully-unrolled Borůvka (``_msf_sql``) mirroring the
+    Spark kernel's deterministic (w, src, dst) tie-break; also pinned
+    vs a sequential Kruskal in tests/test_round2_ops.py."""
     from graphscope_spark.algorithms import minimum_spanning_forest
     from graphscope_spark.sources.tpch_graph import order_graph
 
@@ -3792,6 +3881,7 @@ def oracle_sql() -> dict[str, str]:
         "random_multi_bfs": _random_multi_bfs_sql(),
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
+        "msf": _msf_sql(),
         "doc_tokens": r"""
           select doc_id,
                  cast(case when length(trim(text)) = 0 then 0
