@@ -1444,6 +1444,77 @@ def _kshell_sql() -> str:
     """
 
 
+def _dfs_preorder_sql() -> str:
+    """Exact DFS-preorder oracle: a recursive CTE replays the
+    sequential walk of algorithms/paths.py dfs_preorder one stack
+    operation per iteration — state row = (stack, visited-bitmap
+    string over dense vertex indexes, emitted vid, component-local
+    rank).  Min-unvisited-neighbor per step equals the Spark kernel's
+    resumed ascending iterator because the visited set only grows.
+    New components start at the globally smallest unvisited vid
+    (= that component's min vid, since components are exhausted before
+    the stack empties); recursion ends when no unvisited vertex
+    remains.  NOTE: inside ``WITH RECURSIVE`` DuckDB does not
+    deduplicate plain ``union`` in helper CTEs — the explicit
+    ``distinct`` wrappers below are load-bearing."""
+    return f"""
+with recursive
+tedges as materialized (
+  select src, dst from ({SQL_EDGES}) where (src + dst) % {BIC_MOD} = 0
+),
+tverts as materialized (
+  select distinct vid from (
+    select src as vid from tedges union all select dst as vid from tedges)),
+idx as materialized (select vid, row_number() over (order by vid) as i from tverts),
+nv as materialized (select count(*) as n from idx),
+tsym as materialized (
+  select distinct src, dst from (
+    select src, dst from tedges
+    union all select dst as src, src as dst from tedges)),
+adj as materialized (
+  select si.i as v, list(di.i order by di.i) as ds
+  from tsym e
+  join idx si on si.vid = e.src
+  join idx di on di.vid = e.dst
+  group by 1
+),
+walk(stack, visited, cur, rnk) as (
+  select cast([] as bigint[]), repeat('0', (select cast(n as int) from nv)),
+         cast(null as bigint), cast(-1 as bigint)
+  union all
+  select
+    case when s.top is null then [s.newroot]
+         when s.nxt is not null then list_append(s.stack, s.nxt)
+         else list_slice(s.stack, 1, len(s.stack) - 1) end,
+    case when s.top is null then
+           substr(s.visited, 1, cast(s.newroot as int) - 1) || '1' ||
+           substr(s.visited, cast(s.newroot as int) + 1)
+         when s.nxt is not null then
+           substr(s.visited, 1, cast(s.nxt as int) - 1) || '1' ||
+           substr(s.visited, cast(s.nxt as int) + 1)
+         else s.visited end,
+    case when s.top is null then s.newroot
+         when s.nxt is not null then s.nxt end,
+    case when s.top is null then 0
+         when s.nxt is not null then s.rnk + 1
+         else s.rnk end
+  from (
+    select w.stack, w.visited, w.rnk,
+           case when len(w.stack) > 0 then w.stack[len(w.stack)] end as top,
+           list_min(list_filter(coalesce(a.ds, []),
+                    d -> substr(w.visited, cast(d as int), 1) = '0')) as nxt,
+           cast(nullif(strpos(w.visited, '0'), 0) as bigint) as newroot
+    from walk w
+    left join adj a
+      on a.v = (case when len(w.stack) > 0 then w.stack[len(w.stack)] end)
+  ) s
+  where s.top is not null or s.newroot is not null
+)
+select i.vid as vid, s.rnk as "rank"
+from walk s join idx i on i.i = s.cur
+where s.cur is not null"""
+
+
 MSF_PHASES = 8  # Borůvka halves components per phase; fixpoint by phase 3 at sf0.01
 MSF_JUMPS = 14  # min-label + pointer-doubling contraction; fixpoint by 6 at sf0.01
 
@@ -3488,6 +3559,9 @@ def _q_all_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS preorder over the thinned order graph.  Exact DuckDB
+    oracle: a recursive CTE replays the sequential walk step-for-step
+    (``_dfs_preorder_sql``)."""
     from graphscope_spark.algorithms import dfs_preorder
     from graphscope_spark.sources.tpch_graph import thin_order_graph
 
@@ -3882,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_avg_length": _sssp_avg_length_sql(),
         "voterank": _voterank_sql(),
         "msf": _msf_sql(),
+        "dfs_preorder": _dfs_preorder_sql(),
         "doc_tokens": r"""
           select doc_id,
                  cast(case when length(trim(text)) = 0 then 0
