@@ -25,11 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.superstep import stats_barrier
+from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 INF = float("inf")
 DEFAULT_BATCH = 128
+DEFAULT_SYNC = 4
 
 
 def _collect_roots(g: Graph, roots: DataFrame | list[int] | None) -> list[int]:
@@ -63,14 +64,23 @@ def _wide_sweep(
     vertices: DataFrame,
     chunk: list[int],
     max_rounds: int,
+    sync_every: int = DEFAULT_SYNC,
 ) -> tuple[DataFrame, list[str]]:
     """One batched sweep: returns (state, dist_cols) where state has a
     double distance column per root in ``chunk`` (inf = unreachable).
 
     Per round (one shuffle): frontier rows (improved last round) join
-    edges, candidate dists min-aggregate per dst, merge with least();
-    stop when the improved-row count hits zero (driver-side all-reduce,
-    the reference's ToTerminate())."""
+    edges, candidate dists min-aggregate per dst, merge with least().
+
+    ``sync_every`` rounds chain LAZILY (localCheckpoint(eager=False)
+    keeps each round a plan LEAF for the next) into ONE Spark job per
+    batch; the improved-row all-reduce (the reference's ToTerminate())
+    runs once per batch.  Rounds past quiescence are idempotent no-ops
+    (empty frontier → no messages → least()/`_fr` unchanged), so the
+    batched termination check is exact.  This matters because weighted
+    min-plus sweeps quiesce in 10-30 rounds and the per-job floor — not
+    data volume — dominates at landmark-sample message sizes;
+    superseded states are released as soon as a newer batch lands."""
     cols = [f"d{i}" for i in range(len(chunk))]
     state = vertices.select(
         VID,
@@ -80,18 +90,19 @@ def _wide_sweep(
         ],
         F.lit(True).alias("_fr"),
     ).transform(stats_barrier)
-    for _ in range(max_rounds):
-        frontier = state.where(F.col("_fr"))
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        frontier = cur.where(F.col("_fr"))
         msgs = (
             edges.join(frontier, edges[SRC] == frontier[VID])
             .groupBy(DST)
             .agg(*[F.min(F.col(c) + F.col("w")).alias(f"m{i}")
                    for i, c in enumerate(cols)])
         )
-        merged = state.join(
-            msgs, state[VID] == msgs[DST], "left"
+        return cur.join(
+            msgs, cur[VID] == msgs[DST], "left"
         ).select(
-            state[VID],
+            cur[VID],
             *[F.least(F.col(c), F.col(f"m{i}")).alias(c)
               for i, c in enumerate(cols)],
             F.greatest(
@@ -103,9 +114,22 @@ def _wide_sweep(
             if len(cols) > 1
             else (F.coalesce(F.col("m0"), F.lit(INF)) < F.col(cols[0])).alias("_fr"),
         )
-        nxt = merged.transform(stats_barrier)
+
+    done = 0
+    while done < max_rounds:
+        batch = min(max(sync_every, 1), max_rounds - done)
+        cur = state
+        intermediates: list[DataFrame] = []
+        for _ in range(batch):
+            cur = one_round(cur).localCheckpoint(eager=False)
+            intermediates.append(cur)
+        nxt = stats_barrier(cur)
         improved = nxt.agg(F.sum(F.col("_fr").cast("long"))).collect()[0][0] or 0
+        unpersist_barrier(state)
+        for frame in intermediates:  # persisted on first compute; dead now
+            unpersist_barrier(frame)
         state = nxt
+        done += batch
         if improved == 0:
             break
     return state, cols
