@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphscope_spark.superstep import stats_barrier
+from graphscope_spark.superstep import (
+    columnar_barrier,
+    stats_barrier,
+    unpersist_barrier,
+)
 from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.algorithms.multisource import _collect_roots
 
@@ -113,12 +117,17 @@ def _chunk_delta(
             ).collect()[0][0]
             or 0
         )
+        unpersist_barrier(state)  # nxt is materialized; prior level dead
         state = nxt
         if grew == 0:
             break
         depth += 1
 
     # ---- backward: accumulate dependencies from depth down to 1 -------
+    # (lazy columnar chaining of backward levels was MEASURED SLOWER
+    # here — 66-85 s vs 51 s at sf0.1 — the wide state recompresses
+    # poorly and the mega-job serializes; eager per-level barriers stay,
+    # with superseded level states released as soon as the next lands)
     state = state.select(VID, *dp, *sg, *[F.lit(0.0).alias(d) for d in dl])
     for lvl in range(depth, 0, -1):
         w_side = state.where(
@@ -142,7 +151,7 @@ def _chunk_delta(
                 ]
             )
         )
-        state = state.join(msgs, state[VID] == msgs[SRC], "left").select(
+        nxt_b = state.join(msgs, state[VID] == msgs[SRC], "left").select(
             state[VID],
             *dp,
             *sg,
@@ -153,7 +162,10 @@ def _chunk_delta(
                 ).otherwise(F.col(l)).alias(l)
                 for i, (d, s, l) in enumerate(zip(dp, sg, dl))
             ],
-        ).transform(stats_barrier)
+        )
+        prev = state
+        state = stats_barrier(nxt_b)
+        unpersist_barrier(prev)  # new level materialized; prior one dead
 
     if endpoints:
         # |reached| per root as a lazy 1-row broadcast (no driver trip)
@@ -175,7 +187,9 @@ def _chunk_delta(
             F.when(F.col(VID) == F.lit(r), 0.0).otherwise(F.col(l))
             for l, r in zip(dl, chunk)
         )
-    return state.select(VID, bc.alias("bc_part"))
+    out = stats_barrier(state.select(VID, bc.alias("bc_part")))
+    unpersist_barrier(state)  # materialized into `out`; last level dead
+    return out
 
 
 def betweenness_centrality(
