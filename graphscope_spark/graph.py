@@ -127,7 +127,12 @@ class Graph:
         else:
             vertices = vertices.withColumn(VID, F.col(VID).cast("long"))
         # hash edge-cut: co-locate all out-edges of a vertex
-        # (arrow_fragment_loader.h:351-390 HASH_PARTITION analog)
+        # (arrow_fragment_loader.h:351-390 HASH_PARTITION analog).
+        # NOT cached here: loop algorithms barrier their own working
+        # sets up front, and a blanket edge cache was MEASURED slower
+        # on the sweep (scc 20→33 s, domset 77→90 s at sf0.1) — the
+        # block-store round-trip costs more than the fused re-derivation
+        # it avoids; callers that re-scan raw edges cache explicitly.
         e = e.repartition(num_partitions, SRC)
         return Graph(e, vertices, directed=directed, num_partitions=num_partitions)
 
