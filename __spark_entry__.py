@@ -2708,6 +2708,16 @@ def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wcc(order_graph(spark, sf_dir)).select("vid", "comp")
 
 
+def _q_wcc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction CC (flash_cc_log, apps/flash/connectivity/
+    cc-log.h): large-star/small-star alternation, identical output
+    contract to wcc (comp = min vid) so it shares the oracle."""
+    from graphscope_spark.algorithms.wcc import wcc_log
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return wcc_log(order_graph(spark, sf_dir)).select("vid", "comp")
+
+
 def _q_cdlp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import cdlp
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -3761,6 +3771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": _q_graph_degree,
         "pagerank": _q_pagerank,
         "wcc": _q_wcc,
+        "wcc_log": _q_wcc_log,
         "cdlp": _q_cdlp,
         "lpa_u2i": _q_lpa_u2i,
         "triangles": _q_triangles,
@@ -3867,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(),
         "wcc": _wcc_sql(),
+        "wcc_log": _wcc_sql(),
         "cdlp": _cdlp_sql(),
         "lpa_u2i": _lpa_u2i_sql(),
         "triangles": _triangles_sql(),

@@ -33,6 +33,88 @@ from graphscope_spark.superstep import StepResult, SuperstepRunner, one_shuffle_
 DENSE_FRACTION = 50  # dense when frontier > |V|/50 (flash_utils.h:36)
 
 
+def wcc_log(g: Graph, max_iter: int = 60) -> DataFrame:
+    """Star-contraction WCC — returns (vid long, comp long), comp = min
+    vid in component (identical output to :func:`wcc`).
+
+    Reference analog: ``flash_cc_log`` (apps/flash/connectivity/
+    cc-log.h:33-44 star/jump/hook macros) — GraphScope's
+    Shiloach-Vishkin-style logarithmic-round CC, registered alongside
+    the propagation variants (.gs_conf.yaml flash_cc_log).  The
+    DataFrame-native equivalent of that star/hook dance is the
+    alternating **large-star / small-star** edge transformation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each phase is one groupBy(min) + one join, and the edge
+    set converges to a star forest rooted at component minima in
+    O(log^2 n) rounds.
+
+    Why this variant exists at 10^12-document scale: the frontier
+    min-propagation of :func:`wcc` runs O(diameter) supersteps (a web
+    graph's diameter is dozens-to-hundreds of supersteps == shuffles),
+    while star contraction is round-bound by log^2 of the LARGEST
+    component regardless of diameter, and each round's shuffles carry a
+    shrinking edge multiset.  Skew note: the groupBy-min is
+    partial-aggregated map-side, so hub vertices cost one combiner
+    entry per input partition, not a hot reduce key.
+    """
+    from graphscope_spark.superstep import stats_barrier, unpersist_barrier
+
+    u, v, m = "u", "v", "m"
+    # initial pair multiset: the undirected edge set, self-loops dropped
+    pairs = (
+        g.edges.select(F.col(SRC).alias(u), F.col(DST).alias(v))
+        .where(F.col(u) != F.col(v))
+        .distinct()
+    )
+    pairs = stats_barrier(pairs)
+    n_pairs = pairs.count()
+    for _ in range(max_iter):
+        # ---- large-star: for each u, attach every LARGER neighbor to
+        # min(Γ(u) ∪ {u}) ------------------------------------------------
+        sym = pairs.unionByName(
+            pairs.select(F.col(v).alias(u), F.col(u).alias(v))
+        )
+        mins = sym.groupBy(u).agg(F.least(F.min(v), F.first(u)).alias(m))
+        large = (
+            sym.join(mins, u)
+            .where(F.col(v) > F.col(u))
+            .select(F.col(v).alias(u), F.col(m).alias(v))
+            .where(F.col(u) != F.col(v))
+            .distinct()
+        )
+        large = stats_barrier(large)
+        # ---- small-star: orient (max, min); attach every smaller
+        # neighbor AND u itself to min(Γ⁻(u)) ----------------------------
+        oriented = large.select(
+            F.greatest(u, v).alias(u), F.least(u, v).alias(v)
+        )
+        smins = oriented.groupBy(u).agg(F.min(v).alias(m))
+        joined = oriented.join(smins, u)
+        nxt = (
+            joined.select(F.col(v).alias(u), F.col(m).alias(v))
+            .unionByName(joined.select(u, F.col(m).alias(v)))
+            .where(F.col(u) != F.col(v))
+            .distinct()
+        )
+        nxt = stats_barrier(nxt)
+        unpersist_barrier(large)
+        # fixpoint = exact set equality (both are distinct): no new rows
+        # AND same cardinality — a strict subset is still progress
+        n_nxt = nxt.count()
+        changed = (n_nxt != n_pairs) or nxt.subtract(pairs).limit(1).count() > 0
+        unpersist_barrier(pairs)
+        pairs, n_pairs = nxt, n_nxt
+        if not changed:
+            break
+    comp = pairs.groupBy(F.col(u).alias(VID)).agg(F.min(v).alias("comp"))
+    out = (
+        g.vertices.select(VID)
+        .join(comp, VID, "left")
+        .select(VID, F.coalesce("comp", F.col(VID)).alias("comp"))
+    )
+    return out
+
+
 def wcc(
     g: Graph,
     max_iter: int = 200,

@@ -40,6 +40,21 @@ def test_wcc_random(rand_graph, rand_graph_data):
     assert _dict(wcc(rand_graph)) == oracle.wcc_oracle(edges, vertices)
 
 
+def test_wcc_log_tiny(tiny_graph):
+    from graphscope_spark.algorithms.wcc import wcc_log
+
+    assert _dict(wcc_log(tiny_graph)) == oracle.wcc_oracle(TINY_EDGES, TINY_VERTICES)
+
+
+def test_wcc_log_random(rand_graph, rand_graph_data):
+    # star contraction must agree with frontier propagation bit-for-bit,
+    # including isolated vertices (comp = own vid)
+    from graphscope_spark.algorithms.wcc import wcc_log
+
+    vertices, edges = rand_graph_data
+    assert _dict(wcc_log(rand_graph)) == oracle.wcc_oracle(edges, vertices)
+
+
 def test_cdlp_tiny(tiny_graph):
     exp = oracle.cdlp_oracle(TINY_EDGES, TINY_VERTICES, max_round=10, directed=True)
     assert _dict(cdlp(tiny_graph, max_round=10)) == exp
