@@ -124,8 +124,74 @@ def min_vertex_cover(g: Graph, max_iter: int = 500) -> DataFrame:
     return state.where(F.col("c")).select(VID)
 
 
+def _domset_tail_pdf(pdf):
+    """Single-task replay of the identical greedy rounds over the alive
+    induced subgraph.  Rows: tag=1 → (vid, cnt); tag=0 → (src, dst) of
+    the SYMMETRIZED alive-induced edge set.  Pure numpy; the struct
+    (cnt, vid) max is packed as cnt*(n+1)+rank(vid), which preserves
+    lexicographic order because ranks are dense in [0, n)."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1].sort_values("a")
+    e = pdf[pdf["tag"] == 0]
+    vids = v["a"].to_numpy(np.int64)
+    cnt = v["b"].to_numpy(np.int64)
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame({"vid": np.empty(0, np.int64)})
+    ar = np.arange(n, dtype=np.int64)
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    alive = np.ones(n, dtype=bool)
+    big = np.int64(n + 1)
+    chosen = []
+    while alive.any():
+        # k = (cnt, vid) for alive vertices; two hop-max folds = the
+        # 2-hop neighborhood max (edges are alive-alive only)
+        key = np.where(alive, cnt * big + ar, np.int64(-1))
+        k1 = key.copy()
+        if se.size:
+            np.maximum.at(k1, de, key[se])
+        k2 = k1.copy()
+        if se.size:
+            np.maximum.at(k2, de, k1[se])
+        sel = alive & ((k2 % big) == ar)
+        chosen.append(vids[sel])
+        dom = sel.copy()
+        if se.size:
+            dom[de[sel[se]]] = True
+        alive &= ~dom
+        if se.size:
+            keep = alive[se] & alive[de]
+            se, de = se[keep], de[keep]
+        cnt = np.bincount(se, minlength=n).astype(np.int64)
+    out = np.concatenate(chosen) if chosen else np.empty(0, np.int64)
+    return pd.DataFrame({"vid": out})
+
+
+def _domset_tail(act: DataFrame, sym_edges: DataFrame) -> DataFrame:
+    """Ship the (bounded) alive subgraph to ONE executor task and finish
+    the greedy there — one shuffle instead of ~7 per remaining round."""
+    packed = act.select(
+        F.lit(1).alias("tag"), F.col(VID).alias("a"), F.col("cnt").alias("b")
+    ).unionByName(
+        sym_edges.select(
+            F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b")
+        )
+    )
+    return (
+        packed.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_domset_tail_pdf, f"{VID} long")
+    )
+
+
 def min_dominating_set(
-    g: Graph, max_iter: int = 500, sync_every: int = 4
+    g: Graph,
+    max_iter: int = 500,
+    sync_every: int = 4,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """2-hop greedy dominating set; returns (vid) rows — the members.
 
@@ -139,6 +205,16 @@ def min_dominating_set(
     - The alive state holds ONLY still-undominated vertices, and the
       edge set is re-induced on the alive set once per batch, so late
       rounds join a collapsing edge table instead of the full |E|.
+    - **Tail finisher**: the greedy retires only a few % of vertices per
+      round, so most wall time is dozens of near-empty rounds paying
+      Spark's per-job floor.  Once `alive vertices + induced edges ≤
+      local_finish_rows` (rows, i.e. bounded memory on one executor
+      task: 4M rows ≈ 100 MB), the remaining rounds are replayed
+      bit-identically inside ONE `applyInPandas` task — same
+      (cnt, vid) struct-max, same domination/recount order — turning
+      the O(rounds) job tail into a single shuffle.  At 10^12-document
+      scale the distributed rounds run until the tail fits; set
+      ``local_finish_rows=0`` to force the fully-distributed path.
     """
     sym = g.symmetrized().select(SRC, DST)
     deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("cnt"))
@@ -170,6 +246,13 @@ def min_dominating_set(
         )
 
     for _ in range(0, max_iter, sync_every):
+        if local_finish_rows > 0:
+            n_alive = act.count()
+            if n_alive == 0:
+                break
+            if n_alive + asym.count() <= local_finish_rows:
+                selected = selected.unionByName(_domset_tail(act, asym))
+                break
         edges = asym
         for _ in range(sync_every):
             cur = act.select(VID, F.struct("cnt", F.col(VID).alias("m")).alias("k"))

@@ -130,3 +130,36 @@ def test_min_dominating_set(rand_graph, rand_graph_data):
     adj, _ = oracle._simple_undirected(edges, vertices)
     for v in vertices:
         assert v in got or any(u in got for u in adj[v])
+
+
+def test_min_dominating_set_tail_finisher_matches_distributed(
+    rand_graph, rand_graph_data
+):
+    # the single-task tail replay must be bit-identical to the
+    # fully-distributed rounds (local_finish_rows=0 disables it)
+    from graphscope_spark.algorithms.matching import min_dominating_set
+
+    vertices, edges = rand_graph_data
+    exp = oracle.min_dominating_set_oracle(edges, vertices)
+    dist = {
+        r["vid"]
+        for r in min_dominating_set(rand_graph, local_finish_rows=0).collect()
+    }
+    assert dist == exp
+
+
+def test_min_dominating_set_mid_switch(rand_graph, rand_graph_data):
+    # force the switch AFTER some distributed batches (threshold sized
+    # so the first check fails but a later shrunken state passes)
+    from graphscope_spark.algorithms.matching import min_dominating_set
+
+    vertices, edges = rand_graph_data
+    exp = oracle.min_dominating_set_oracle(edges, vertices)
+    n0 = len(vertices) + 2 * len({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    got = {
+        r["vid"]
+        for r in min_dominating_set(
+            rand_graph, local_finish_rows=max(n0 // 2, 8)
+        ).collect()
+    }
+    assert got == exp
