@@ -45,6 +45,8 @@ KCORE_UNROLL = 6
 KNN_K = 3
 KNN_QUERIES = 10
 LSH_PLANES = 4
+IVF_STRIDE = 37        # seed centroid every 37th vec_id (~n/37 cells)
+IVF_NPROBE = 2
 EV_ROUNDS = 5
 KATZ_ROUNDS = 5
 KATZ_ALPHA = 0.1
@@ -3423,6 +3425,19 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < KNN_QUERIES)
+    return ivf_topk(emb, q, k=KNN_K, stride=IVF_STRIDE, nprobe=IVF_NPROBE).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def _q_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.streaming.events import windowed_event_counts
 
@@ -3810,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "event_counts": _q_event_counts,
         "harmonic_centrality": _q_harmonic,
         "eccentricity": _q_eccentricity,
@@ -4110,6 +4126,55 @@ def oracle_sql() -> dict[str, str]:
                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) as cos
             from q join e using(bucket)
             where qid != e.vec_id
+          ),
+          ranked as (
+            select query_id, neighbor_id, cos,
+                   row_number() over (
+                     partition by query_id order by cos desc, neighbor_id asc) as rk
+            from scored
+          )
+          select query_id, neighbor_id, cast(rk as int) as rank,
+                 round(cos, 6) as cosine
+          from ranked where rk <= {KNN_K}
+        """,
+        "knn_ivf": f"""
+          with c as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+          cent as (select vec_id as cid, v as cv from c
+                   where vec_id % {IVF_STRIDE} = 0),
+          ascore as (
+            select c.vec_id, c.v, cid,
+                   list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) as ccos
+            from c cross join cent
+          ),
+          assign as (
+            select vec_id, v, cid as cluster from (
+              select vec_id, v, cid,
+                     row_number() over (
+                       partition by vec_id order by ccos desc, cid asc) as rk
+              from ascore
+            ) where rk = 1
+          ),
+          probe as (
+            select qid, qv, cid as cluster from (
+              select q.vec_id as qid, q.v as qv, cent.cid,
+                     row_number() over (
+                       partition by q.vec_id
+                       order by list_dot_product(q.v, cent.cv)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(cent.cv, cent.cv))) desc,
+                                cent.cid asc) as rk
+              from c q cross join cent
+              where q.vec_id < {KNN_QUERIES}
+            ) where rk <= {IVF_NPROBE}
+          ),
+          scored as (
+            select p.qid as query_id, a.vec_id as neighbor_id,
+                   list_dot_product(p.qv, a.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a.v, a.v))) as cos
+            from probe p join assign a using(cluster)
+            where p.qid != a.vec_id
           ),
           ranked as (
             select query_id, neighbor_id, cos,

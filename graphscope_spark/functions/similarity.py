@@ -3,14 +3,22 @@
 - :func:`cosine_topk` — brute-force cosine top-k, the correctness
   baseline.  All arithmetic in double via higher-order array functions
   (zip_with + aggregate) — JVM-side, codegen'd, no UDF.
-- :func:`lsh_topk` — the scale path: sign-LSH bucketing (bucket key =
+- :func:`lsh_topk` — a scale path: sign-LSH bucketing (bucket key =
   sign pattern of the first ``planes`` dimensions), search within the
   query's bucket only.  Recall < 1 by design; bucket count 2^planes
   partitions the corpus so per-bucket brute force is |corpus|/2^planes.
+- :func:`ivf_topk` — the other scale path: IVF-flat.  A small set of
+  deterministic seed centroids coarse-quantizes the corpus (each vector
+  assigned to its max-cosine centroid); a query probes only its
+  ``nprobe`` nearest centroids' inverted lists.  Candidate set is
+  ~|corpus|·nprobe/C instead of |corpus|.
 
-At 100TB the corpus side is the big table: both variants broadcast the
+At 100TB the corpus side is the big table: all variants broadcast the
 (small) query set, keeping the corpus un-shuffled; lsh_topk groups the
-corpus by bucket once and can be pre-materialized as a bucketed table.
+corpus by bucket once and can be pre-materialized as a bucketed table;
+ivf_assign's output is the IVF index — at scale you write it ONCE as a
+table partitioned by ``cluster`` so probes become partition-pruned
+scans, and only the (tiny) centroid table is ever broadcast.
 """
 
 from __future__ import annotations
@@ -103,6 +111,92 @@ def cosine_near_duplicates(
         .where(F.col("a") < F.col("b"))
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seed centroids: every ``stride``-th corpus vector
+    by id → (cid, cv).  A trained coarse quantizer (k-means) is a
+    drop-in replacement — assignment/probe below are unchanged; seeded
+    selection keeps the whole pipeline reproducible and oracle-exact.
+    Centroid count is |corpus|/stride, small enough to broadcast."""
+    return corpus.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+
+def _argmax_centroid(scored: DataFrame, part_col: str, n: int) -> DataFrame:
+    """Keep each row's top-n centroids by (cosine desc, cid asc)."""
+    w = Window.partitionBy(part_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    return scored.withColumn("crk", F.row_number().over(w)).where(F.col("crk") <= n)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The index build: assign every corpus vector to its max-cosine
+    centroid (ties → min cid).  One broadcast join over the un-shuffled
+    corpus — the |corpus|×C scoring is embarrassingly parallel and runs
+    once; persist the result partitioned by ``cluster``."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cv")).alias("ccos"),
+    )
+    return (
+        _argmax_centroid(scored, id_col, 1)
+        .select(id_col, vec_col, F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    stride: int = 37,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: brute force restricted to the
+    query's ``nprobe`` nearest centroids' inverted lists.  Same output
+    schema as :func:`cosine_topk`; recall misses only neighbors quantized
+    into unprobed cells (the standard IVF trade, tuned by nprobe)."""
+    cent = ivf_centroids(corpus, stride, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cluster",
+    )
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probed = _argmax_centroid(
+        qs.join(F.broadcast(cent)).select(
+            "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+        ),
+        "query_id",
+        nprobe,
+    ).select("query_id", "qv", F.col("cid").alias("cluster"))
+    scored = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -188,6 +188,51 @@ def test_lsh_topk_same_bucket(emb_df):
     assert 1 in nbrs and 4 not in nbrs  # opposite-sign vector pruned
 
 
+def test_ivf_assign_and_topk(emb_df):
+    """Python replay of the IVF pipeline: stride=2 seeds centroids
+    {0,2,4}; assignment/probing by (cosine desc, cid asc)."""
+    from graphscope_spark.functions.similarity import ivf_assign, ivf_centroids, ivf_topk
+
+    stride, nprobe, k = 2, 2, 3
+    cents = [(i, v) for i, v in EMB if i % stride == 0]
+
+    def top_cents(v, n):
+        return [
+            c
+            for c, _ in sorted(
+                ((c, _py_cosine(v, cv)) for c, cv in cents),
+                key=lambda t: (-t[1], t[0]),
+            )[:n]
+        ]
+
+    assign = {i: top_cents(v, 1)[0] for i, v in EMB}
+    got_assign = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb_df, ivf_centroids(emb_df, stride)).collect()
+    }
+    assert got_assign == assign
+
+    for qid, qv in EMB:
+        probed = set(top_cents(qv, nprobe))
+        cand = [
+            (i, _py_cosine(qv, v)) for i, v in EMB if i != qid and assign[i] in probed
+        ]
+        exp = sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
+        rows = sorted(
+            ivf_topk(
+                emb_df,
+                emb_df.where(F.col("vec_id") == qid),
+                k=k,
+                stride=stride,
+                nprobe=nprobe,
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["neighbor_id"] for r in rows] == [i for i, _ in exp]
+        for r, (_, c) in zip(rows, exp):
+            assert abs(r["cosine"] - c) < 1e-6
+
+
 def test_multimodal_image_features(spark):
     from graphscope_spark.functions.multimodal import IMAGE_FEATURE_DIM, image_features
 
