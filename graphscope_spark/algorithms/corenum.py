@@ -18,6 +18,14 @@ superstep here.
 
 The per-round h-index is pure SQL: rank each vertex's neighbor values
 descending and take max(min(value, rank)).
+
+Frontier restriction: a vertex's h-input changes only if some
+neighbor's core changed last round, so each round recomputes h ONLY
+for neighbors-of-changed (over their FULL neighborhoods — the h-index
+needs the whole multiset, unlike min/sum kernels which can consume
+deltas).  Per-round message volume is Σ deg over the candidate set,
+which collapses as the fixpoint quiesces — the same curr_modified
+frontier discipline as wcc_projected.h:140-166.
 """
 
 from __future__ import annotations
@@ -43,15 +51,26 @@ def core_number(
 
     def init() -> DataFrame:
         return g.vertices.select(VID).join(deg, VID, "left").select(
-            VID, F.coalesce("deg", F.lit(0)).cast("long").alias("core")
+            VID,
+            F.coalesce("deg", F.lit(0)).cast("long").alias("core"),
+            F.lit(True).alias("changed"),
         )
 
     def step(state: DataFrame, k: int) -> StepResult:
-        # h-index of each vertex's neighbor core values:
+        # candidates = vertices with ≥1 changed neighbor; h-index of
+        # each candidate's FULL neighbor core multiset:
         #   rank neighbor values desc, h = max(min(value, rank))
-        nbr_vals = sym.join(
-            state.select(F.col(VID).alias(SRC), F.col("core").alias("cv")), SRC
-        ).select(F.col(DST).alias(VID), "cv")
+        chg = state.where(F.col("changed")).select(F.col(VID).alias(SRC))
+        cands = (
+            sym.join(chg, SRC, "semi")
+            .select(F.col(DST).alias("_cand"))
+            .distinct()
+        )
+        nbr_vals = (
+            sym.join(cands.withColumnRenamed("_cand", DST), DST, "semi")
+            .join(state.select(F.col(VID).alias(SRC), F.col("core").alias("cv")), SRC)
+            .select(F.col(DST).alias(VID), "cv")
+        )
         w = Window.partitionBy(VID).orderBy(F.col("cv").desc())
         h = (
             nbr_vals.withColumn("rn", F.row_number().over(w))
@@ -61,16 +80,17 @@ def core_number(
         )
         nxt = state.join(h, VID, "left").select(
             VID,
-            F.least(F.col("core"), F.coalesce("h", F.lit(0))).cast("long").alias("core"),
-            F.col("core").alias("old_core"),
+            F.least(F.col("core"), F.coalesce("h", F.col("core")))
+            .cast("long")
+            .alias("core"),
+            (F.least(F.col("core"), F.coalesce("h", F.col("core"))) != F.col("core"))
+            .alias("changed"),
         )
 
         def delta_fn(m: DataFrame) -> float:
-            return float(
-                m.where(F.col("core") != F.col("old_core")).count()
-            )
+            return float(m.where(F.col("changed")).count())
 
-        return StepResult(nxt.select(VID, "core", "old_core"), delta_fn=delta_fn)
+        return StepResult(nxt.select(VID, "core", "changed"), delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "core_number", checkpoint_dir=checkpoint_dir)
     final = run.run(init, step, max_iterations=max_iter, tol=0.0)

@@ -47,18 +47,115 @@ def kcore_size(g: Graph, k: int) -> DataFrame:
     )
 
 
+def _peel_tail_factory(same_core_only: bool):
+    """Single-task replay of the identical synchronous peel rounds over
+    the unranked-induced subgraph.  Rows: tag=1 → (vid, d, thr) with
+    c2 = the next round index; tag=0 → (src, dst) of the SYMMETRIZED
+    unranked-induced edge set.  Pure numpy — same rank/decrement order
+    as the distributed rounds, so output is bit-identical."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1].sort_values("a")
+        e = pdf[pdf["tag"] == 0]
+        vids = v["a"].to_numpy(np.int64)
+        d = v["b"].to_numpy(np.int64)
+        thr = v["c"].to_numpy(np.int64)
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "rank": np.empty(0, np.int64)}
+            )
+        r = int(v["c2"].iloc[0])
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        alive = np.ones(n, dtype=bool)
+        rank = np.full(n, -1, dtype=np.int64)
+        while True:
+            sel = alive & (d <= thr)
+            if not sel.any():
+                break
+            rank[sel] = r
+            alive &= ~sel
+            if se.size:
+                mask = sel[se] & alive[de]
+                if same_core_only:
+                    mask &= thr[se] == thr[de]
+                d = d - np.bincount(de[mask], minlength=n)
+            r += 1
+        return pd.DataFrame({"vid": vids, "rank": rank})
+
+    return _pdf
+
+
+def _peel_tail(
+    unranked: DataFrame, ind_sym: DataFrame, threshold_col: str,
+    same_core_only: bool, next_round: int,
+) -> DataFrame:
+    packed = unranked.select(
+        F.lit(1).alias("tag"),
+        F.col(VID).alias("a"),
+        F.col("d").alias("b"),
+        F.col(threshold_col).cast("long").alias("c"),
+        F.lit(next_round).alias("c2"),
+    ).unionByName(
+        ind_sym.select(
+            F.lit(0).alias("tag"),
+            F.col(SRC).alias("a"),
+            F.col(DST).alias("b"),
+            F.lit(0).alias("c"),
+            F.lit(0).alias("c2"),
+        )
+    )
+    return (
+        packed.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_peel_tail_factory(same_core_only), f"{VID} long, rank long")
+    )
+
+
 def _peel(
     state: DataFrame,
     sym: DataFrame,
     threshold_col: str,
     same_core_only: bool,
     max_rounds: int,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous peel: state (vid, core?, d, rank=-1).  Round i ranks
     unranked vertices with d ≤ threshold, then newly-ranked vertices
-    decrement unranked neighbors' d (optionally same-core only)."""
+    decrement unranked neighbors' d (optionally same-core only).
+
+    **Tail finisher** (same lever as matching.min_dominating_set): the
+    peel retires one layer per round — dozens of Spark jobs each doing
+    shrinking work.  Once unranked vertices + their induced symmetrized
+    edges fit one executor task (``local_finish_rows`` rows ≈ 100 MB at
+    4M), the remaining rounds replay bit-identically in numpy inside a
+    single ``applyInPandas`` task.  At 10¹²-scale the distributed
+    rounds run until the tail fits; ``local_finish_rows=0`` forces the
+    fully-distributed path (tested equal)."""
     for i in range(max_rounds):
         prev = state
+        unranked = state.where(F.col("rank") < 0)
+        if local_finish_rows > 0:
+            n_un = unranked.count()
+            if n_un == 0:
+                break
+            if n_un <= local_finish_rows:
+                uv = unranked.select(F.col(VID).alias("_uv"))
+                ind = sym.join(
+                    uv.withColumnRenamed("_uv", SRC), SRC, "semi"
+                ).join(uv.withColumnRenamed("_uv", DST), DST, "semi")
+                ind = ind.transform(stats_barrier)
+                if n_un + ind.count() <= local_finish_rows:
+                    tail = _peel_tail(
+                        unranked, ind, threshold_col, same_core_only, i
+                    )
+                    done = state.where(F.col("rank") >= 0).select(VID, "rank")
+                    return done.unionByName(tail)
+                unpersist_barrier(ind)
         newly = state.where(
             (F.col("rank") < 0) & (F.col("d") <= F.col(threshold_col))
         )
@@ -115,7 +212,9 @@ def _peel(
     return state
 
 
-def degeneracy_ordering(g: Graph, max_rounds: int = 10000) -> DataFrame:
+def degeneracy_ordering(
+    g: Graph, max_rounds: int = 10000, local_finish_rows: int = 4_000_000
+) -> DataFrame:
     """Returns (vid long, rank long): synchronous degeneracy-peel round
     per vertex (degeneracy-ordering.h:90-105; round i ranks unranked
     vertices with remaining degree ≤ degeneracy)."""
@@ -134,12 +233,17 @@ def degeneracy_ordering(g: Graph, max_rounds: int = 10000) -> DataFrame:
             F.lit(-1).alias("rank"),
         )
     ).transform(stats_barrier)
-    out = _peel(state, sym, "thr", same_core_only=False, max_rounds=max_rounds)
+    out = _peel(
+        state, sym, "thr", same_core_only=False, max_rounds=max_rounds,
+        local_finish_rows=local_finish_rows,
+    )
     sym.unpersist()
     return out.select(VID, F.col("rank").cast("long").alias("rank"))
 
 
-def onion_layers(g: Graph, max_rounds: int = 10000) -> DataFrame:
+def onion_layers(
+    g: Graph, max_rounds: int = 10000, local_finish_rows: int = 4_000_000
+) -> DataFrame:
     """Returns (vid long, layer long): onion layer = within-core peel
     round (onion-layer-ordering.h:73-97)."""
     from graphscope_spark.algorithms.corenum import core_number
@@ -165,6 +269,9 @@ def onion_layers(g: Graph, max_rounds: int = 10000) -> DataFrame:
             F.lit(-1).alias("rank"),
         )
     ).transform(stats_barrier)
-    out = _peel(state, sym, "thr", same_core_only=True, max_rounds=max_rounds)
+    out = _peel(
+        state, sym, "thr", same_core_only=True, max_rounds=max_rounds,
+        local_finish_rows=local_finish_rows,
+    )
     sym.unpersist()
     return out.select(VID, F.col("rank").cast("long").alias("layer"))

@@ -47,24 +47,52 @@ def _rank_gt(da, a, db, b):
 
 def edge_support(g: Graph) -> DataFrame:
     """(a, b, da, db, sup): canonical a<b undirected edges with endpoint
-    degrees and triangle support |N(a) ∩ N(b)| (0 kept)."""
+    degrees and triangle support |N(a) ∩ N(b)| (0 kept).
+
+    Support comes from DEGREE-ORIENTED triangle enumeration (same trick
+    as ktruss.py / apps/clustering/triangles.h:78-91): orient lo→hi by
+    (deg, vid), wedge-join at the lowest corner so each triangle is
+    found ONCE, then explode it to its 3 canonical edges.  An
+    unoriented wedge join probes Σ deg² pairs (hub-quadratic); the
+    oriented form is the standard |E|^1.5 bound that survives
+    power-law hubs."""
     sym, deg = _sym_deg(g)
-    und = sym.where(F.col(SRC) < F.col(DST)).select(
-        F.col(SRC).alias("a"), F.col(DST).alias("b")
-    )
-    p = sym.select(F.col(SRC).alias("pa"), F.col(DST).alias("c"))
-    q = sym.select(F.col(SRC).alias("qb"), F.col(DST).alias("qc"))
-    sup = (
-        und.join(p, und["a"] == p["pa"])
-        .join(q, (und["b"] == q["qb"]) & (p["c"] == q["qc"]))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("sup"))
-    )
-    return (
-        und.join(deg.select(F.col(VID).alias("a"), F.col("d").alias("da")), "a")
+    und = (
+        sym.where(F.col(SRC) < F.col(DST))
+        .select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
+        .join(deg.select(F.col(VID).alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col(VID).alias("b"), F.col("d").alias("db")), "b")
-        .join(sup, ["a", "b"], "left")
-        .select("a", "b", "da", "db", F.coalesce("sup", F.lit(0)).alias("sup"))
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    eo = und.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("y"),
+        F.greatest(ka, kb).alias("ky"),
+    ).localCheckpoint(eager=False)  # reused 3×: wedge sides + closing edge
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    tri = (
+        e1.join(e2, F.col("e1.x") == F.col("e2.x"))
+        .where(F.col("e1.ky") < F.col("e2.ky"))
+        .select(
+            F.col("e1.x").alias("u"),
+            F.col("e1.y").alias("v"),
+            F.col("e2.y").alias("w"),
+        )
+        .join(eo.select(F.col("x").alias("v"), F.col("y").alias("w")), ["v", "w"])
+    )
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")),
+                F.struct(F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")),
+                F.struct(F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup"))
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", "da", "db", F.coalesce("sup", F.lit(0)).alias("sup")
     )
 
 

@@ -53,3 +53,22 @@ def test_kcore_size_rand(rand_graph, rand_graph_data):
     vertices, edges = rand_graph_data
     exp = sum(oracle.kcore_oracle(edges, vertices, 3).values())
     assert kcore_size(rand_graph, 3).collect()[0]["size"] == exp
+
+
+def test_peel_tail_matches_distributed(rand_graph, rand_graph_data):
+    # the single-task tail replay must be bit-identical to the fully
+    # distributed rounds (local_finish_rows=0 disables the tail), and a
+    # mid-peel switch (tiny threshold forces distributed rounds first)
+    # must land on the same ranks
+    vertices, edges = rand_graph_data
+    for fn, key in ((degeneracy_ordering, "rank"), (onion_layers, "layer")):
+        dist = {r["vid"]: r[key] for r in fn(rand_graph, local_finish_rows=0).collect()}
+        tail = {r["vid"]: r[key] for r in fn(rand_graph).collect()}
+        n0 = len(vertices) + 2 * len(
+            {(min(s, d), max(s, d)) for s, d in edges if s != d}
+        )
+        mid = {
+            r["vid"]: r[key]
+            for r in fn(rand_graph, local_finish_rows=max(n0 // 2, 8)).collect()
+        }
+        assert dist == tail == mid
