@@ -41,6 +41,105 @@ from graphscope_spark.algorithms.multisource import _collect_roots
 BATCH = 128
 
 
+def _brandes_local(
+    sym: DataFrame,
+    verts: DataFrame,
+    root_list: list[int],
+    max_depth: int,
+    endpoints: bool,
+) -> DataFrame:
+    """Single-task replay of the identical Brandes sweeps once the whole
+    graph fits one executor task (same size-gated finisher pattern as
+    matching.min_dominating_set / peeling) — one shuffle instead of
+    ~2·depth·ceil(|roots|/BATCH) Spark jobs against a tiny graph.  Pure
+    numpy CSR level-synchronous BFS + backward dependency accumulation;
+    bit-compatible with the distributed recurrence (σ sums are exact
+    integer-valued floats; δ ratios are the same divisions).  Returns
+    (vid, bc_part) summed over all roots."""
+    roots = set(root_list)
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = np.sort(pdf.loc[pdf["tag"] == 1, "a"].to_numpy(np.int64))
+        e = pdf[pdf["tag"] == 0]
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame({"vid": [], "bc_part": []})
+        es = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        ed = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        order = np.argsort(es, kind="stable")
+        indptr = np.concatenate(
+            ([0], np.bincount(es, minlength=n).cumsum())
+        ).astype(np.int64)
+        indices = ed[order]
+
+        def expand(f):
+            st, en = indptr[f], indptr[f + 1]
+            cnt = en - st
+            tot = int(cnt.sum())
+            if tot == 0:
+                return (np.empty(0, np.int64),) * 2
+            idx = np.repeat(st, cnt) + (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            return indices[idx], np.repeat(f, cnt)
+
+        bc = np.zeros(n, dtype=np.float64)
+        rks = np.searchsorted(vids, np.sort(np.fromiter(roots, np.int64)))
+        for rk in rks:
+            depth = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n, dtype=np.float64)
+            depth[rk] = 0
+            sigma[rk] = 1.0
+            levels = [np.array([rk], dtype=np.int64)]
+            lvl = 0
+            while lvl < max_depth:
+                nbr, src = expand(levels[-1])
+                fresh = nbr[depth[nbr] == -1]
+                if fresh.size == 0:
+                    break
+                depth[fresh] = lvl + 1
+                on_next = depth[nbr] == lvl + 1
+                np.add.at(sigma, nbr[on_next], sigma[src[on_next]])
+                levels.append(np.unique(fresh))
+                lvl += 1
+            delta = np.zeros(n, dtype=np.float64)
+            for lv in range(len(levels) - 1, 0, -1):
+                w = levels[lv]
+                nbr, wrep = expand(w)
+                pred = depth[nbr] == lv - 1
+                np.add.at(
+                    delta,
+                    nbr[pred],
+                    sigma[nbr[pred]] / sigma[wrep[pred]] * (1.0 + delta[wrep[pred]]),
+                )
+            if endpoints:
+                reached = depth >= 0
+                add = np.where(reached, delta + 1.0, 0.0)
+                add[rk] = float(reached.sum() - 1)
+                bc += add
+            else:
+                delta[rk] = 0.0
+                bc += delta
+        return pd.DataFrame({"vid": vids, "bc_part": bc})
+
+    packed = verts.select(
+        F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+    ).unionByName(
+        sym.select(
+            F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b")
+        )
+    )
+    return (
+        packed.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_pdf, f"{VID} long, bc_part double")
+    )
+
+
 def _chunk_delta(
     sym: DataFrame,
     verts: DataFrame,
@@ -199,6 +298,7 @@ def betweenness_centrality(
     normalized: bool = False,
     endpoints: bool = False,
     weight: str | None = None,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (vid long, betweenness double).
 
@@ -208,6 +308,11 @@ def betweenness_centrality(
     endpoints=True; betweenness_centrality_generic.h ctx.endpoints).
     ``weight``: edge-weight column → Dijkstra-DAG Brandes
     (betweenness_centrality_generic.h dijkstra path).
+    ``local_finish_rows``: if the whole graph (vertices + symmetrized
+    edges) fits one executor task, the unweighted sweeps run in a
+    single applyInPandas task (see _brandes_local) — the distributed
+    wide-column path remains the 10¹²-scale route and is pinned equal
+    in tests.  0 forces the distributed path.
     """
     weighted = weight is not None and weight in g.edges.columns
     if weighted:
@@ -229,6 +334,26 @@ def betweenness_centrality(
         sym.unpersist()
         return g.vertices.select(VID, F.lit(0.0).alias("betweenness"))
     verts = g.vertices.select(VID)
+
+    if (
+        not weighted
+        and local_finish_rows > 0
+        and n + sym.count() <= local_finish_rows
+    ):
+        total = _brandes_local(
+            sym, verts, root_list, max_depth, endpoints
+        ).transform(stats_barrier)
+        scale = 0.5
+        if n_roots < n:
+            scale *= n / n_roots
+        if normalized and n > 2:
+            scale *= 2.0 / ((n - 1) * (n - 2))
+        out = verts.join(total, VID, "left").select(
+            VID,
+            (F.coalesce("bc_part", F.lit(0.0)) * scale).alias("betweenness"),
+        )
+        sym.unpersist()
+        return out
 
     total: DataFrame | None = None
     for lo in range(0, n_roots, BATCH):

@@ -32,7 +32,31 @@ def test_betweenness_random_small(spark):
     v = spark.createDataFrame([(i,) for i in vertices], "vid long")
     g = Graph.from_edges(e, v, directed=True, num_partitions=4)
     exp = oracle.betweenness_oracle(edges, vertices)
-    _allclose(betweenness_centrality(g), exp)
+    # distributed wide-column kernel (the 10^12-scale path), oracle-pinned
+    _allclose(betweenness_centrality(g, local_finish_rows=0), exp)
+
+
+def test_betweenness_local_matches_distributed(spark):
+    """The size-gated single-task finisher replays the distributed
+    sweeps: same scores to 1e-9, with and without endpoints, sampled
+    roots included."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.graph import Graph
+    from tests.conftest import make_random_graph
+
+    vertices, edges = make_random_graph(n=60, seed=23)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4)
+    roots = g.vertices.where(F.col("vid") % 3 == 0)
+    for ep in (False, True):
+        dist = betweenness_centrality(
+            g, roots=roots, endpoints=ep, local_finish_rows=0
+        )
+        exp = {r["vid"]: r["betweenness"] for r in dist.collect()}
+        loc = betweenness_centrality(g, roots=roots, endpoints=ep)
+        _allclose(loc, exp)
 
 
 def test_betweenness_endpoints(spark):
