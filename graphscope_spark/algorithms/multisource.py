@@ -135,6 +135,94 @@ def _wide_sweep(
     return state, cols
 
 
+def _distances_local(
+    edges: DataFrame,
+    verts: DataFrame,
+    root_list: list[int],
+    max_rounds: int,
+) -> DataFrame:
+    """Single-task replay once vertices + edge table fit one executor
+    task (the same size-gated finisher pattern as betweenness /
+    min_dominating_set): per-root frontier Bellman-Ford in numpy CSR.
+    The fixpoint is identical to the distributed sweep — both compute
+    min over paths of the forward-accumulated float sum, and min is
+    order-independent — so results are bit-equal (pinned in tests).
+    Returns (root, vid, dist), reachable pairs only."""
+    roots = sorted(set(root_list))
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = np.sort(pdf.loc[pdf["tag"] == 1, "a"].to_numpy(np.int64))
+        e = pdf[pdf["tag"] == 0]
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame({"root": [], "vid": [], "dist": []})
+        es = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        ed = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        ew = e["w"].to_numpy(np.float64)
+        order = np.argsort(es, kind="stable")
+        indptr = np.concatenate(
+            ([0], np.bincount(es, minlength=n).cumsum())
+        ).astype(np.int64)
+        indices, weights = ed[order], ew[order]
+
+        out_r, out_v, out_d = [], [], []
+        rks = np.searchsorted(vids, np.array(roots, dtype=np.int64))
+        for root, rk in zip(roots, rks):
+            dist = np.full(n, np.inf)
+            dist[rk] = 0.0
+            frontier = np.array([rk], dtype=np.int64)
+            for _ in range(max_rounds):
+                st, en = indptr[frontier], indptr[frontier + 1]
+                cnt = en - st
+                tot = int(cnt.sum())
+                if tot == 0:
+                    break
+                idx = np.repeat(st, cnt) + (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                old = dist.copy()
+                np.minimum.at(
+                    dist, indices[idx], dist[np.repeat(frontier, cnt)] + weights[idx]
+                )
+                frontier = np.flatnonzero(dist < old)
+                if frontier.size == 0:
+                    break
+            reach = np.flatnonzero(np.isfinite(dist))
+            out_r.append(np.full(reach.size, root, dtype=np.int64))
+            out_v.append(vids[reach])
+            out_d.append(dist[reach])
+        return pd.DataFrame(
+            {
+                "root": np.concatenate(out_r) if out_r else [],
+                "vid": np.concatenate(out_v) if out_v else [],
+                "dist": np.concatenate(out_d) if out_d else [],
+            }
+        )
+
+    packed = verts.select(
+        F.lit(1).alias("tag"),
+        F.col(VID).alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0.0).alias("w"),
+    ).unionByName(
+        edges.select(
+            F.lit(0).alias("tag"),
+            F.col(SRC).alias("a"),
+            F.col(DST).alias("b"),
+            "w",
+        )
+    )
+    return (
+        packed.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(_pdf, f"root long, {VID} long, dist double")
+    )
+
+
 def multi_source_distances(
     g: Graph,
     roots: DataFrame | list[int] | None = None,
@@ -142,6 +230,7 @@ def multi_source_distances(
     directed: bool | None = None,
     max_rounds: int = 200,
     batch: int = DEFAULT_BATCH,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Shortest-path distances from each root: (root long, vid long,
     dist double) — REACHABLE pairs only.
@@ -149,7 +238,10 @@ def multi_source_distances(
     Unweighted (weight=None) distances are BFS hop counts; pass a weight
     column for Bellman-Ford min-plus distances.  ``directed=None``
     follows the graph; ``False`` forces the symmetrized view (the usual
-    centrality convention).
+    centrality convention).  ``local_finish_rows``: graphs whose vertex
+    + edge tables fit one executor task run in a single applyInPandas
+    task (see _distances_local); 0 forces the distributed wide sweep,
+    which remains the 10¹²-scale path.
     """
     root_list = _collect_roots(g, roots)
     if not root_list:
@@ -158,6 +250,16 @@ def multi_source_distances(
         )
     edges = _edge_table(g, weight, directed).cache()
     verts = g.vertices.select(VID)
+    if (
+        local_finish_rows > 0
+        and len(root_list) * g.num_vertices() <= 32_000_000
+        and g.num_vertices() + edges.count() <= local_finish_rows
+    ):
+        out = _distances_local(edges, verts, root_list, max_rounds).transform(
+            stats_barrier
+        )
+        edges.unpersist()
+        return out
     out: DataFrame | None = None
     for lo in range(0, len(root_list), batch):
         chunk = root_list[lo : lo + batch]

@@ -30,22 +30,55 @@ ROOTS = [0, 30, 60, 90, 120, 150]
 def test_multi_source_distances_rand(spark, rand_graph, rand_graph_data):
     vertices, edges = rand_graph_data
     exp = oracle.multi_source_bfs_oracle(edges, ROOTS, directed=False)
-    got = {
-        (r["root"], r["vid"]): int(r["dist"])
-        for r in multi_source_distances(rand_graph, ROOTS, directed=False).collect()
-    }
-    assert got == exp
+    for lfr in (0, 4_000_000):  # distributed wide sweep AND local finisher
+        got = {
+            (r["root"], r["vid"]): int(r["dist"])
+            for r in multi_source_distances(
+                rand_graph, ROOTS, directed=False, local_finish_rows=lfr
+            ).collect()
+        }
+        assert got == exp
+
+
+def test_multi_source_local_matches_distributed(spark, rand_graph):
+    """The size-gated single-task finisher is bit-equal to the
+    distributed wide sweep (both compute min over forward-accumulated
+    path sums), weighted and unweighted."""
+    from graphscope_spark.graph import Graph
+
+    e = rand_graph.edges.select(
+        "src", "dst", (F.col("src") % 5 + 1).cast("double").alias("w")
+    )
+    gw = Graph.from_edges(e, rand_graph.vertices, directed=True, num_partitions=4)
+    for w in (None, "w"):
+        dist = {
+            (r["root"], r["vid"]): r["dist"]
+            for r in multi_source_distances(
+                gw, ROOTS, weight=w, directed=False, local_finish_rows=0
+            ).collect()
+        }
+        loc = {
+            (r["root"], r["vid"]): r["dist"]
+            for r in multi_source_distances(
+                gw, ROOTS, weight=w, directed=False
+            ).collect()
+        }
+        assert loc == dist
 
 
 def test_multi_source_batching_matches(spark, rand_graph):
     """Chunked passes must agree with a single-batch pass."""
     one = {
         (r["root"], r["vid"]): r["dist"]
-        for r in multi_source_distances(rand_graph, ROOTS, directed=False, batch=2).collect()
+        for r in multi_source_distances(
+            rand_graph, ROOTS, directed=False, batch=2, local_finish_rows=0
+        ).collect()
     }
     full = {
         (r["root"], r["vid"]): r["dist"]
-        for r in multi_source_distances(rand_graph, ROOTS, directed=False).collect()
+        for r in multi_source_distances(
+            rand_graph, ROOTS, directed=False, local_finish_rows=0
+        ).collect()
     }
     assert one == full
 
