@@ -1642,16 +1642,19 @@ def _sssp_avg_length_sql() -> str:
 def _voterank_sql() -> str:
     """Unrolled deterministic VoteRank over the symmetrized co-purchase
     graph: per round score = Σ neighbor ability; winner = (max score,
-    min vid); winner ability → 0, neighbor abilities −1/⟨k⟩ floored."""
+    min vid); winner ability → 0, neighbor abilities −1/⟨k⟩ floored.
+    Abilities are integers scaled by m (init m, decrement n, floor 0) —
+    exactly the float recurrence times the positive constant m, with no
+    float sum-order sensitivity — mirroring algorithms/voterank.py."""
     parts = [
         f"with cpe as materialized ({SQL_CP_EDGES})",
         "verts as materialized (select src as vid from cpe union select dst from cpe)",
         "sym as materialized (select src, dst from cpe union select dst, src from cpe)",
         """params as materialized (
-          select cast((select count(*) from sym) as double)
-                 / (select count(*) from verts) as avg_deg
+          select cast((select count(*) from sym) as bigint) as m,
+                 cast((select count(*) from verts) as bigint) as n
         )""",
-        "a0 as materialized (select vid, 1.0 as ability from verts)",
+        "a0 as materialized (select vid, (select m from params) as ability from verts)",
         "e0 as materialized (select cast(null as bigint) as vid, 0 as rank where false)",
     ]
     for r in range(1, VOTERANK_SEEDS + 1):
@@ -1678,12 +1681,12 @@ def _voterank_sql() -> str:
         parts.append(
             f"""a{r} as materialized (
               select a.vid,
-                     case when a.vid in (select vid from w{r}) then 0.0
+                     case when a.vid in (select vid from w{r}) then cast(0 as bigint)
                           when exists (
                             select 1 from sym s
                             where s.src in (select vid from w{r})
                               and s.dst = a.vid)
-                          then greatest(a.ability - 1.0/(select avg_deg from params), 0.0)
+                          then greatest(a.ability - (select n from params), cast(0 as bigint))
                           else a.ability end as ability
               from a{r - 1} a
             )"""

@@ -39,10 +39,109 @@ from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
+def _louvain_local_pdf_factory(max_rounds: int, max_phases: int):
+    """Single-task replay of the ENTIRE synchronous Louvain (all phases,
+    all rounds) over the folded undirected weighted edge table.  All
+    scores are int64 (requires total weight W < 2^31.5 so that
+    m2·k_{v,C} ≤ 2W² stays in int64 — guaranteed by the caller's
+    ``local_finish_rows`` cap), so the replay is bit-identical to the
+    distributed rounds: same synchronous move rule, same
+    (score desc, community-id asc) tie-break, same contraction.
+    Positions index the CURRENT phase's supernodes; supernode ids stay
+    sorted ascending, so min-position tie-breaks equal min-id ones."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1]
+        e = pdf[pdf["tag"] == 0]
+        vids = np.sort(v["a"].to_numpy(np.int64))
+        n0 = vids.size
+        if n0 == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "community": np.empty(0, np.int64)}
+            )
+        pa = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        pb = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        ew = e["w"].to_numpy(np.int64)
+
+        n = n0
+        node_of = np.arange(n0, dtype=np.int64)  # original pos -> supernode pos
+        selfw = np.zeros(n, np.int64)
+
+        for _phase in range(max_phases):
+            k = np.zeros(n, np.int64)
+            np.add.at(k, pa, ew)
+            np.add.at(k, pb, ew)
+            k += 2 * selfw
+            m2 = int(k.sum())
+            if m2 == 0:
+                break
+            comm = np.arange(n, dtype=np.int64)
+            # per-(v, neighbor-community) weights recompute each round
+            vv = np.concatenate([pa, pb])
+            uu = np.concatenate([pb, pa])
+            ww = np.concatenate([ew, ew])
+            for _round in range(max_rounds):
+                tot = np.zeros(n, np.int64)
+                np.add.at(tot, comm, k)
+                key = vv * n + comm[uu]
+                uk, inv = np.unique(key, return_inverse=True)
+                ksum = np.zeros(uk.size, np.int64)
+                np.add.at(ksum, inv, ww)
+                kv = uk // n
+                kc = uk % n
+                own = kc == comm[kv]
+                s_stay = -k * (tot[comm] - k)
+                s_stay[kv[own]] += m2 * ksum[own]
+                cand = ~own
+                cv, cc = kv[cand], kc[cand]
+                if cv.size == 0:
+                    break
+                cs = m2 * ksum[cand] - k[cv] * tot[cc]
+                order = np.lexsort((cc, -cs, cv))
+                cv_o, cc_o, cs_o = cv[order], cc[order], cs[order]
+                first = np.ones(cv_o.size, bool)
+                first[1:] = cv_o[1:] != cv_o[:-1]
+                bv, bc, bs = cv_o[first], cc_o[first], cs_o[first]
+                mv = bs > s_stay[bv]
+                if not mv.any():
+                    break
+                comm = comm.copy()
+                comm[bv[mv]] = bc[mv]
+            uc, inv = np.unique(comm, return_inverse=True)
+            node_of = inv[node_of]
+            if uc.size == n:
+                break
+            # contract: intra mass + carried selfs -> self weight
+            newn = uc.size
+            new_self = np.zeros(newn, np.int64)
+            np.add.at(new_self, inv, selfw)
+            ca, cb = inv[pa], inv[pb]
+            intra = ca == cb
+            np.add.at(new_self, ca[intra], ew[intra])
+            lo = np.minimum(ca[~intra], cb[~intra])
+            hi = np.maximum(ca[~intra], cb[~intra])
+            ekey, einv = np.unique(lo * newn + hi, return_inverse=True)
+            new_ew = np.zeros(ekey.size, np.int64)
+            np.add.at(new_ew, einv, ew[~intra])
+            pa, pb, ew = ekey // newn, ekey % newn, new_ew
+            selfw = new_self
+            n = newn
+
+        lab = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lab, node_of, vids)
+        return pd.DataFrame({"vid": vids, "community": lab[node_of]})
+
+    return _pdf
+
+
 def louvain(
     g: Graph,
     max_rounds: int = 10,
     max_phases: int = 3,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (vid long, community long)."""
     spark = g.edges.sparkSession
@@ -58,6 +157,35 @@ def louvain(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     ).transform(stats_barrier)
+
+    # Whole-graph single-task finisher: every score is an INTEGER, so a
+    # numpy replay of the identical synchronous rounds is bit-equal to
+    # the distributed supersteps (pinned in tests).  ~35 barrier'd wide
+    # joins collapse into one applyInPandas task when the folded graph
+    # fits bounded executor memory; the distributed path below remains
+    # the 10^12-edge path (local_finish_rows=0 forces it).
+    if local_finish_rows > 0:
+        n_v = g.vertices.count()
+        if n_v + edges.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"),
+                F.col(VID).alias("a"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0).cast("long").alias("w"),
+            ).unionByName(
+                edges.select(F.lit(0).alias("tag"), "a", "b", "w")
+            )
+            # NOTE: edges stays persisted — the returned plan reads it
+            # (its lineage is truncated, an unpersist would orphan it)
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _louvain_local_pdf_factory(max_rounds, max_phases),
+                    f"{VID} long, community long",
+                )
+            )
+
     selfs = (
         edges.sparkSession.createDataFrame([], "v long, sw long")
     )

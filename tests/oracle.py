@@ -424,7 +424,10 @@ def sssp_average_length_oracle(
 def voterank_oracle(
     edges: list[tuple[int, int]], vertices: list[int], num_seeds: int = 10
 ) -> list[int]:
-    """NX VoteRank with deterministic min-id tie-break."""
+    """NX VoteRank with deterministic min-id tie-break.  Abilities are
+    integers scaled by m (init m, decrement n, floor 0) — the float
+    recurrence times the positive constant m, matching
+    algorithms/voterank.py and its DuckDB oracle exactly."""
     nbr = defaultdict(set)
     seen = set()
     n_sym = 0
@@ -435,9 +438,8 @@ def voterank_oracle(
             nbr[d].add(s)
             n_sym += 2
     n = len(vertices)
-    avg_deg = n_sym / n if n else 1.0
-    dec = 1.0 / avg_deg if avg_deg > 0 else 1.0
-    ability = {v: 1.0 for v in vertices}
+    m = n_sym
+    ability = {v: m for v in vertices}
     elected = []
     for _ in range(min(num_seeds, n)):
         score = {
@@ -450,9 +452,9 @@ def voterank_oracle(
             break
         w = best[0]
         elected.append(w)
-        ability[w] = 0.0
+        ability[w] = 0
         for u in nbr[w]:
-            ability[u] = max(ability[u] - dec, 0.0)
+            ability[u] = max(ability[u] - n, 0)
     return elected
 
 

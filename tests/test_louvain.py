@@ -46,3 +46,18 @@ def test_louvain_random(spark):
     got = _dict(louvain(g))
     exp = oracle.louvain_oracle(edges, vertices)
     assert got == exp
+
+
+def test_louvain_finisher_matches_distributed(spark):
+    """The single-task numpy finisher replays the distributed rounds
+    bit-identically (integer scores make this exact, not allclose)."""
+    vertices, edges = make_random_graph(n=150, seed=23)
+    # duplicate some edges so multiplicities > 1 exercise the fold
+    edges = edges + edges[::5]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=4)
+    local = _dict(louvain(g))  # small graph -> finisher path
+    dist = _dict(louvain(g, local_finish_rows=0))  # forced distributed
+    assert local == dist
+    assert local == oracle.louvain_oracle(edges, vertices)

@@ -59,6 +59,14 @@ def test_voterank_random(rand_graph, rand_graph_data):
     exp = oracle.voterank_oracle(edges, vertices, num_seeds=5)
     got = [r["vid"] for r in voterank(rand_graph, num_seeds=5).orderBy("rank").collect()]
     assert got == exp
+    # distributed path pinned bit-equal to the single-task finisher
+    dist = [
+        r["vid"]
+        for r in voterank(rand_graph, num_seeds=5, local_finish_rows=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert dist == exp
 
 
 def test_kshell_tiny(tiny_graph):
