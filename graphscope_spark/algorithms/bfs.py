@@ -26,8 +26,16 @@ def bfs(
     max_depth: int = 100,
     directed: bool | None = None,
     checkpoint_dir: str | None = None,
+    sync_every: int = 4,
 ) -> DataFrame:
-    """Returns (vid long, depth long); -1 for unreachable."""
+    """Returns (vid long, depth long); -1 for unreachable.
+
+    ``sync_every`` levels chain lazily into ONE Spark job (frontier
+    expansion past quiescence is idempotent — an empty frontier
+    discovers nothing — so the termination check runs once per batch);
+    the per-level job floor, not data volume, dominates BFS wall time
+    on high-diameter graphs once |frontier| ≪ |V|.
+    """
     spark = g.edges.sparkSession
     use_directed = g.directed if directed is None else directed
     edges = (g.distinct_edges() if use_directed else g.symmetrized()).cache()
@@ -53,11 +61,20 @@ def bfs(
             .alias("depth"),
         )
         def delta_fn(m: DataFrame) -> float:
+            # anything discovered in the final chained level of this
+            # batch? 0 iff the whole batch quiesced (levels are monotone)
             return float(m.where(F.col("depth") == k + 1).count())
 
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "bfs", checkpoint_dir=checkpoint_dir)
-    final = run.run(init, step, max_iterations=max_depth, tol=0.0)
+    final = run.run(
+        init,
+        step,
+        max_iterations=max_depth,
+        tol=0.0,
+        sync_every=max(1, sync_every),
+        idempotent=True,
+    )
     edges.unpersist()
     return final.select(VID, "depth")

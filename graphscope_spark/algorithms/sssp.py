@@ -29,8 +29,16 @@ def sssp(
     weight: str | None = "weight",
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
+    sync_every: int = 4,
 ) -> DataFrame:
-    """Returns (vid long, dist double); inf for unreachable."""
+    """Returns (vid long, dist double); inf for unreachable.
+
+    ``sync_every`` relaxation rounds chain lazily into ONE Spark job —
+    min-relaxation past the fixpoint is idempotent, so the termination
+    check (any distance changed in the batch's final round) legally
+    runs once per batch; this is the same job-floor amortization as the
+    multi-source wide sweep (multisource.py).
+    """
     spark = g.edges.sparkSession
     cols = g.edges.columns
     if weight and weight in cols:
@@ -70,7 +78,14 @@ def sssp(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "sssp", checkpoint_dir=checkpoint_dir)
-    final = run.run(init, step, max_iterations=max_iter, tol=0.0)
+    final = run.run(
+        init,
+        step,
+        max_iterations=max_iter,
+        tol=0.0,
+        sync_every=max(1, sync_every),
+        idempotent=True,
+    )
     edges.unpersist()
     return final.select(VID, "dist")
 

@@ -18,8 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphscope_spark.graph import Graph
+from graphscope_spark.superstep import stats_barrier
 
 SUPPLIER_OFFSET = 1_000_000
+
+# Session-scoped graph memo — the Spark analog of the reference's
+# vineyard-resident fragments: a graph is LOADED ONCE per session and
+# many apps run against the shared columnar store
+# (docs/analytical_engine/key_concepts.rst, zero-copy fragment sharing).
+# Keyed by (applicationId, sf_dir, builder, params); the edge table is
+# materialized via stats_barrier so the multi-join derivation (TPC-H
+# lineitem self-joins) runs once, not once per query.
+_GRAPH_MEMO: dict[tuple, Graph] = {}
+
+
+def _memo_graph(spark: SparkSession, sf_dir: str, key: str, build) -> Graph:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    g = _GRAPH_MEMO.get(k)
+    if g is None:
+        g = build()
+        _GRAPH_MEMO[k] = g
+    return g
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,11 +60,16 @@ def order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
-    return Graph.from_edges(
-        order_edges(spark, sf_dir),
-        directed=True,
-        num_partitions=num_partitions,
-        weight="weight",
+    return _memo_graph(
+        spark,
+        sf_dir,
+        f"order:{num_partitions}",
+        lambda: Graph.from_edges(
+            stats_barrier(order_edges(spark, sf_dir)),
+            directed=True,
+            num_partitions=num_partitions,
+            weight="weight",
+        ),
     )
 
 
@@ -56,12 +80,17 @@ def thin_order_graph(
     sparse substrate for the biconnectivity / matching family (probed
     at sf0.01, mod=7: 1576 v / 6871 e, 7 components, 82 BCCs, 75
     bridges, 55 cut vertices, BFS depth 4)."""
-    e = (
-        order_edges(spark, sf_dir)
-        .select("src", "dst")
-        .where((F.col("src") + F.col("dst")) % mod == 0)
-    )
-    return Graph.from_edges(e, directed=False, num_partitions=num_partitions)
+    def build() -> Graph:
+        e = (
+            order_edges(spark, sf_dir)
+            .select("src", "dst")
+            .where((F.col("src") + F.col("dst")) % mod == 0)
+        )
+        return Graph.from_edges(
+            stats_barrier(e), directed=False, num_partitions=num_partitions
+        )
+
+    return _memo_graph(spark, sf_dir, f"thin_order:{mod}:{num_partitions}", build)
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,8 +107,15 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def copurchase_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
-    return Graph.from_edges(
-        copurchase_edges(spark, sf_dir), directed=False, num_partitions=num_partitions
+    return _memo_graph(
+        spark,
+        sf_dir,
+        f"copurchase:{num_partitions}",
+        lambda: Graph.from_edges(
+            stats_barrier(copurchase_edges(spark, sf_dir)),
+            directed=False,
+            num_partitions=num_partitions,
+        ),
     )
 
 
@@ -90,10 +126,17 @@ def thin_copurchase_graph(
     graph non-bipartite (odd cycles survive) while shrinking the
     iteration count of round-heavy operators (probed at sf0.01, mod=7:
     2000 v / 16667 e, greedy coloring fixpoint in 14 rounds)."""
-    e = copurchase_edges(spark, sf_dir).where(
-        (F.col("src") + F.col("dst")) % mod == 0
+    def build() -> Graph:
+        e = copurchase_edges(spark, sf_dir).where(
+            (F.col("src") + F.col("dst")) % mod == 0
+        )
+        return Graph.from_edges(
+            stats_barrier(e), directed=False, num_partitions=num_partitions
+        )
+
+    return _memo_graph(
+        spark, sf_dir, f"thin_copurchase:{mod}:{num_partitions}", build
     )
-    return Graph.from_edges(e, directed=False, num_partitions=num_partitions)
 
 
 def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,10 +168,15 @@ def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_directed_graph(
     spark: SparkSession, sf_dir: str, num_partitions: int = 32
 ) -> Graph:
-    return Graph.from_edges(
-        copurchase_directed_edges(spark, sf_dir),
-        directed=True,
-        num_partitions=num_partitions,
+    return _memo_graph(
+        spark,
+        sf_dir,
+        f"copurchase_directed:{num_partitions}",
+        lambda: Graph.from_edges(
+            stats_barrier(copurchase_directed_edges(spark, sf_dir)),
+            directed=True,
+            num_partitions=num_partitions,
+        ),
     )
 
 
@@ -164,6 +212,13 @@ def linenumber_edges(spark: SparkSession, sf_dir: str, mod: int = 7) -> DataFram
 
 
 def linenumber_graph(spark: SparkSession, sf_dir: str, num_partitions: int = 32) -> Graph:
-    return Graph.from_edges(
-        linenumber_edges(spark, sf_dir), directed=True, num_partitions=num_partitions
+    return _memo_graph(
+        spark,
+        sf_dir,
+        f"linenumber:{num_partitions}",
+        lambda: Graph.from_edges(
+            stats_barrier(linenumber_edges(spark, sf_dir)),
+            directed=True,
+            num_partitions=num_partitions,
+        ),
     )

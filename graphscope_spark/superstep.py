@@ -259,6 +259,7 @@ class SuperstepRunner:
         max_iterations: int,
         tol: float | None = None,
         sync_every: int = 1,
+        idempotent: bool = False,
     ) -> DataFrame:
         """Run the loop; stop when ``delta <= tol`` or iterations exhaust.
 
@@ -269,12 +270,19 @@ class SuperstepRunner:
         stalls measured locally); convergence-driven runs must keep
         ``sync_every=1`` so the stop decision sees every round, which
         is also the reference's per-round all-reduce behavior
-        (default_worker.h:89-131).  Requires ``step`` to be fully lazy
-        (no driver-side collects) — see pagerank's broadcast-crossjoin
-        dangling pool.
+        (default_worker.h:89-131) — UNLESS the step is ``idempotent``:
+        for monotone fixpoints (BFS discovery, min-relaxation, min-label
+        propagation) extra rounds past quiescence change nothing, so the
+        termination check may legally run once per batch; the batch's
+        ``delta_fn`` must then measure "did anything change in the final
+        chained round", which is 0 iff the fixpoint was reached.
+        Requires ``step`` to be fully lazy (no driver-side collects) —
+        see pagerank's broadcast-crossjoin dangling pool.
         """
-        if tol is not None and sync_every != 1:
-            raise ValueError("sync_every > 1 is only valid for fixed-round runs")
+        if tol is not None and sync_every != 1 and not idempotent:
+            raise ValueError(
+                "sync_every > 1 with a tolerance requires idempotent=True"
+            )
         start_k = 0
         state = None
         if self.dir:
