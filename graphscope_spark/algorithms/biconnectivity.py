@@ -195,10 +195,176 @@ def _analysis(g: Graph) -> dict[str, DataFrame]:
     }
 
 
-def bridges(g: Graph) -> DataFrame:
+def _bicon_compute(n, eu, ev):
+    """Iterative Hopcroft–Tarjan over CSR arrays.  Returns
+    (bcc id per canonical edge, bridge mask per edge, cut mask per
+    vertex).  Bridges, cut vertices, and BCC edge-sets are unique graph
+    properties, so this matches the distributed derivation exactly on
+    simple graphs (the only inputs either path defines)."""
+    import numpy as np
+
+    m = eu.size
+    # adjacency over both directions, carrying the canonical edge id
+    heads = np.concatenate([eu, ev])
+    tails = np.concatenate([ev, eu])
+    eids = np.concatenate([np.arange(m), np.arange(m)])
+    order = np.argsort(heads, kind="stable")
+    tails, eids = tails[order], eids[order]
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(heads, minlength=n), out=off[1:])
+
+    disc = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    cut = np.zeros(n, bool)
+    bridge = np.zeros(m, bool)
+    bcc = np.full(m, -1, np.int64)
+    on_stack = np.zeros(m, bool)
+    timer = 0
+    n_bcc = 0
+    estack: list[int] = []
+    for root in range(n):
+        if disc[root] >= 0:
+            continue
+        root_children = 0
+        # frames: (vertex, incoming canonical edge id, next CSR ptr)
+        stack = [[root, -1, off[root]]]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            fr = stack[-1]
+            v, in_eid, ptr = fr
+            if ptr < off[v + 1]:
+                fr[2] += 1
+                u, eid = int(tails[ptr]), int(eids[ptr])
+                if eid == in_eid:
+                    continue
+                if disc[u] < 0:
+                    estack.append(eid)
+                    on_stack[eid] = True
+                    disc[u] = low[u] = timer
+                    timer += 1
+                    stack.append([u, eid, off[u]])
+                elif disc[u] < disc[v]:
+                    if not on_stack[eid]:
+                        estack.append(eid)
+                        on_stack[eid] = True
+                    if disc[u] < low[v]:
+                        low[v] = disc[u]
+            else:
+                stack.pop()
+                if not stack:
+                    break
+                p = stack[-1][0]
+                if v != root and low[v] < low[p]:
+                    low[p] = low[v]
+                if p == root:
+                    root_children += 1
+                # articulation / component pop on the tree edge (p, v)
+                if low[v] >= disc[p]:
+                    if p != root:
+                        cut[p] = True
+                    while True:
+                        e = estack.pop()
+                        bcc[e] = n_bcc
+                        if e == in_eid:
+                            break
+                    n_bcc += 1
+                if low[v] > disc[p]:
+                    bridge[in_eid] = True
+        if root_children >= 2:
+            cut[root] = True
+    return bcc, bridge, cut
+
+
+def _bicon_packed(g: Graph, und: DataFrame) -> DataFrame:
+    """(tag, a, b) rows: vertices then canonical undirected edges."""
+    return g.vertices.select(
+        F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+    ).unionByName(
+        und.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+    )
+
+
+def _bicon_fits(g: Graph, und: DataFrame, local_finish_rows: int) -> bool:
+    return (
+        local_finish_rows > 0
+        and g.vertices.count() + und.count() <= local_finish_rows
+    )
+
+
+def _bicon_unpack(pdf):
+    import numpy as np
+
+    v = pdf[pdf["tag"] == 1]
+    e = pdf[pdf["tag"] == 0]
+    vids = np.sort(v["a"].to_numpy(np.int64))
+    eu = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    ev = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    return vids, eu, ev
+
+
+def _bridges_local_pdf(pdf):
+    import numpy as np
+    import pandas as pd
+
+    vids, eu, ev = _bicon_unpack(pdf)
+    if vids.size == 0 or eu.size == 0:
+        return pd.DataFrame(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+    _, bridge, _ = _bicon_compute(vids.size, eu, ev)
+    return pd.DataFrame({"src": vids[eu[bridge]], "dst": vids[ev[bridge]]})
+
+
+def _aps_local_pdf(pdf):
+    import numpy as np
+    import pandas as pd
+
+    vids, eu, ev = _bicon_unpack(pdf)
+    if vids.size == 0:
+        return pd.DataFrame({"vid": np.empty(0, np.int64)})
+    _, _, cut = _bicon_compute(vids.size, eu, ev)
+    return pd.DataFrame({"vid": vids[cut]})
+
+
+def _bcc_local_pdf(pdf):
+    import numpy as np
+    import pandas as pd
+
+    vids, eu, ev = _bicon_unpack(pdf)
+    if eu.size == 0:
+        z = np.empty(0, np.int64)
+        return pd.DataFrame({"src": z, "dst": z, "bcc_u": z, "bcc_v": z})
+    bcc, _, _ = _bicon_compute(vids.size, eu, ev)
+    src, dst = vids[eu], vids[ev]
+    # canonical id: lexicographically smallest (src, dst) in the BCC
+    order = np.lexsort((dst, src))
+    k = bcc.max() + 1
+    bu = np.full(k, np.iinfo(np.int64).max, np.int64)
+    bv = np.full(k, np.iinfo(np.int64).max, np.int64)
+    for i in order[::-1]:  # ascending overwrite leaves the minimum
+        bu[bcc[i]] = src[i]
+        bv[bcc[i]] = dst[i]
+    return pd.DataFrame(
+        {"src": src, "dst": dst, "bcc_u": bu[bcc], "bcc_v": bv[bcc]}
+    )
+
+
+def bridges(g: Graph, local_finish_rows: int = 4_000_000) -> DataFrame:
     """All bridge edges, canonical (src < dst).  bridge.h semantics:
     a tree edge never covered by a non-tree cycle path; non-tree edges
-    are never bridges."""
+    are never bridges.  Bridges are a unique graph property, so the
+    single-task Hopcroft–Tarjan finisher is exact when the graph fits
+    one executor task; the set-based distributed derivation below is
+    the scale path (local_finish_rows=0 forces it)."""
+    und = g.symmetrized().where(F.col(SRC) < F.col(DST))
+    if _bicon_fits(g, und, local_finish_rows):
+        return (
+            _bicon_packed(g, und)
+            .withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(_bridges_local_pdf, f"{SRC} long, {DST} long")
+        )
     t = _analysis(g)
     return (
         t["tree_e"]
@@ -207,10 +373,20 @@ def bridges(g: Graph) -> DataFrame:
     )
 
 
-def articulation_points(g: Graph) -> DataFrame:
+def articulation_points(g: Graph, local_finish_rows: int = 4_000_000) -> DataFrame:
     """(vid) rows: the cut vertices.  cut-point.h:138-150 test over the
     contraction classes: non-root v is cut iff some tree child's class
-    differs from v's; a root is cut iff its children span ≥2 classes."""
+    differs from v's; a root is cut iff its children span ≥2 classes.
+    Cut vertices are a unique graph property — single-task finisher as
+    in :func:`bridges`."""
+    und0 = g.symmetrized().where(F.col(SRC) < F.col(DST))
+    if _bicon_fits(g, und0, local_finish_rows):
+        return (
+            _bicon_packed(g, und0)
+            .withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(_aps_local_pdf, f"{VID} long")
+        )
     t = _analysis(g)
     tree, cls = t["tree"], t["cls"]
     children = tree.where(F.col("parent").isNotNull()).select(
@@ -234,14 +410,26 @@ def articulation_points(g: Graph) -> DataFrame:
     return nonroot.unionByName(root).distinct()
 
 
-def biconnected_components(g: Graph) -> DataFrame:
+def biconnected_components(g: Graph, local_finish_rows: int = 4_000_000) -> DataFrame:
     """Per-edge BCC labels: (src, dst, bcc_u, bcc_v) where
     (bcc_u, bcc_v) is the lexicographically smallest canonical edge of
     the component — a deterministic, spanning-tree-independent id.
 
     Covered tree edge (p,c) → class(c); non-tree edge (u,v) →
     class(u) (= class(v)); bridge → its own singleton.  Assumes
-    non-negative vids (bridge pre-labels use the negative range)."""
+    non-negative vids (bridge pre-labels use the negative range).
+    BCC edge-sets and their canonical min-edge ids are spanning-tree
+    independent — single-task finisher as in :func:`bridges`."""
+    und0 = g.symmetrized().where(F.col(SRC) < F.col(DST))
+    if _bicon_fits(g, und0, local_finish_rows):
+        return (
+            _bicon_packed(g, und0)
+            .withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _bcc_local_pdf, f"{SRC} long, {DST} long, bcc_u long, bcc_v long"
+            )
+        )
     t = _analysis(g)
     cls = t["cls"]
     tree_lbl = (

@@ -44,9 +44,82 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import stats_barrier
 
 
-def lpa_by_color(g: Graph, max_sweeps: int = 50) -> DataFrame:
+def _lpa_color_local_pdf_factory(max_sweeps: int):
+    """Single-task replay: sequential-greedy coloring (the unique
+    speculative-recoloring fixpoint — see coloring._coloring_local_pdf)
+    then the identical ascending-color-class sweeps with the LDBC
+    (max count, min label) tie-break, all integer ops, bit-equal to the
+    distributed stages.  Rows: tag=1 → (a=vid); tag=0 → (a=src, b=dst)
+    symmetrized."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from graphscope_spark.algorithms.coloring import _coloring_local_pdf
+
+        col = _coloring_local_pdf(pdf)
+        vids = col["vid"].to_numpy(np.int64)  # sorted ascending
+        color = col["color"].to_numpy(np.int64)
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": vids, "label": np.empty(0, np.int64)}
+            )
+        e = pdf[pdf["tag"] == 0]
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        n_colors = int(color.max()) + 1 if n else 0
+        # label values are vids; work on positions via rank: labels are
+        # always existing vids, and vid order == position order, so the
+        # min-label tie-break is a min-position one
+        label = np.arange(n, dtype=np.int64)
+        dcol = color[de]
+        for _sweep in range(max_sweeps):
+            before = label.copy()
+            for c in range(n_colors):
+                m = dcol == c
+                dv, sl = de[m], label[se[m]]
+                if dv.size == 0:
+                    continue
+                # count (dv, sl) pairs; pick per dv max count, min label
+                key = dv * n + sl
+                uk, cnt = np.unique(key, return_counts=True)
+                kv, kl = uk // n, uk % n
+                o = np.lexsort((kl, -cnt, kv))
+                kv_o, kl_o = kv[o], kl[o]
+                first = np.ones(kv_o.size, bool)
+                first[1:] = kv_o[1:] != kv_o[:-1]
+                label[kv_o[first]] = kl_o[first]
+            if np.array_equal(label, before):
+                break
+        return pd.DataFrame({"vid": vids, "label": vids[label]})
+
+    return _pdf
+
+
+def lpa_by_color(
+    g: Graph, max_sweeps: int = 50, local_finish_rows: int = 2_000_000
+) -> DataFrame:
     """Returns (vid long, label long) at the no-change fixpoint (or
     after ``max_sweeps`` full sweeps)."""
+    if local_finish_rows > 0:
+        sym0 = stats_barrier(g.symmetrized().select(SRC, DST))
+        if g.vertices.count() + sym0.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                sym0.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _lpa_color_local_pdf_factory(max_sweeps),
+                    f"{VID} long, label long",
+                )
+            )
+
     colors = stats_barrier(graph_coloring(g))
     sym = g.symmetrized().select(SRC, DST)
     n_colors = int(colors.agg(F.max("color")).collect()[0][0] or 0) + 1

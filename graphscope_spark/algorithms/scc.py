@@ -85,12 +85,104 @@ def _max_label_prop(
     return state
 
 
+def _scc_local_pdf(pdf):
+    """Single-task whole-graph SCC: the same trim / forward-max-color /
+    backward-capture scheme, vectorized in numpy (scatter-max over the
+    edge arrays + pointer-doubling through the label array).  The output
+    contract (vid, min member vid) is a pure graph property, so the
+    replay is exact by definition; the numpy loop converges in the same
+    O(log V) doubled rounds.  Rows: tag=1 → (a=vid); tag=0 → (a=src,
+    b=dst)."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1]
+    e = pdf[pdf["tag"] == 0]
+    vids = np.sort(v["a"].to_numpy(np.int64))
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame(
+            {"vid": np.empty(0, np.int64), "scc": np.empty(0, np.int64)}
+        )
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    root = np.full(n, -1, np.int64)  # assigned component root POSITION
+    active = np.ones(n, bool)
+    while active.any():
+        # trim: drop vertices with no in- or out-edge in the active set
+        while True:
+            has_out = np.zeros(n, bool)
+            has_in = np.zeros(n, bool)
+            has_out[se] = True
+            has_in[de] = True
+            keep = active & has_out & has_in
+            trimmed = active & ~keep
+            if not trimmed.any():
+                break
+            root[trimmed] = np.flatnonzero(trimmed)
+            active = keep
+            ek = active[se] & active[de]
+            se, de = se[ek], de[ek]
+        if not active.any():
+            break
+        # color: max position that reaches v (forward + doubling)
+        idx = np.arange(n, dtype=np.int64)
+        color = np.where(active, idx, np.int64(-1))
+        while True:
+            prev = color
+            color = color.copy()
+            np.maximum.at(color, de, color[se])
+            color[active] = np.maximum(color[active], color[color[active]])
+            if np.array_equal(color, prev):
+                break
+        # capture: max same-color position reachable FROM v
+        samec = color[se] == color[de]
+        cs, cd = se[samec], de[samec]
+        reach = np.where(active, idx, np.int64(-1))
+        while True:
+            prev = reach
+            reach = reach.copy()
+            np.maximum.at(reach, cs, reach[cd])
+            reach[active] = np.maximum(reach[active], reach[reach[active]])
+            if np.array_equal(reach, prev):
+                break
+        captured = active & (reach == color)
+        root[captured] = color[captured]
+        active &= ~captured
+        ek = active[se] & active[de]
+        se, de = se[ek], de[ek]
+    # relabel: min member vid per root
+    lab = np.full(n, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(lab, root, vids)
+    return pd.DataFrame({"vid": vids, "scc": lab[root]})
+
+
 def strongly_connected_components(
-    g: Graph, max_outer: int = 50, max_prop: int = 64
+    g: Graph, max_outer: int = 50, max_prop: int = 64, local_finish_rows: int = 4_000_000
 ) -> DataFrame:
     """Returns (vid long, scc long) — scc = min vid in the component."""
     edges = g.distinct_edges().select(SRC, DST).transform(stats_barrier)
     active = g.vertices.select(VID).transform(stats_barrier)
+
+    # whole-graph single-task finisher: the (vid, min-member-vid) output
+    # is algorithm-independent, so when the graph fits one executor task
+    # the ~8 label-prop supersteps × outer rounds collapse into one
+    # applyInPandas; the distributed path below remains the scale path
+    # (local_finish_rows=0 forces it) and tests pin equality.
+    if local_finish_rows > 0:
+        if active.count() + edges.count() <= local_finish_rows:
+            packed = active.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                edges.select(
+                    F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b")
+                )
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(_scc_local_pdf, f"{VID} long, scc long")
+            )
     assigned: list[DataFrame] = []  # (vid, root) pieces
 
     for _ in range(max_outer):

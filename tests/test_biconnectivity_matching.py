@@ -72,6 +72,27 @@ def test_biconnected_components(bridgy):
         assert (bu, bv) == min(es)
 
 
+def test_bicon_family_distributed_pinned(bridgy):
+    """Set-based distributed derivation == single-task Hopcroft–Tarjan
+    finisher for all three outputs (they are unique graph properties)."""
+    from graphscope_spark.algorithms.biconnectivity import (
+        articulation_points,
+        biconnected_components,
+        bridges,
+    )
+
+    g, vertices, edges = bridgy
+    assert {tuple(r) for r in bridges(g).collect()} == {
+        tuple(r) for r in bridges(g, local_finish_rows=0).collect()
+    }
+    assert {r["vid"] for r in articulation_points(g).collect()} == {
+        r["vid"] for r in articulation_points(g, local_finish_rows=0).collect()
+    }
+    assert {tuple(r) for r in biconnected_components(g).collect()} == {
+        tuple(r) for r in biconnected_components(g, local_finish_rows=0).collect()
+    }
+
+
 def test_bridges_rand(rand_graph, rand_graph_data):
     from graphscope_spark.algorithms.biconnectivity import bridges
 

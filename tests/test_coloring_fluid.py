@@ -20,6 +20,13 @@ def test_coloring_rand(rand_graph, rand_graph_data):
     # proper coloring: no monochromatic edge
     adj, es = oracle._simple_undirected(edges, vertices)
     assert all(got[a] != got[b] for a, b in es)
+    # distributed speculative rounds pinned equal to the sequential
+    # single-task finisher (the fixpoint is unique)
+    dist = {
+        r["vid"]: r["color"]
+        for r in graph_coloring(rand_graph, local_finish_rows=0).collect()
+    }
+    assert dist == exp
 
 
 def test_coloring_tiny(tiny_graph):
@@ -80,6 +87,11 @@ def test_lpa_by_color_rand(rand_graph, rand_graph_data):
     exp = oracle.lpa_by_color_oracle(edges, vertices)
     got = {r["vid"]: r["label"] for r in lpa_by_color(rand_graph).collect()}
     assert got == exp
+    dist = {
+        r["vid"]: r["label"]
+        for r in lpa_by_color(rand_graph, local_finish_rows=0).collect()
+    }
+    assert dist == exp
 
 
 def test_lpa_by_color_tiny(tiny_graph):

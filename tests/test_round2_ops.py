@@ -114,6 +114,14 @@ def test_scc_rand(rand_graph, rand_graph_data):
     got = {r["vid"]: r["scc"] for r in strongly_connected_components(rand_graph).collect()}
     for v, c in exp.items():
         assert got[v] == c, (v, got[v], c)
+    # distributed supersteps pinned equal to the single-task finisher
+    dist = {
+        r["vid"]: r["scc"]
+        for r in strongly_connected_components(
+            rand_graph, local_finish_rows=0
+        ).collect()
+    }
+    assert dist == got
 
 
 def test_mis_rand(rand_graph, rand_graph_data):
