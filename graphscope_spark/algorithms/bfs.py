@@ -20,6 +20,44 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import StepResult, SuperstepRunner
 
 
+def _bfs_local_pdf_factory(source: int):
+    """Single-task level BFS (hop depths are a unique graph property).
+    Rows: tag=1 → (a=vid); tag=0 → (a=src, b=dst) in traversal
+    direction."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1]
+        e = pdf[pdf["tag"] == 0]
+        vids = np.sort(v["a"].to_numpy(np.int64))
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "depth": np.empty(0, np.int64)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        depth = np.full(n, -1, np.int64)
+        sp = np.searchsorted(vids, source)
+        frontier = np.zeros(n, bool)
+        if sp < n and vids[sp] == source:
+            depth[sp] = 0
+            frontier[sp] = True
+        k = 0
+        while frontier.any():
+            k += 1
+            nxt = np.zeros(n, bool)
+            nxt[de[frontier[se]]] = True
+            nxt &= depth == -1
+            depth[nxt] = k
+            frontier = nxt
+        return pd.DataFrame({"vid": vids, "depth": depth})
+
+    return _pdf
+
+
 def bfs(
     g: Graph,
     source: int,
@@ -27,6 +65,7 @@ def bfs(
     directed: bool | None = None,
     checkpoint_dir: str | None = None,
     sync_every: int = 4,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (vid long, depth long); -1 for unreachable.
 
@@ -39,6 +78,22 @@ def bfs(
     spark = g.edges.sparkSession
     use_directed = g.directed if directed is None else directed
     edges = (g.distinct_edges() if use_directed else g.symmetrized()).cache()
+
+    # single-task finisher (depths are unique); distributed levels are
+    # the scale path, and the only path under checkpointing or a
+    # deliberately truncated max_depth
+    if checkpoint_dir is None and max_depth >= 100 and local_finish_rows > 0:
+        if g.vertices.count() + edges.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                edges.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(_bfs_local_pdf_factory(source), f"{VID} long, depth long")
+            )
 
     def init() -> DataFrame:
         return g.vertices.select(

@@ -38,14 +38,74 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import StepResult, SuperstepRunner
 
 
+def _core_local_pdf(pdf):
+    """Single-task core decomposition: vectorized ascending-k cascade
+    peel (core numbers are a unique graph property, so any correct
+    algorithm matches the h-index fixpoint exactly).  Rows: tag=1 →
+    (a=vid); tag=0 → (a=src, b=dst) symmetrized."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1]
+    e = pdf[pdf["tag"] == 0]
+    vids = np.sort(v["a"].to_numpy(np.int64))
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame(
+            {"vid": np.empty(0, np.int64), "core": np.empty(0, np.int64)}
+        )
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    d = np.bincount(se, minlength=n).astype(np.int64)
+    core = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    k = 0
+    while alive.any():
+        k = max(k, int(d[alive].min()))
+        while True:
+            sel = alive & (d <= k)
+            if not sel.any():
+                break
+            core[sel] = k
+            alive &= ~sel
+            if se.size:
+                mask = sel[se] & alive[de]
+                d = d - np.bincount(de[mask], minlength=n)
+                keep = alive[se] & alive[de]
+                se, de = se[keep], de[keep]
+    return pd.DataFrame({"vid": vids, "core": core})
+
+
 def core_number(
     g: Graph,
     max_iter: int = 100,
     checkpoint_dir: str | None = None,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
-    """Returns (vid long, core long); converges when no value changes."""
+    """Returns (vid long, core long); converges when no value changes.
+
+    Whole-graph single-task finisher: core numbers are unique, so when
+    vertices + symmetrized edges fit one executor task the cascade peel
+    runs in numpy inside one applyInPandas; the h-index supersteps below
+    remain the 10^12-edge path (local_finish_rows=0 forces them, tests
+    pin equality).  This also lifts every consumer of the decomposition
+    (kshell, degeneracy/onion orderings, k-core search, densest-subgraph
+    2-approx)."""
     spark = g.edges.sparkSession
     sym = g.symmetrized().cache()
+
+    if local_finish_rows > 0:
+        if g.vertices.count() + sym.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                sym.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(_core_local_pdf, f"{VID} long, core long")
+            )
 
     deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("deg"))
 

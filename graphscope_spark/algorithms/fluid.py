@@ -34,8 +34,66 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import stats_barrier
 
 
+def _fluid_local_pdf_factory(seeds: list[int], rounds: int):
+    """Single-task replay of the synchronous density rounds.  Every
+    density is the single exact IEEE division m/cnt on both paths, so
+    comparisons (and therefore labels) are bit-identical.  Rows: tag=1 →
+    (a=vid); tag=0 → (a=src, b=dst) symmetrized."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1]
+        e = pdf[pdf["tag"] == 0]
+        vids = np.sort(v["a"].to_numpy(np.int64))
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "lab": np.empty(0, np.int32)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        s = len(seeds)
+        lab = np.full(n, -1, np.int64)
+        sp = np.searchsorted(vids, np.asarray(seeds, np.int64))
+        lab[sp] = np.arange(s, dtype=np.int64)
+        for _ in range(rounds):
+            cnt = np.bincount(lab[lab >= 0], minlength=s).astype(np.int64)
+            lm = lab >= 0
+            msk = lm[se]
+            vv = np.concatenate([de[msk], np.flatnonzero(lm)])
+            ll = np.concatenate([lab[se[msk]], lab[lm]])
+            if vv.size == 0:
+                break
+            key = vv * s + ll
+            uk, m = np.unique(key, return_counts=True)
+            kv, kl = uk // s, uk % s
+            dens = m.astype(np.float64) / cnt[kl]
+            o = np.lexsort((kl, -dens, kv))
+            kv_o, kl_o, kd_o = kv[o], kl[o], dens[o]
+            first = np.ones(kv_o.size, bool)
+            first[1:] = kv_o[1:] != kv_o[:-1]
+            bv, blab, bd = kv_o[first], kl_o[first], kd_o[first]
+            # current-community density (0.0 when v is unlabeled)
+            cd = np.zeros(bv.size, np.float64)
+            labeled = lab[bv] >= 0
+            ck = bv[labeled] * s + lab[bv[labeled]]
+            pos = np.searchsorted(uk, ck)
+            cd[labeled] = dens[pos]
+            upd = (lab[bv] < 0) | (bd > cd)
+            lab[bv[upd]] = blab[upd]
+        return pd.DataFrame({"vid": vids, "lab": lab.astype(np.int32)})
+
+    return _pdf
+
+
 def fluid_communities(
-    g: Graph, seeds: list[int] | None = None, s: int = 10, rounds: int = 6
+    g: Graph,
+    seeds: list[int] | None = None,
+    s: int = 10,
+    rounds: int = 6,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (vid long, lab int): community index in [0, s) or -1 for
     vertices no fluid reached within ``rounds`` synchronous rounds."""
@@ -45,6 +103,22 @@ def fluid_communities(
             r[0]
             for r in g.vertices.select(VID).orderBy(VID).limit(s).collect()
         ]
+
+    if local_finish_rows > 0:
+        if g.vertices.count() + sym.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                sym.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _fluid_local_pdf_factory([int(x) for x in seeds], rounds),
+                    f"{VID} long, lab int",
+                )
+            )
     spark = g.edges.sparkSession
     seed_df = spark.createDataFrame(
         [(int(v), i) for i, v in enumerate(seeds)], f"{VID} long, seed_lab int"

@@ -24,10 +24,72 @@ from graphscope_spark.superstep import stats_barrier
 INF = 2**62
 
 
-def k_center(g: Graph, k: int, max_depth: int = 10000) -> DataFrame:
+def _kcenter_local_pdf_factory(k: int):
+    """Single-task replay: same (key, max vid) center picks, same BFS
+    hop relaxations — all integer, bit-equal to the distributed sweeps.
+    Rows: tag=1 → (a=vid); tag=0 → (a=src, b=dst) symmetrized."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1]
+        e = pdf[pdf["tag"] == 0]
+        vids = np.sort(v["a"].to_numpy(np.int64))
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "dis": np.empty(0, np.int64)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        d = np.bincount(se, minlength=n).astype(np.int64)
+        dis = np.full(n, INF, np.int64)
+        for i in range(k):
+            key = d if i == 0 else dis
+            # argmax (key, vid); vids ascend with position
+            best = np.flatnonzero(key == key.max())[-1]
+            if dis[best] > 0:
+                dis[best] = 0
+                frontier = np.zeros(n, bool)
+                frontier[best] = True
+                depth = 0
+                while frontier.any():
+                    depth += 1
+                    nxt = np.zeros(n, bool)
+                    nxt[de[frontier[se]]] = True
+                    nxt &= dis > depth
+                    dis[nxt] = depth
+                    frontier = nxt
+        return pd.DataFrame(
+            {"vid": vids, "dis": np.where(dis >= INF, -1, dis)}
+        )
+
+    return _pdf
+
+
+def k_center(
+    g: Graph, k: int, max_depth: int = 10000, local_finish_rows: int = 4_000_000
+) -> DataFrame:
     """Returns (vid long, dis long): min hop distance to the k greedily
     chosen centers; -1 if unreachable from all of them."""
     sym = g.symmetrized().select(SRC, DST).cache()
+
+    # single-task finisher: k sequential BFS sweeps collapse into one
+    # applyInPandas when the graph fits one executor task; distributed
+    # sweeps below stay the scale path (local_finish_rows=0 forces them)
+    if local_finish_rows > 0:
+        if g.vertices.count() + sym.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                sym.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(_kcenter_local_pdf_factory(k), f"{VID} long, dis long")
+            )
     deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("d"))
     state = stats_barrier(
         g.vertices.select(VID)

@@ -23,6 +23,44 @@ from graphscope_spark.superstep import StepResult, SuperstepRunner
 INF = float("inf")
 
 
+def _sssp_local_pdf_factory(source: int):
+    """Single-task Bellman-Ford: synchronous Jacobi rounds of the SAME
+    min-plus operator the distributed supersteps apply (candidates are
+    precomputed per round, so no intra-round chaining), from the same
+    initial state — the state sequence, and therefore every float, is
+    bit-identical.  Rows: tag=1 → (a=vid); tag=0 → (a=src, b=dst, w)."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1]
+        e = pdf[pdf["tag"] == 0]
+        vids = np.sort(v["a"].to_numpy(np.int64))
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "dist": np.empty(0, np.float64)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        w = e["w"].to_numpy(np.float64)
+        dist = np.full(n, np.inf)
+        sp = np.searchsorted(vids, source)
+        if sp < n and vids[sp] == source:
+            dist[sp] = 0.0
+        while True:
+            cand = dist[se] + w
+            nxt = dist.copy()
+            np.minimum.at(nxt, de, cand)
+            if np.array_equal(nxt, dist):
+                break
+            dist = nxt
+        return pd.DataFrame({"vid": vids, "dist": dist})
+
+    return _pdf
+
+
 def sssp(
     g: Graph,
     source: int,
@@ -30,6 +68,7 @@ def sssp(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     sync_every: int = 4,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (vid long, dist double); inf for unreachable.
 
@@ -50,6 +89,35 @@ def sssp(
             edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
         )
     edges = edges.cache()
+
+    # single-task finisher (same contract as wcc): Jacobi min-plus in
+    # numpy when the graph fits one task; distributed supersteps are the
+    # scale path, and the ONLY path when checkpointing is requested or
+    # the caller asked for a truncated run (small max_iter — the
+    # finisher always runs to the fixpoint)
+    if checkpoint_dir is None and max_iter >= 200 and local_finish_rows > 0:
+        if g.vertices.count() + edges.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"),
+                F.col(VID).alias("a"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0.0).alias("w"),
+            ).unionByName(
+                edges.select(
+                    F.lit(0).alias("tag"),
+                    F.col(SRC).alias("a"),
+                    F.col(DST).alias("b"),
+                    "w",
+                )
+            )
+            out = (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _sssp_local_pdf_factory(source), f"{VID} long, dist double"
+                )
+            )
+            return out
 
     def init() -> DataFrame:
         return g.vertices.select(

@@ -115,14 +115,64 @@ def wcc_log(g: Graph, max_iter: int = 60) -> DataFrame:
     return out
 
 
+def _wcc_local_pdf(pdf):
+    """Single-task WCC: scatter-min label propagation with pointer
+    doubling over the edge arrays.  Component minima are a unique graph
+    property, so this matches the distributed supersteps exactly.
+    Rows: tag=1 → (a=vid); tag=0 → (a=src, b=dst) symmetrized."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1]
+    e = pdf[pdf["tag"] == 0]
+    vids = np.sort(v["a"].to_numpy(np.int64))
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame(
+            {"vid": np.empty(0, np.int64), "comp": np.empty(0, np.int64)}
+        )
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        prev = comp
+        comp = comp.copy()
+        np.minimum.at(comp, de, comp[se])
+        comp = np.minimum(comp, comp[comp])  # pointer doubling
+        if np.array_equal(comp, prev):
+            break
+    return pd.DataFrame({"vid": vids, "comp": vids[comp]})
+
+
 def wcc(
     g: Graph,
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
-    """Returns (vid long, comp long) with comp = min vid in component."""
+    """Returns (vid long, comp long) with comp = min vid in component.
+
+    Single-task finisher: when the graph fits one executor task the
+    whole propagation runs as one applyInPandas (component minima are
+    unique, so the replay is exact); the frontier supersteps below are
+    the 10^12-edge path — ``local_finish_rows=0`` forces them (tested
+    equal), and runs with a ``checkpoint_dir`` always take them so
+    resumability is preserved."""
     spark = g.edges.sparkSession
+    if local_finish_rows > 0 and checkpoint_dir is None:
+        sym0 = g.symmetrized().select(SRC, DST)
+        if g.vertices.count() + sym0.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).cast("long").alias("b")
+            ).unionByName(
+                sym0.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(_wcc_local_pdf, f"{VID} long, comp long")
+            )
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = g.symmetrized()
     if g.num_partitions != p:

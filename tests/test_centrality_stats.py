@@ -127,3 +127,6 @@ def test_core_number_random(rand_graph, rand_graph_data):
     vertices, edges = rand_graph_data
     exp = oracle.core_number_oracle(edges, vertices)
     assert _dict(core_number(rand_graph)) == exp
+    # distributed h-index supersteps pinned equal to the cascade-peel
+    # single-task finisher (core numbers are unique)
+    assert _dict(core_number(rand_graph, local_finish_rows=0)) == exp

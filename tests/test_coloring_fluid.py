@@ -51,6 +51,11 @@ def test_k_center_rand(rand_graph, rand_graph_data):
     exp, _ = oracle.k_center_oracle(edges, vertices, k=3)
     got = {r["vid"]: r["dis"] for r in k_center(rand_graph, k=3).collect()}
     assert got == exp
+    dist = {
+        r["vid"]: r["dis"]
+        for r in k_center(rand_graph, k=3, local_finish_rows=0).collect()
+    }
+    assert dist == exp
 
 
 def test_k_center_tiny(tiny_graph):
@@ -68,6 +73,13 @@ def test_fluid_rand(rand_graph, rand_graph_data):
         for r in fluid_communities(rand_graph, seeds=seeds, rounds=5).collect()
     }
     assert got == exp
+    dist = {
+        r["vid"]: r["lab"]
+        for r in fluid_communities(
+            rand_graph, seeds=seeds, rounds=5, local_finish_rows=0
+        ).collect()
+    }
+    assert dist == exp
 
 
 def test_fluid_tiny(tiny_graph):

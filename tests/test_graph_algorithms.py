@@ -37,7 +37,10 @@ def test_wcc_tiny(tiny_graph):
 
 def test_wcc_random(rand_graph, rand_graph_data):
     vertices, edges = rand_graph_data
-    assert _dict(wcc(rand_graph)) == oracle.wcc_oracle(edges, vertices)
+    exp = oracle.wcc_oracle(edges, vertices)
+    assert _dict(wcc(rand_graph)) == exp
+    # distributed frontier supersteps pinned equal to the finisher
+    assert _dict(wcc(rand_graph, local_finish_rows=0)) == exp
 
 
 def test_wcc_log_tiny(tiny_graph):
@@ -101,6 +104,7 @@ def test_bfs_random(rand_graph, rand_graph_data):
     vertices, edges = rand_graph_data
     exp = oracle.bfs_oracle(edges, vertices, source=1, directed=True)
     assert _dict(bfs(rand_graph, source=1)) == exp
+    assert _dict(bfs(rand_graph, source=1, local_finish_rows=0)) == exp
 
 
 def test_sssp_unit_weights(rand_graph, rand_graph_data):
@@ -108,6 +112,7 @@ def test_sssp_unit_weights(rand_graph, rand_graph_data):
     exp = oracle.sssp_oracle([(s, d, 1.0) for s, d in edges], vertices, source=1)
     got = _dict(sssp(rand_graph, source=1))
     assert got == exp
+    assert _dict(sssp(rand_graph, source=1, local_finish_rows=0)) == exp
 
 
 def test_sssp_weighted(spark):
