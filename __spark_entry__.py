@@ -3380,14 +3380,9 @@ def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from graphscope_spark.functions.dedup import jaccard_pairs, shingles
+    from graphscope_spark.functions.dedup import jaccard_all_pairs
 
-    docs = _docs(spark, sf_dir)
-    sh = shingles(docs)
-    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    cands = sa.join(sb, "shingle").where(F.col("a") < F.col("b")).select("a", "b").distinct()
-    return jaccard_pairs(docs, candidates=cands).select(
+    return jaccard_all_pairs(_docs(spark, sf_dir)).select(
         "a", "b", F.round("jaccard", 8).alias("jaccard")
     )
 

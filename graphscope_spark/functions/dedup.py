@@ -142,6 +142,46 @@ def jaccard_pairs(
     return out
 
 
+def jaccard_all_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """(a, b, jaccard) for EVERY pair sharing ≥1 shingle (a < b).
+
+    One shingle self-join + count gives the intersection sizes
+    directly — the same result as feeding the shared-shingle candidate
+    pairs to :func:`jaccard_pairs`, which would re-join the shingle
+    table twice more (measured ~3× the shuffled bytes).  Skew note: a
+    stop-word shingle shared by k docs contributes k² join rows in any
+    all-pairs formulation; at scale, cap or drop top-frequency shingles
+    BEFORE this join (the LSH path in :func:`jaccard_pairs` is the
+    10^12-document route)."""
+    sh = shingles(docs, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def near_duplicate_groups(
     docs: DataFrame,
     id_col: str = "doc_id",
