@@ -30,7 +30,87 @@ from graphscope_spark.superstep import stats_barrier, unpersist_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
-def k_truss(g: Graph, k: int, max_rounds: int = 100) -> DataFrame:
+def _ktruss_local_pdf_factory(k: int):
+    """Single-task k-truss: the same oriented-enumeration + prune rounds
+    vectorized in numpy (the k-truss is the unique maximal subgraph
+    where every edge closes ≥ k-2 triangles, so the replay is exact by
+    definition).  Rows: (a, b) canonical edges."""
+
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ea = pdf["a"].to_numpy(np.int64)
+        eb = pdf["b"].to_numpy(np.int64)
+        vids = np.unique(np.concatenate([ea, eb]))
+        n = vids.size
+        pa = np.searchsorted(vids, ea)
+        pb = np.searchsorted(vids, eb)
+        while pa.size:
+            m = pa.size
+            deg = np.bincount(pa, minlength=n) + np.bincount(pb, minlength=n)
+            # orient low (deg, id) -> high; rank = deg * (n+1) + pos
+            ra = deg[pa].astype(np.int64) * (n + 1) + pa
+            rb = deg[pb].astype(np.int64) * (n + 1) + pb
+            x = np.where(ra < rb, pa, pb)
+            y = np.where(ra < rb, pb, pa)
+            ry = np.maximum(ra, rb)
+            # group oriented edges by x; enumerate wedge pairs with
+            # ry1 < ry2 via sorted runs
+            o = np.lexsort((ry, x))
+            xs, ys, eid = x[o], y[o], np.arange(m)[o]
+            runs = np.flatnonzero(np.diff(xs, prepend=-1))
+            lens = np.diff(np.append(runs, m))
+            # pairs within each run: first index i, second j>i
+            L = lens
+            npairs = (L * (L - 1)) // 2
+            tot = int(npairs.sum())
+            if tot == 0:
+                sup = np.zeros(m, np.int64)
+            else:
+                # vectorized pair expansion per run
+                starts = runs
+                # for each run r with length l: pairs (i, j), 0<=i<j<l
+                reps = np.repeat(np.arange(runs.size), npairs)
+                off_in = np.concatenate(
+                    [np.repeat(np.arange(l - 1), np.arange(l - 1, 0, -1)) for l in L if l > 1]
+                ) if tot else np.empty(0, np.int64)
+                jj = np.concatenate(
+                    [
+                        np.concatenate([np.arange(i + 1, l) for i in range(l - 1)])
+                        for l in L
+                        if l > 1
+                    ]
+                ) if tot else np.empty(0, np.int64)
+                i_abs = starts[reps] + off_in
+                j_abs = starts[reps] + jj
+                # wedge (x; y_i, y_j) with ry_i < ry_j (sorted run order);
+                # closes iff oriented edge (y_i -> y_j) exists
+                wkey = ys[i_abs] * n + ys[j_abs]
+                okey_edge = xs * n + ys
+                so = np.argsort(okey_edge)
+                sk = okey_edge[so]
+                pos = np.searchsorted(sk, wkey)
+                pos = np.minimum(pos, sk.size - 1)
+                hit = sk[pos] == wkey
+                sup = np.zeros(m, np.int64)
+                if hit.any():
+                    closing = so[pos[hit]]
+                    np.add.at(sup, eid[i_abs[hit]], 1)
+                    np.add.at(sup, eid[j_abs[hit]], 1)
+                    np.add.at(sup, eid[closing], 1)
+            keep = sup >= k - 2
+            if keep.all():
+                break
+            pa, pb = pa[keep], pb[keep]
+        return pd.DataFrame({"src": vids[pa], "dst": vids[pb]})
+
+    return _pdf
+
+
+def k_truss(
+    g: Graph, k: int, max_rounds: int = 100, local_finish_rows: int = 4_000_000
+) -> DataFrame:
     """Returns (src long, dst long): edges of the k-truss, canonical
     src < dst orientation."""
     cur = (
@@ -38,6 +118,16 @@ def k_truss(g: Graph, k: int, max_rounds: int = 100) -> DataFrame:
         .where(F.col(SRC) < F.col(DST))
         .select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
     ).transform(stats_barrier)
+
+    # single-task finisher: the k-truss is unique, so when the edge set
+    # fits one executor task the prune rounds run in numpy; distributed
+    # rounds below stay the scale path (local_finish_rows=0 forces them)
+    if local_finish_rows > 0 and cur.count() <= local_finish_rows:
+        return (
+            cur.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(_ktruss_local_pdf_factory(k), f"{SRC} long, {DST} long")
+        )
 
     for _ in range(max_rounds):
         # degrees WITHIN the surviving subgraph, then orient lo→hi by

@@ -164,6 +164,7 @@ def sssp_delta_stepping(
     weight: str | None = "weight",
     delta: float | None = None,
     max_inner: int = 1000,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Delta-stepping SSSP (apps/flash/traversal/sssp-dlt-step.h:43-92):
     distances settle bucket [a, a+Δ) at a time; within a bucket, light
@@ -186,6 +187,32 @@ def sssp_delta_stepping(
             edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
         )
     edges = edges.cache()
+
+    # single-task finisher: every relaxation on either path computes the
+    # same IEEE dist[u]+w, and both delta-stepping and Jacobi converge
+    # to the LEAST fixpoint of that min-plus operator (min over
+    # left-associated float path sums), so the finisher's distances are
+    # bit-equal to the bucketed sweep's
+    if local_finish_rows > 0:
+        if g.vertices.count() + edges.count() <= local_finish_rows:
+            packed = g.vertices.select(
+                F.lit(1).alias("tag"),
+                F.col(VID).alias("a"),
+                F.lit(0).cast("long").alias("b"),
+                F.lit(0.0).alias("w"),
+            ).unionByName(
+                edges.select(
+                    F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"), "w"
+                )
+            )
+            return (
+                packed.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _sssp_local_pdf_factory(source), f"{VID} long, dist double"
+                )
+            )
+
     if delta is None:
         row = edges.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("m")).collect()[0]
         delta = 2.0 * float(row["s"]) / float(row["m"])

@@ -161,6 +161,14 @@ def test_wcc_resume(tiny_graph, tmp_path):
     assert got == oracle.wcc_oracle(TINY_EDGES, TINY_VERTICES)
 
 
+def test_sssp_delta_stepping_finisher_pinned(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.sssp import sssp_delta_stepping
+
+    got = _dict(sssp_delta_stepping(rand_graph, source=1))
+    dist = _dict(sssp_delta_stepping(rand_graph, source=1, local_finish_rows=0))
+    assert got == dist
+
+
 def test_sssp_delta_stepping_rand(rand_graph, rand_graph_data):
     from graphscope_spark.algorithms.sssp import sssp_delta_stepping
 

@@ -212,6 +212,11 @@ def test_ktruss_rand(spark, rand_graph, rand_graph_data):
         exp = oracle.ktruss_oracle(edges, k)
         got = {(r["src"], r["dst"]) for r in k_truss(rand_graph, k=k).collect()}
         assert got == exp, (k, len(got), len(exp))
+        dist = {
+            (r["src"], r["dst"])
+            for r in k_truss(rand_graph, k=k, local_finish_rows=0).collect()
+        }
+        assert dist == exp, k
 
 
 def test_clustering_directed_rand(rand_graph, rand_graph_data):
