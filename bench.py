@@ -60,6 +60,39 @@ def main() -> None:
     eps = n_edges * supersteps / pr_wall if pr_wall > 0 else 0.0
     g.unpersist()
 
+    # ---- part 1b: throughput-regime PageRank ------------------------
+    # The 60k-page link graph above is superstep-count-dominated (per-job
+    # floor ≫ per-edge work), so its eps says nothing about throughput.
+    # The north-star eps number comes from a graph big enough that edge
+    # volume dominates: the same 4M-vertex/13.1M-edge power-law graph the
+    # scaling harness uses, fixed 10 rounds chained into one job
+    # (eps/superstep is round-count-invariant).
+    synth = None
+    synth_v = int(os.environ.get("SPARK_GRAFT_BENCH_SYNTH_V", "4000000"))
+    if synth_v > 0:
+        from graphscope_spark.graph import Graph
+        from graphscope_spark.sources.synthetic import powerlaw_edges
+
+        nparts = max(CPUS, 8)
+        sg = Graph.from_edges(
+            powerlaw_edges(spark, synth_v, partitions=nparts), num_partitions=nparts
+        ).cache()
+        s_edges = sg.num_edges()
+        srunner = SuperstepRunner(spark, "pagerank", checkpoint_dir=None, resume=False)
+        rounds = 10
+        t0 = time.time()
+        pagerank(
+            sg, tol=None, max_iter=rounds, runner=srunner, sync_every=rounds
+        ).count()
+        s_wall = time.time() - t0
+        synth = {
+            "edges": s_edges,
+            "rounds": rounds,
+            "sec": round(s_wall, 1),
+            "eps": int(round(s_edges * rounds / s_wall)) if s_wall > 0 else 0,
+        }
+        sg.unpersist()
+
     # ---- part 2: driver-contract query sweep ------------------------
     import __spark_entry__ as entrymod
 
@@ -98,6 +131,8 @@ def main() -> None:
         },
         "cores": CPUS,
     }
+    if synth is not None:
+        out["synth"] = synth
     # Scaling evidence, COMPACT: the driver's log capture keeps only the
     # tail of stdout, and round 1's full embedded blob pushed the line
     # past that window — the driver recorded "parsed: null".  Keep the
@@ -122,6 +157,12 @@ def main() -> None:
         out["queries"] = {
             k: (int(round(v)) if v >= 0 else v) for k, v in out["queries"].items()
         }
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:  # beyond last resort: these headlines also live
+        out.pop("scaling", None)  # in BENCH.md + scripts/scaling_results.json
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1950:
+        out.pop("synth", None)
         line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
