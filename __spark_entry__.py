@@ -3320,6 +3320,24 @@ def _q_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.round("top_bigram_frac", 8).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 8).alias("dup_trigram_frac"),
+    )
+
+
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.corpus import training_corpus
+
+    return training_corpus(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", F.round("quality_score", 8).alias("quality_score")
+    )
+
+
 def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.text import token_count
 
@@ -3816,6 +3834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_quality": _q_doc_quality,
         "doc_lang": _q_doc_lang,
+        "doc_repetition": _q_doc_repetition,
+        "training_corpus": _q_training_corpus,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_pairs": _q_lsh_pairs,
@@ -3873,6 +3893,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_directed": _q_lcc_directed,
         "random_multi_bfs": _q_random_multi_bfs,
     }
+
+
+def _doc_repetition_sql() -> str:
+    """Gopher-style repetition features (text.repetition_features):
+    top-bigram occurrence share + duplicate-trigram fraction."""
+    return r"""
+      with t as (
+        select doc_id,
+               case when length(trim(text)) = 0 then []::varchar[]
+                    else regexp_split_to_array(trim(text), '\s+') end as tok
+        from documents
+      ),
+      bg as (
+        select doc_id,
+               unnest(list_transform(range(1, len(tok)),
+                      i -> tok[i] || ' ' || tok[i + 1])) as bg
+        from t
+      ),
+      bc as (select doc_id, bg, count(*) as c from bg group by 1, 2),
+      top as (
+        select doc_id, cast(max(c) as double) / sum(c) as tbf
+        from bc group by 1
+      ),
+      tri as (
+        select doc_id,
+               case when len(tok) < 3 then 0.0
+                    else 1.0 - cast(len(list_distinct(list_transform(
+                             range(1, len(tok) - 1),
+                             i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])))
+                             as double) / (len(tok) - 2) end as dtf
+        from t
+      )
+      select t.doc_id,
+             round(coalesce(top.tbf, 0.0), 8) as top_bigram_frac,
+             round(tri.dtf, 8) as dup_trigram_frac
+      from t left join top using(doc_id) join tri using(doc_id)
+    """
+
+
+def _training_corpus_sql(stop_list: str) -> str:
+    """functions/corpus.py training_corpus: language gate → quality gate
+    → repetition gates → exact dedup (min doc_id per fingerprint among
+    the gate-passing docs).  Gates compare 8-decimal-rounded features,
+    mirroring the Spark side exactly."""
+    from graphscope_spark.functions import specs
+
+    return rf"""
+      with t as (
+        select doc_id,
+               regexp_split_to_array(trim(text), '\s+') as toks,
+               case when length(trim(text)) = 0 then []::varchar[]
+                    else regexp_split_to_array(trim(text), '\s+') end as tok,
+               cast(case when length(trim(text)) = 0 then 0
+                    else len(regexp_split_to_array(trim(text), '\s+')) end
+                    as bigint) as n_tokens
+        from documents
+      ),
+      q as (
+        select doc_id, n_tokens,
+               round(0.4 * least(n_tokens / 50.0, 1.0)
+                     + 0.3 * (len(list_distinct(toks)) / greatest(n_tokens, 1))
+                     + 0.3 * least((len(list_filter(toks,
+                           x -> list_contains([{stop_list}], x)))
+                           / greatest(n_tokens, 1)) * 5.0, 1.0), 8) as quality_score
+        from t
+      ),
+      tokw as (select doc_id, unnest(toks) as word from t),
+      markers(cand_lang, word) as (values {_lang_markers_values()}),
+      scores as (
+        select doc_id, cand_lang, count(*) as hits
+        from tokw join markers using(word) group by 1, 2
+      ),
+      picked as (
+        select doc_id, cand_lang from scores
+        qualify row_number() over (
+          partition by doc_id order by hits desc, cand_lang asc) = 1
+      ),
+      lang as (
+        select t.doc_id, coalesce(p.cand_lang, 'und') as pred_lang
+        from t left join picked p using(doc_id)
+      ),
+      bg as (
+        select doc_id, unnest(list_transform(range(1, len(tok)),
+               i -> tok[i] || ' ' || tok[i + 1])) as bg
+        from t
+      ),
+      bc as (select doc_id, bg, count(*) as c from bg group by 1, 2),
+      top as (
+        select doc_id, cast(max(c) as double) / sum(c) as tbf
+        from bc group by 1
+      ),
+      tri as (
+        select doc_id,
+               case when len(tok) < 3 then 0.0
+                    else 1.0 - cast(len(list_distinct(list_transform(
+                             range(1, len(tok) - 1),
+                             i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])))
+                             as double) / (len(tok) - 2) end as dtf
+        from t
+      ),
+      fp as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as f
+        from documents
+      ),
+      passed as (
+        select q.doc_id, q.n_tokens, q.quality_score
+        from q
+        join lang using(doc_id)
+        left join top using(doc_id)
+        join tri using(doc_id)
+        where lang.pred_lang = '{specs.CORPUS_LANG}'
+          and q.quality_score >= {specs.CORPUS_MIN_QUALITY}
+          and round(coalesce(top.tbf, 0.0), 8) <= {specs.CORPUS_MAX_TOP_BIGRAM}
+          and round(tri.dtf, 8) <= {specs.CORPUS_MAX_DUP_TRIGRAM}
+      ),
+      keep as (
+        select f, min(p.doc_id) as doc_id
+        from passed p join fp using(doc_id) group by f
+      )
+      select k.doc_id, p.n_tokens, p.quality_score
+      from keep k join passed p on p.doc_id = k.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4020,6 +4163,8 @@ def oracle_sql() -> dict[str, str]:
                        + 0.3 * least((ns / st) * 5.0, 1.0), 8) as quality_score
           from f
         """,
+        "doc_repetition": _doc_repetition_sql(),
+        "training_corpus": _training_corpus_sql(stop_list),
         "doc_lang": rf"""
           with tok as (
             select doc_id,

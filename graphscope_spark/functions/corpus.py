@@ -1,0 +1,80 @@
+"""End-to-end training-corpus selection — the composition the other
+``functions/`` ops exist for: language gate → quality gate → repetition
+gate → exact dedup, producing the retained document set a pretraining
+pipeline would feed to tokenization.
+
+Analog of the reference's loader-side pipeline role (raw tables →
+computation-ready form, ``arrow_fragment_loader.h``), applied to the
+training-data domain per the build brief.  Every stage is a pure
+DataFrame transform; the whole selection is one Catalyst plan — filters
+collapse into the scans, the only shuffles are the language/bigram
+aggregates and the dedup groupBy, all with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphscope_spark.functions import specs
+from graphscope_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    repetition_features,
+)
+
+
+def training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str | None = None,
+    min_quality: float | None = None,
+    max_top_bigram: float | None = None,
+    max_dup_trigram: float | None = None,
+) -> DataFrame:
+    """Retained training documents: (doc_id, n_tokens, quality_score).
+
+    Keeps documents that (1) language-ID to ``lang``, (2) score at least
+    ``min_quality``, (3) pass both repetition gates, and (4) survive
+    exact dedup — the smallest ``doc_id`` per normalized-text
+    fingerprint wins, and only competes against other documents that
+    passed gates 1-3 (dedup last, so a filtered-out duplicate cannot
+    shadow a kept one).
+    """
+    lang = specs.CORPUS_LANG if lang is None else lang
+    min_quality = specs.CORPUS_MIN_QUALITY if min_quality is None else min_quality
+    max_top_bigram = (
+        specs.CORPUS_MAX_TOP_BIGRAM if max_top_bigram is None else max_top_bigram
+    )
+    max_dup_trigram = (
+        specs.CORPUS_MAX_DUP_TRIGRAM if max_dup_trigram is None else max_dup_trigram
+    )
+
+    quality = quality_features(docs, text_col=text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    langs = lang_id(docs, id_col=id_col, text_col=text_col)
+    reps = repetition_features(docs, id_col=id_col, text_col=text_col)
+    fps = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+
+    passed = (
+        quality.join(langs, id_col)
+        .join(reps, id_col)
+        .where(
+            # gates compare 8-decimal-rounded features: double arithmetic
+            # can differ in the last ulps across engines (and summation
+            # orders), and a boundary document must not flip in or out
+            (F.col("pred_lang") == lang)
+            & (F.round("quality_score", 8) >= min_quality)
+            & (F.round("top_bigram_frac", 8) <= max_top_bigram)
+            & (F.round("dup_trigram_frac", 8) <= max_dup_trigram)
+        )
+        .join(fps, id_col)
+    )
+    keeper = passed.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return (
+        passed.join(keeper, [id_col, "fp"], "left_semi")
+        .select(id_col, "n_tokens", "quality_score")
+    )

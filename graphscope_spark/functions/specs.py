@@ -34,3 +34,10 @@ LANG_MARKERS = {
 
 # quality score: weighted ratios, all computable in both engines
 STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it"]
+
+# training-corpus selection gates (functions/corpus.py): Gopher-style
+# repetition caps + quality floor + language gate; dedup keeps min doc_id
+CORPUS_LANG = "en"
+CORPUS_MIN_QUALITY = 0.5
+CORPUS_MAX_TOP_BIGRAM = 0.2
+CORPUS_MAX_DUP_TRIGRAM = 0.2

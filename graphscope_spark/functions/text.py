@@ -87,6 +87,59 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features per document (the n=2/n=3
+    analogues of Rae et al.'s repetitious-text filters):
+
+    - ``top_bigram_frac``: share of all word-bigram occurrences taken by
+      the single most frequent bigram (0 when < 2 tokens);
+    - ``dup_trigram_frac``: fraction of word-trigram occurrences that
+      are duplicates, ``1 - distinct/total`` (0 when < 3 tokens).
+
+    Plan shape for 100 TB: the trigram fraction is purely columnar
+    (``array_distinct`` per row — no shuffle at all); the bigram mode
+    needs a per-(doc, bigram) count, done as explode → two hash
+    aggregates keyed by (doc_id, bigram) then doc_id — partial
+    aggregation map-side, no per-row quadratic work, no UDF.
+    """
+    t = tokens(text_col)
+    tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array()).otherwise(t)
+    base = docs.select(F.col(id_col), tok.alias("tok"))
+    # bigram list: element i of slice(tok, 1, n-1) pairs with tok[i+1]
+    # (0-based bracket indexing inside transform's lambda index)
+    bg = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', tok[i + 1]))"
+    )
+    tg = F.expr(
+        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)),"
+        " (x, i) -> concat(x, ' ', tok[i + 1], ' ', tok[i + 2]))"
+    )
+    top = (
+        base.select(F.col(id_col), F.explode(bg).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    tri = base.select(
+        F.col(id_col),
+        F.when(F.size(tg) <= 0, F.lit(0.0))
+        .otherwise(1.0 - F.size(F.array_distinct(tg)) / F.size(tg))
+        .alias("dup_trigram_frac"),
+    )
+    return (
+        tri.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            "dup_trigram_frac",
+        )
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram-free language ID: count marker-stopword hits per language,
     argmax with (count desc, lang asc) tie-break; no hits → 'und'.

@@ -258,3 +258,100 @@ def test_multimodal_frame_sample(spark):
     df = spark.createDataFrame([(0, payload)], "id long, payload binary")
     rows = frame_sample(df, every_n=10).collect()
     assert [r["frame_index"] for r in sorted(rows, key=lambda r: r["frame_index"])] == [0, 10, 20]
+
+
+# ---------------------------------------------------------------------
+# repetition features + training-corpus selection
+# ---------------------------------------------------------------------
+
+REP_DOCS = DOCS + [
+    (10, "spam spam spam spam spam spam spam spam spam spam", "en"),  # repetitious
+    (11, "the cat sat on the mat and the cat sat on the mat again", "en"),
+]
+
+
+def _py_repetition(text: str) -> tuple[float, float]:
+    toks = text.strip().split() if text.strip() else []
+    bgs = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+    tgs = [f"{toks[i]} {toks[i + 1]} {toks[i + 2]}" for i in range(len(toks) - 2)]
+    tbf = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+    dtf = 1.0 - len(set(tgs)) / len(tgs) if tgs else 0.0
+    return tbf, dtf
+
+
+def test_repetition_features(spark):
+    from graphscope_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in REP_DOCS], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in repetition_features(df).collect()
+    }
+    assert set(got) == {i for i, _, _ in REP_DOCS}
+    for i, t, _ in REP_DOCS:
+        tbf, dtf = _py_repetition(t)
+        assert got[i][0] == pytest.approx(tbf, abs=1e-12), (i, t)
+        assert got[i][1] == pytest.approx(dtf, abs=1e-12), (i, t)
+    # the all-same-token doc is maximally repetitious: every bigram is
+    # the mode, and only 1 of its 8 trigram occurrences is distinct
+    assert got[10] == (1.0, 0.875)
+    # empty + single-token docs are defined as 0
+    assert got[8] == (0.0, 0.0)
+    assert got[9] == (0.0, 0.0)
+
+
+def _py_quality_score(text: str) -> float:
+    toks = text.strip().split() if text.strip() else [""]
+    n_tok = len(text.strip().split()) if text.strip() else 0
+    st = max(n_tok, 1)
+    nu = len(set(toks))
+    ns = sum(1 for t in toks if t in specs.STOPWORDS)
+    return (
+        0.4 * min(n_tok / 50.0, 1.0)
+        + 0.3 * (nu / st)
+        + 0.3 * min((ns / st) * 5.0, 1.0)
+    )
+
+
+def _py_lang(text: str) -> str:
+    toks = text.strip().split() if text.strip() else []
+    hits = Counter()
+    for lang, ws in specs.LANG_MARKERS.items():
+        hits[lang] = sum(1 for t in toks if t in ws)
+    best = [l for l, h in hits.items() if h == max(hits.values()) and h > 0]
+    return min(best) if best else "und"
+
+
+def test_training_corpus(spark):
+    import re
+
+    from graphscope_spark.functions.corpus import training_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in REP_DOCS], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in training_corpus(df).collect()}
+
+    expected = {}
+    fp_seen = {}
+    for i, t, _ in REP_DOCS:
+        tbf, dtf = _py_repetition(t)
+        if (
+            _py_lang(t) == specs.CORPUS_LANG
+            and round(_py_quality_score(t), 8) >= specs.CORPUS_MIN_QUALITY
+            and round(tbf, 8) <= specs.CORPUS_MAX_TOP_BIGRAM
+            and round(dtf, 8) <= specs.CORPUS_MAX_DUP_TRIGRAM
+        ):
+            fp = hashlib.md5(
+                re.sub(r"\s+", " ", t.strip().lower()).encode()
+            ).hexdigest()
+            if fp not in fp_seen:
+                fp_seen[fp] = i
+                expected[i] = len(t.strip().split()) if t.strip() else 0
+    assert got == expected
+    # the gates actually fire on this corpus: dup of 0 deduped away,
+    # repetitious doc 10 rejected, non-English docs rejected
+    assert 0 in got and 1 not in got and 2 not in got
+    assert 10 not in got and 3 not in got and 4 not in got and 5 not in got
