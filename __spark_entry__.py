@@ -2706,6 +2706,86 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-contracted order graph —
+    exercises Graph.contract (the host-graph/Louvain-phase quotient op)
+    + the weighted PageRank recurrence end-to-end."""
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.sources.tpch_graph import SUPPLIER_OFFSET, order_graph
+
+    g = order_graph(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("vid"),
+            F.col("c_nationkey").cast("long").alias("gid"),
+        )
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            (F.lit(SUPPLIER_OFFSET) + F.col("s_suppkey")).cast("long").alias("vid"),
+            F.col("s_nationkey").cast("long").alias("gid"),
+        )
+    )
+    ng = g.contract(cust.unionByName(supp))
+    return pagerank(
+        ng, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None,
+        sync_every=PR_ROUNDS, weight="weight",
+    ).select(F.col("vid").alias("nation"), F.round("rank", 8).alias("pr"))
+
+
+def _nation_pagerank_sql() -> str:
+    """Unrolled weighted PageRank over the nation-contracted order
+    graph: edge weight = lineitem count between the two nations,
+    contribution = r·w/Σ_out w, dangling = zero outgoing weight."""
+    parts = [
+        """with ne as materialized (
+          select c.c_nationkey as src, s.s_nationkey as dst,
+                 cast(count(*) as double) as w
+          from orders o
+          join lineitem l on o.o_orderkey = l.l_orderkey
+          join customer c on o.o_custkey = c.c_custkey
+          join supplier s on l.l_suppkey = s.s_suppkey
+          group by 1, 2
+        )""",
+        """verts as materialized (
+          select distinct c_nationkey as vid from customer
+          union
+          select distinct s_nationkey from supplier
+        )""",
+        "nn as materialized (select cast(count(*) as double) as n from verts)",
+        "deg as materialized (select src as vid, sum(w) as ow from ne group by 1)",
+        "dangv as materialized (select v.vid from verts v left join deg d using(vid) where d.ow is null)",
+        "r0 as materialized (select vid, (select 1.0/n from nn) as pr from verts)",
+    ]
+    for k in range(PR_ROUNDS):
+        parts.append(
+            f"d{k} as materialized (select coalesce(sum(pr), 0.0) as s from r{k} "
+            f"where vid in (select vid from dangv))"
+        )
+        parts.append(
+            f"""r{k + 1} as materialized (
+              select v.vid,
+                     (1.0 - {ALPHA})/(select n from nn)
+                     + {ALPHA} * (select s from d{k})/(select n from nn)
+                     + {ALPHA} * coalesce(c.s, 0.0) as pr
+              from verts v left join (
+                select e.dst as vid, sum(r.pr * e.w / dg.ow) as s
+                from ne e
+                join r{k} r on e.src = r.vid
+                join deg dg on dg.vid = e.src
+                group by 1
+              ) c using(vid)
+            )"""
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"select vid as nation, round(pr, 8) as pr from r{PR_ROUNDS}"
+    )
+
+
 def _q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import wcc
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -3801,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_graph_degree,
         "pagerank": _q_pagerank,
+        "nation_pagerank": _q_nation_pagerank,
         "wcc": _q_wcc,
         "wcc_log": _q_wcc_log,
         "cdlp": _q_cdlp,
@@ -4034,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
           left join (select dst as vid, count(*) as c from edges group by 1) i using(vid)
         """,
         "pagerank": _pagerank_sql(),
+        "nation_pagerank": _nation_pagerank_sql(),
         "wcc": _wcc_sql(),
         "wcc_log": _wcc_sql(),
         "cdlp": _cdlp_sql(),

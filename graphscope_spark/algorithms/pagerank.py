@@ -58,6 +58,7 @@ def pagerank(
     salt_hot_threshold: int | None = None,
     salt_n: int = 16,
     sync_every: int = 1,
+    weight: str | None = None,
 ) -> DataFrame:
     """Returns (vid long, rank double); ranks sum to 1.
 
@@ -68,12 +69,30 @@ def pagerank(
     are treated as hubs and their gather aggregation is salted over
     ``salt_n`` sub-keys (two-stage sum — see graphscope_spark.skew).
     The hub set is computed once before the loop and broadcast.
+
+    ``weight``: name of an edge-weight column (e.g. a contracted host
+    graph's multiplicity, ``Graph.contract``).  Contributions become
+    rank·w/Σ_out w and "dangling" means zero outgoing weight; with
+    ``weight=None`` this reduces to the unweighted recurrence.
     """
     spark: SparkSession = g.edges.sparkSession
     # P must be one value everywhere: edge cache, state, and the gather
     # shuffle — co-partitioning is what removes the join exchanges.
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    if weight is None:
+        edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
+    elif g.directed:
+        edges = g.edges.select(SRC, DST, F.col(weight).alias("_w"))
+    else:
+        e = g.edges.select(SRC, DST, F.col(weight).alias("_w"))
+        edges = (
+            e.unionByName(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "_w")
+            )
+            .where(F.col(SRC) != F.col(DST))
+            .groupBy(SRC, DST)
+            .agg(F.sum("_w").alias("_w"))
+        )
     if g.num_partitions != p:
         edges = edges.repartition(p, SRC)
     edges = edges.cache()
@@ -82,12 +101,20 @@ def pagerank(
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("rank"))
 
-    degrees = g.out_degrees() if g.directed else (
-        edges.groupBy(F.col(SRC).alias(VID))
-        .agg(F.count(F.lit(1)).alias("out_deg"))
-        .join(g.vertices.select(VID), VID, "right")
-        .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
-    )
+    if weight is not None:
+        degrees = (
+            edges.groupBy(F.col(SRC).alias(VID))
+            .agg(F.sum("_w").alias("out_deg"))
+            .join(g.vertices.select(VID), VID, "right")
+            .select(VID, F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"))
+        )
+    else:
+        degrees = g.out_degrees() if g.directed else (
+            edges.groupBy(F.col(SRC).alias(VID))
+            .agg(F.count(F.lit(1)).alias("out_deg"))
+            .join(g.vertices.select(VID), VID, "right")
+            .select(VID, F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"))
+        )
 
     # fixed-round runs never read old_rank (no convergence test): drop
     # the column — a third less state to checkpoint and re-scan per
@@ -136,10 +163,15 @@ def pagerank(
             else None
         )
         hstate = state.hint("shuffle_hash")
+        contrib_c = (
+            F.col("rank") * F.col("_w") / F.col("out_deg")
+            if weight is not None
+            else F.col("rank") / F.col("out_deg")
+        )
         msgs = edges.join(hstate, edges[SRC] == hstate[VID]).select(
             F.col(SRC).alias("_src"),
             F.col(DST).alias(VID),
-            (F.col("rank") / F.col("out_deg")).alias("c"),
+            contrib_c.alias("c"),
         )
         if hot is not None:
             from graphscope_spark.skew import salted_sum

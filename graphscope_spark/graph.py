@@ -253,6 +253,44 @@ class Graph:
         )
         return replace(self, vertices=v, edges=e)
 
+    def contract(self, mapping: DataFrame, drop_self_loops: bool = False) -> "Graph":
+        """Quotient graph: merge vertices by ``mapping`` (vid, gid) and
+        sum parallel-edge weights — the Common-Crawl host-graph product
+        and the Louvain phase-2 contraction, exposed as a first-class
+        graph op (reference analog: the community-contraction step of
+        apps/pregel/louvain/ and CONSOLIDATE-style label merging).
+
+        Edge weight = count of underlying edges, or the sum of their
+        ``weight`` column when present.  Plan shape for 100 TB: two
+        dictionary joins (same pattern as the url→vid load joins) + one
+        hash aggregate keyed by (gsrc, gdst); map-side partial
+        aggregation collapses the fan-in before the shuffle, so hub
+        hosts don't skew the exchange.
+        """
+        m_src = mapping.select(F.col(VID).alias(SRC), F.col("gid").alias("_gsrc"))
+        m_dst = mapping.select(F.col(VID).alias(DST), F.col("gid").alias("_gdst"))
+        w = F.col("weight") if "weight" in self.edges.columns else F.lit(1.0)
+        e = (
+            self.edges.join(m_src, SRC)
+            .join(m_dst, DST)
+            .select(
+                F.col("_gsrc").alias(SRC),
+                F.col("_gdst").alias(DST),
+                w.alias("_w"),
+            )
+        )
+        if drop_self_loops:
+            e = e.where(F.col(SRC) != F.col(DST))
+        e = e.groupBy(SRC, DST).agg(F.sum("_w").alias("weight"))
+        verts = mapping.select(F.col("gid").cast("long").alias(VID)).distinct()
+        return Graph.from_edges(
+            e,
+            verts,
+            directed=self.directed,
+            num_partitions=self.num_partitions,
+            weight="weight",
+        )
+
     def add_vertices(self, new_vertices: DataFrame) -> "Graph":
         """MODIFY_VERTICES/ADD analog (dag_utils.py:359-412): functional
         update — returns a new Graph with the (vid [, props]) rows

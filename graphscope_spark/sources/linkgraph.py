@@ -26,6 +26,39 @@ from graphscope_spark.graph import Graph, build_vertex_ids
 from graphscope_spark.sources.extract import links_from_pages
 
 
+# scheme://host — host ends at the first /, ?, # or end of string
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def host_of(col):
+    """URL → lowercase host, '' when the url has no scheme://host shape.
+    Pure JVM-side regexp (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, HOST_RE, 1))
+
+
+def host_graph_from_pages(
+    pages: DataFrame, num_partitions: int = 32
+) -> tuple[Graph, DataFrame]:
+    """Host-level (domain) link graph — the Common-Crawl "host graph"
+    product: contract the page-level graph by URL host; edge weight =
+    number of page-level links between the two hosts.
+
+    Returns (host_graph, host_map) with host_map = (gid, host).  The
+    contracted graph is orders of magnitude smaller than the page graph
+    (10^12 pages → ~10^8 hosts), so host-level PageRank/WCC run on a
+    graph that often fits far fewer executors — the standard first
+    analysis pass over a new crawl.
+    """
+    g, vertex_map = graph_from_pages(pages, num_partitions=num_partitions)
+    hosts = vertex_map.select("vid", host_of("url").alias("host"))
+    host_ids = build_vertex_ids(
+        hosts.select("host"), "host", out="gid", num_partitions=num_partitions
+    )
+    mapping = hosts.join(host_ids, "host").select("vid", "gid")
+    return g.contract(mapping), host_ids
+
+
 def graph_from_pages(
     pages: DataFrame, num_partitions: int = 32, include_uncrawled: bool = True
 ) -> tuple[Graph, DataFrame]:

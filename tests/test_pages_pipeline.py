@@ -137,3 +137,79 @@ def test_linkgraph_wcc(spark):
     exp = oracle.wcc_oracle(sorted(edges), sorted(url2vid.values()))
     got = {r["vid"]: r["comp"] for r in wcc(g).collect()}
     assert got == exp
+
+
+def _py_host_edges(n_pages: int) -> dict[tuple[str, str], float]:
+    """Ground-truth host-contracted weighted edges from the generator."""
+    import re
+    from collections import Counter
+
+    def host(u: str) -> str:
+        return re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u).group(1).lower()
+
+    links = set()  # the engine dedupes page-level links (extract.py)
+    for i in range(n_pages):
+        _, _, html, _, _ = _page_row(i, n_pages, 42)
+        for t in re.findall(r'<a\s+href="([^"]+)"', html.decode()):
+            links.add((url_of(i), t))
+    c: Counter = Counter((host(s), host(d)) for s, d in links)
+    return {k: float(v) for k, v in c.items()}
+
+
+def test_host_graph_contraction(spark):
+    """host_graph_from_pages == contract the generator's ground-truth
+    page edges by url host; weights are link multiplicities and host
+    ids are the dense rank of the sorted host strings."""
+    from graphscope_spark.sources.linkgraph import host_graph_from_pages
+
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    hg, host_ids = host_graph_from_pages(pages, num_partitions=4)
+
+    h2g = {r["host"]: r["gid"] for r in host_ids.collect()}
+    assert sorted(h2g.values()) == list(range(len(h2g)))
+    assert list(sorted(h2g)) == [h for h, _ in sorted(h2g.items(), key=lambda kv: kv[1])]
+
+    exp = {
+        (h2g[a], h2g[b]): w for (a, b), w in _py_host_edges(N_PAGES).items()
+    }
+    got = {
+        (r["src"], r["dst"]): r["weight"] for r in hg.edges.collect()
+    }
+    assert got == exp
+
+
+def test_weighted_pagerank_on_host_graph(spark):
+    """Weighted PageRank over the contracted host graph matches a
+    numpy power iteration with rank·w/Σw contributions."""
+    from graphscope_spark.sources.linkgraph import host_graph_from_pages
+
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    hg, host_ids = host_graph_from_pages(pages, num_partitions=4)
+    n = hg.num_vertices()
+    rounds = 8
+    alpha = 0.85
+
+    got = {
+        r["vid"]: r["rank"]
+        for r in pagerank(hg, alpha=alpha, max_iter=rounds, tol=None,
+                          sync_every=rounds, weight="weight").collect()
+    }
+
+    h2g = {r["host"]: r["gid"] for r in host_ids.collect()}
+    ew = {
+        (h2g[a], h2g[b]): w for (a, b), w in _py_host_edges(N_PAGES).items()
+    }
+    out_w = {}
+    for (s, _), w in ew.items():
+        out_w[s] = out_w.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(rounds):
+        dang = sum(r[v] for v in range(n) if out_w.get(v, 0.0) == 0.0)
+        nxt = {v: (1 - alpha) / n + alpha * dang / n for v in range(n)}
+        for (s, d), w in ew.items():
+            nxt[d] += alpha * r[s] * w / out_w[s]
+        r = nxt
+    assert set(got) == set(r)
+    assert np.allclose(
+        [got[v] for v in sorted(got)], [r[v] for v in sorted(r)], atol=1e-12
+    )
