@@ -68,22 +68,31 @@ def _ktruss_local_pdf_factory(k: int):
             if tot == 0:
                 sup = np.zeros(m, np.int64)
             else:
-                # vectorized pair expansion per run
-                starts = runs
-                # for each run r with length l: pairs (i, j), 0<=i<j<l
-                reps = np.repeat(np.arange(runs.size), npairs)
-                off_in = np.concatenate(
-                    [np.repeat(np.arange(l - 1), np.arange(l - 1, 0, -1)) for l in L if l > 1]
-                ) if tot else np.empty(0, np.int64)
-                jj = np.concatenate(
-                    [
-                        np.concatenate([np.arange(i + 1, l) for i in range(l - 1)])
-                        for l in L
-                        if l > 1
-                    ]
-                ) if tot else np.empty(0, np.int64)
-                i_abs = starts[reps] + off_in
-                j_abs = starts[reps] + jj
+                # FULLY vectorized (i, j) pair expansion per run — no
+                # Python loop over runs (a list-comprehension here was
+                # the single-task path's bottleneck: O(#runs) Python
+                # iterations per prune round).
+                # slots: one entry per (run, i) with i in [0, l-2]
+                li = L[L > 1]  # runs contributing pairs
+                starts_li = runs[L > 1]
+                nslots = li - 1
+                slot_run_start = np.repeat(starts_li, nslots)
+                slot_cum = np.cumsum(nslots) - nslots
+                ii = np.arange(int(nslots.sum()), dtype=np.int64) - np.repeat(
+                    slot_cum, nslots
+                )
+                rc = np.repeat(li, nslots) - 1 - ii  # j-count per slot
+                pos_rc = np.cumsum(rc) - rc
+                off_in = np.repeat(ii, rc)
+                jj = (
+                    np.arange(tot, dtype=np.int64)
+                    - np.repeat(pos_rc, rc)
+                    + off_in
+                    + 1
+                )
+                base = np.repeat(slot_run_start, rc)
+                i_abs = base + off_in
+                j_abs = base + jj
                 # wedge (x; y_i, y_j) with ry_i < ry_j (sorted run order);
                 # closes iff oriented edge (y_i -> y_j) exists
                 wkey = ys[i_abs] * n + ys[j_abs]
@@ -93,12 +102,16 @@ def _ktruss_local_pdf_factory(k: int):
                 pos = np.searchsorted(sk, wkey)
                 pos = np.minimum(pos, sk.size - 1)
                 hit = sk[pos] == wkey
-                sup = np.zeros(m, np.int64)
                 if hit.any():
                     closing = so[pos[hit]]
-                    np.add.at(sup, eid[i_abs[hit]], 1)
-                    np.add.at(sup, eid[j_abs[hit]], 1)
-                    np.add.at(sup, eid[closing], 1)
+                    sup = np.bincount(
+                        np.concatenate(
+                            [eid[i_abs[hit]], eid[j_abs[hit]], eid[closing]]
+                        ),
+                        minlength=m,
+                    ).astype(np.int64)
+                else:
+                    sup = np.zeros(m, np.int64)
             keep = sup >= k - 2
             if keep.all():
                 break
@@ -118,16 +131,6 @@ def k_truss(
         .where(F.col(SRC) < F.col(DST))
         .select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
     ).transform(stats_barrier)
-
-    # single-task finisher: the k-truss is unique, so when the edge set
-    # fits one executor task the prune rounds run in numpy; distributed
-    # rounds below stay the scale path (local_finish_rows=0 forces them)
-    if local_finish_rows > 0 and cur.count() <= local_finish_rows:
-        return (
-            cur.withColumn("g", F.lit(1))
-            .groupBy("g")
-            .applyInPandas(_ktruss_local_pdf_factory(k), f"{SRC} long, {DST} long")
-        )
 
     for _ in range(max_rounds):
         # degrees WITHIN the surviving subgraph, then orient lo→hi by
@@ -149,6 +152,32 @@ def k_truss(
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("y"),
             F.greatest(ka, kb).alias("ky"),
         ).localCheckpoint(eager=False)  # reused 3×: wedge sides + closing
+        # single-task finisher — switch on edges + ORIENTED WEDGE PAIRS,
+        # not edge count: the replay's per-round work is the pair
+        # expansion (Σ_x c_x·(c_x−1)/2), and a dense first round (41M
+        # pairs at sf0.1 co-purchase) is faster on 32 distributed
+        # threads than in one numpy task.  Once the surviving subgraph's
+        # pair count fits the one-task budget, the remaining prune
+        # rounds replay exactly (the k-truss is unique) in ONE shuffle.
+        if local_finish_rows > 0:
+            est = eo.groupBy("x").agg(F.count(F.lit(1)).alias("c")).agg(
+                F.coalesce(
+                    F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+                ).alias("p"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("m"),
+            ).collect()[0]
+            if est["m"] + int(est["p"]) <= local_finish_rows:
+                out = (
+                    cur.withColumn("g", F.lit(1))
+                    .groupBy("g")
+                    .applyInPandas(
+                        _ktruss_local_pdf_factory(k), f"{SRC} long, {DST} long"
+                    )
+                )
+                out = stats_barrier(out)
+                unpersist_barrier(cur)
+                unpersist_barrier(eo)
+                return out.select(SRC, DST)
         e1, e2 = eo.alias("e1"), eo.alias("e2")
         tri = (
             e1.join(e2, F.col("e1.x") == F.col("e2.x"))

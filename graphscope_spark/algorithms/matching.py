@@ -38,8 +38,55 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import stats_barrier
 
 
-def maximal_matching(g: Graph, max_iter: int = 200) -> DataFrame:
-    """Returns (vid, mate); mate = -1 for unmatched vertices."""
+def _mm_tail_pdf(pdf):
+    """Single-task replay of the handshake rounds over the unmatched
+    induced subgraph.  Rows: tag=1 → (vid, _); tag=0 → (src, dst) of the
+    SYMMETRIZED unmatched-induced edges.  Max-id proposals work on ranks
+    because vids are sorted (rank order == id order)."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1].sort_values("a")
+    e = pdf[pdf["tag"] == 0]
+    vids = v["a"].to_numpy(np.int64)
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame(
+            {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
+        )
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    mate = np.full(n, -1, np.int64)
+    while se.size:
+        prop = np.full(n, -1, np.int64)
+        np.maximum.at(prop, de, se)  # max-id unmatched neighbor (as rank)
+        idx = np.nonzero(prop >= 0)[0]
+        mut = np.zeros(n, dtype=bool)
+        mut[idx] = prop[prop[idx]] == idx
+        if not mut.any():  # cannot happen (global-max endpoint always
+            break  # lands a mutual proposal) — safeguard only
+        mate[mut] = vids[prop[mut]]
+        alive = mate == -1
+        keep = alive[se] & alive[de]
+        se, de = se[keep], de[keep]
+    return pd.DataFrame({"vid": vids, "mate": mate})
+
+
+def maximal_matching(
+    g: Graph, max_iter: int = 200, local_finish_rows: int = 4_000_000
+) -> DataFrame:
+    """Returns (vid, mate); mate = -1 for unmatched vertices.
+
+    **Tail finisher**: the handshake retires edges gradually, so late
+    rounds pay Spark's per-job floor on a collapsing frontier.  Whenever
+    `unmatched vertices + unmatched-induced sym edges ≤
+    local_finish_rows` (bounded one-task memory), the remaining rounds
+    replay bit-identically in numpy inside ONE ``applyInPandas`` —
+    identical max-id proposals and mutual-match order, so the result is
+    the same as the distributed loop (pinned by tests).  At 10^12-scale
+    the distributed rounds run until the frontier fits;
+    ``local_finish_rows=0`` forces the fully-distributed path.
+    """
     sym = g.symmetrized().cache()
     state = stats_barrier(
         g.vertices.select(VID, F.lit(-1).cast("long").alias("mate"))
@@ -50,6 +97,28 @@ def maximal_matching(g: Graph, max_iter: int = 200) -> DataFrame:
             sym.join(un.withColumnRenamed(VID, SRC), SRC)
             .join(un.withColumnRenamed(VID, DST), DST)
         )
+        if local_finish_rows > 0:
+            active = active.cache()
+            if un.count() + active.count() <= local_finish_rows:
+                packed = un.select(
+                    F.lit(1).alias("tag"), F.col(VID).alias("a"), F.lit(0).alias("b")
+                ).unionByName(
+                    active.select(
+                        F.lit(0).alias("tag"),
+                        F.col(SRC).alias("a"),
+                        F.col(DST).alias("b"),
+                    )
+                )
+                fin = (
+                    packed.withColumn("g", F.lit(1))
+                    .groupBy("g")
+                    .applyInPandas(_mm_tail_pdf, f"{VID} long, mate long")
+                )
+                out = state.where(F.col("mate") != -1).unionByName(fin)
+                out = stats_barrier(out)
+                active.unpersist()
+                sym.unpersist()
+                return out
         prop = active.groupBy(F.col(DST).alias(VID)).agg(F.max(SRC).alias("p"))
         p1 = prop.select(F.col(VID).alias("a"), F.col("p").alias("b"))
         p2 = prop.select(F.col("p").alias("a"), F.col(VID).alias("b"))
@@ -60,6 +129,8 @@ def maximal_matching(g: Graph, max_iter: int = 200) -> DataFrame:
                 VID, F.coalesce("new_mate", "mate").alias("mate")
             )
         )
+        if local_finish_rows > 0:
+            active.unpersist()
         if matched.limit(1).count() == 0:
             break
     return state
@@ -297,7 +368,57 @@ def min_dominating_set(
     return selected.select(VID)
 
 
-def min_edge_cover(g: Graph, max_iter: int = 200) -> DataFrame:
+def _mec_tail_pdf(pdf):
+    """Single-task replay of the min-(deg,id) handshake with pick
+    persistence/reset.  Rows: tag=1 → (vid, d, p) for unmatched
+    vertices (p = pending pick vid or -1); tag=0 → (src, dst, _) of the
+    SYMMETRIZED unmatched-induced edges.  The struct-min (d, vid) is
+    packed as d·(n+1)+rank — lexicographic because ranks are dense."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf[pdf["tag"] == 1].sort_values("a")
+    e = pdf[pdf["tag"] == 0]
+    vids = v["a"].to_numpy(np.int64)
+    d = v["b"].to_numpy(np.int64)
+    p0 = v["c"].to_numpy(np.int64)
+    n = vids.size
+    if n == 0:
+        return pd.DataFrame(
+            {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
+        )
+    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+    p = np.full(n, -1, np.int64)
+    hasp = p0 >= 0
+    p[hasp] = np.searchsorted(vids, p0[hasp])  # targets are unmatched → present
+    mate = np.full(n, -1, np.int64)
+    big = np.int64(n + 1)
+    sent = np.iinfo(np.int64).max
+    while True:
+        pickers = (mate == -1) & (p == -1)
+        mk = np.full(n, sent, np.int64)
+        if se.size:
+            sel = pickers[de]
+            np.minimum.at(mk, de[sel], d[se[sel]] * big + se[sel])
+        newp = np.where(mk != sent, mk % big, np.int64(-1))
+        p = np.where(pickers, newp, p)
+        idx = np.nonzero((mate == -1) & (p >= 0))[0]
+        ok = idx[p[p[idx]] == idx]
+        if ok.size == 0:
+            break
+        mate[ok] = vids[p[ok]]
+        alive = mate == -1
+        rs = np.nonzero(alive & (p >= 0))[0]
+        p[rs[mate[p[rs]] != -1]] = -1  # picks at newly-matched reset
+        keep = alive[se] & alive[de]
+        se, de = se[keep], de[keep]
+    return pd.DataFrame({"vid": vids, "mate": mate})
+
+
+def min_edge_cover(
+    g: Graph, max_iter: int = 200, local_finish_rows: int = 4_000_000
+) -> DataFrame:
     """Greedy min edge cover size (min-edge-cover.h:47-99): handshake
     matching with min-(degree, id) preference, then cover size =
     |matched|/2 + |unmatched with deg>0|.  Returns one row (size long).
@@ -326,6 +447,40 @@ def min_edge_cover(g: Graph, max_iter: int = 200) -> DataFrame:
     )
     for _ in range(max_iter):
         un = state.where(F.col("mate") == -1)
+        if local_finish_rows > 0:
+            ind = (
+                sym.join(
+                    un.select(F.col(VID).alias(SRC)), SRC
+                ).join(un.select(F.col(VID).alias(DST)), DST)
+            ).cache()
+            if un.count() + ind.count() <= local_finish_rows:
+                packed = un.select(
+                    F.lit(1).alias("tag"),
+                    F.col(VID).alias("a"),
+                    F.col("d").alias("b"),
+                    F.col("p").alias("c"),
+                ).unionByName(
+                    ind.select(
+                        F.lit(0).alias("tag"),
+                        F.col(SRC).alias("a"),
+                        F.col(DST).alias("b"),
+                        F.lit(-1).cast("long").alias("c"),
+                    )
+                )
+                fin = (
+                    packed.withColumn("g", F.lit(1))
+                    .groupBy("g")
+                    .applyInPandas(_mec_tail_pdf, f"{VID} long, mate long")
+                    .select(VID, F.col("mate").alias("nm2"))
+                )
+                state = stats_barrier(
+                    state.join(fin, VID, "left").select(
+                        VID, "d", F.coalesce("nm2", "mate").alias("mate"), "p"
+                    )
+                )
+                ind.unpersist()
+                break
+            ind.unpersist()
         pickers = un.where(F.col("p") == -1).select(VID)
         # min (deg, id) over unmatched neighbors of each picker
         cand = (

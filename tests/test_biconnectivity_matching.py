@@ -184,3 +184,34 @@ def test_min_dominating_set_mid_switch(rand_graph, rand_graph_data):
         ).collect()
     }
     assert got == exp
+
+
+def test_maximal_matching_distributed_matches_finisher(rand_graph, rand_graph_data):
+    # local_finish_rows=0 forces the fully-distributed rounds; the
+    # single-task replay (default) must be bit-identical
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    vertices, edges = rand_graph_data
+    exp = oracle.maximal_matching_oracle(edges, vertices)
+    dist = {
+        r["vid"]: r["mate"]
+        for r in maximal_matching(rand_graph, local_finish_rows=0).collect()
+    }
+    assert dist == exp
+
+
+def test_maximal_matching_mid_switch(rand_graph, rand_graph_data):
+    # threshold sized so the first check fails but a later shrunken
+    # frontier passes — exercises matched-state merge at the switch
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    vertices, edges = rand_graph_data
+    exp = oracle.maximal_matching_oracle(edges, vertices)
+    n0 = len(vertices) + 2 * len({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    got = {
+        r["vid"]: r["mate"]
+        for r in maximal_matching(
+            rand_graph, local_finish_rows=max(n0 // 2, 8)
+        ).collect()
+    }
+    assert got == exp

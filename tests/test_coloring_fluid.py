@@ -112,3 +112,23 @@ def test_lpa_by_color_tiny(tiny_graph):
     exp = oracle.lpa_by_color_oracle(TINY_EDGES, TINY_VERTICES)
     got = {r["vid"]: r["label"] for r in lpa_by_color(tiny_graph).collect()}
     assert got == exp
+
+
+def test_min_edge_cover_distributed_matches_finisher(rand_graph, rand_graph_data):
+    vertices, edges = rand_graph_data
+    exp, _ = oracle.min_edge_cover_oracle(edges, vertices)
+    assert (
+        min_edge_cover(rand_graph, local_finish_rows=0).collect()[0]["size"] == exp
+    )
+
+
+def test_min_edge_cover_mid_switch(rand_graph, rand_graph_data):
+    # switch to the single-task replay after some distributed rounds:
+    # pending picks (p) must transfer into the replay state intact
+    vertices, edges = rand_graph_data
+    exp, _ = oracle.min_edge_cover_oracle(edges, vertices)
+    n0 = len(vertices) + 2 * len({(min(s, d), max(s, d)) for s, d in edges if s != d})
+    got = min_edge_cover(
+        rand_graph, local_finish_rows=max(n0 // 2, 8)
+    ).collect()[0]["size"]
+    assert got == exp
