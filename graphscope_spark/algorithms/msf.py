@@ -28,8 +28,57 @@ from graphscope_spark.superstep import stats_barrier
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
+def _msf_tail_pdf(pdf):
+    """Single-task Kruskal over the surviving inter-component edges,
+    ordered by the SAME (w, oa, ob) total order the distributed picks
+    use.  Borůvka and Kruskal both yield the unique minimum forest
+    under a total edge order (ties broken lexicographically make
+    weights effectively distinct), so the tail is exact — pinned
+    against the fully-distributed rounds in tests."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) == 0:
+        return pd.DataFrame(
+            {
+                "src": np.empty(0, np.int64),
+                "dst": np.empty(0, np.int64),
+                "w": np.empty(0, np.float64),
+            }
+        )
+    order = np.lexsort(
+        (pdf["ob"].to_numpy(), pdf["oa"].to_numpy(), pdf["w"].to_numpy())
+    )
+    ca = pdf["ca"].to_numpy(np.int64)[order]
+    cb = pdf["cb"].to_numpy(np.int64)[order]
+    oa = pdf["oa"].to_numpy(np.int64)[order]
+    ob = pdf["ob"].to_numpy(np.int64)[order]
+    w = pdf["w"].to_numpy(np.float64)[order]
+    comp = np.unique(np.concatenate([ca, cb]))
+    pa = np.searchsorted(comp, ca)
+    pb = np.searchsorted(comp, cb)
+    parent = np.arange(comp.size)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    keep = np.zeros(pa.size, dtype=bool)
+    for i in range(pa.size):
+        ra, rb = find(pa[i]), find(pb[i])
+        if ra != rb:
+            parent[rb] = ra
+            keep[i] = True
+    return pd.DataFrame({"src": oa[keep], "dst": ob[keep], "w": w[keep]})
+
+
 def minimum_spanning_forest(
-    g: Graph, weight: str = "weight", max_rounds: int = 50
+    g: Graph, weight: str = "weight", max_rounds: int = 50,
+    local_finish_rows: int = 4_000_000,
 ) -> DataFrame:
     """Returns (src long, dst long, weight double): the MSF edges,
     canonical src < dst orientation."""
@@ -56,7 +105,29 @@ def minimum_spanning_forest(
     chosen: DataFrame | None = None
 
     for _ in range(max_rounds):
-        if work.isEmpty():
+        # single-task tail: Borůvka's per-round job count (picks +
+        # pointer-jumping contraction + relabel ≈ 8 jobs/round) pays
+        # Spark's floor on a shrinking edge set; once the surviving
+        # inter-component edges fit one task, one Kruskal with the same
+        # (w, oa, ob) order finishes the forest in ONE shuffle.
+        if local_finish_rows > 0:
+            n_work = work.count()
+            if n_work == 0:
+                break
+            if n_work <= local_finish_rows:
+                fin = (
+                    work.withColumn("g", F.lit(1))
+                    .groupBy("g")
+                    .applyInPandas(_msf_tail_pdf, "src long, dst long, w double")
+                )
+                fin = stats_barrier(fin)
+                chosen = (
+                    fin
+                    if chosen is None
+                    else chosen.unionByName(fin).transform(stats_barrier)
+                )
+                break
+        elif work.isEmpty():
             break
         # 1. min outgoing edge per component, deterministic order
         sym = work.unionByName(

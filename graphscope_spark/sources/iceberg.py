@@ -85,6 +85,49 @@ def _file_stats(local_path: str, stat_cols: list[str]) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
+_MANIFEST_FIELDS = ("file_path", "partition", "record_count", "file_size", "col_stats")
+
+
+def _write_manifest(path_abs: str, entries: list[tuple]) -> None:
+    """Manifest I/O is METADATA-layer work (driver-side, tiny — one row
+    per data file), mirroring real Iceberg where manifests are written
+    by the commit path, not by a distributed job.  A Spark
+    createDataFrame+write here cost ~8 s of pure job overhead per
+    commit; pyarrow writes the same parquet in milliseconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*entries)) if entries else [[], [], [], [], []]
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(list(cols[0]), pa.string()),
+                "partition": pa.array(list(cols[1]), pa.string()),
+                "record_count": pa.array(list(cols[2]), pa.int64()),
+                "file_size": pa.array(list(cols[3]), pa.int64()),
+                "col_stats": pa.array(list(cols[4]), pa.string()),
+            }
+        ),
+        path_abs,
+    )
+
+
+def _read_manifest(path_abs: str) -> list[dict]:
+    """Read a manifest written by ``_write_manifest`` (single file) or
+    by an older Spark-written commit (directory of part files)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path_abs):
+        parts = sorted(glob.glob(os.path.join(path_abs, "*.parquet")))
+        t = pa.concat_tables([pq.read_table(p) for p in parts])
+    else:
+        t = pq.read_table(path_abs)
+    return t.to_pylist()
+
+
 class IcebergishTable:
     """Handle to a table directory; classmethods create/load."""
 
@@ -184,14 +227,7 @@ class IcebergishTable:
                 )
         manifest_name = f"manifest-{commit_uuid}.parquet"
         manifest_rel = os.path.join("metadata", manifest_name)
-        mdf = self.spark.createDataFrame(
-            entries,
-            "file_path string, partition string, record_count long, "
-            "file_size long, col_stats string",
-        )
-        mdf.coalesce(1).write.mode("errorifexists").parquet(
-            os.path.join(self.path, manifest_rel)
-        )
+        _write_manifest(os.path.join(self.path, manifest_rel), entries)
 
         manifests = list(carry_manifests or []) + [manifest_rel]
         snapshot_id = int(time.time() * 1000) * 1000 + int(commit_uuid[:4], 16) % 1000
@@ -273,7 +309,7 @@ class IcebergishTable:
         snap = self._snapshot(snapshot_id, as_of_ms)
         out: list[dict] = []
         for m in snap["manifests"]:
-            rows = self.spark.read.parquet(os.path.join(self.path, m)).collect()
+            rows = _read_manifest(os.path.join(self.path, m))
             for r in rows:
                 part = json.loads(r["partition"])
                 if partition_filter and any(

@@ -238,3 +238,24 @@ def test_k_clique_generic_rand(rand_graph, rand_graph_data):
         exp = oracle.k_clique_oracle(edges, vertices, k)
         got = k_clique_count(rand_graph, k=k).collect()[0]["kc"]
         assert got == exp, k
+
+
+def test_msf_distributed_matches_finisher(spark, rand_graph_data):
+    # the Kruskal tail (default) and the fully-distributed Boruvka
+    # rounds (local_finish_rows=0) must produce the identical forest
+    from graphscope_spark.algorithms.msf import minimum_spanning_forest
+    from graphscope_spark.graph import Graph
+
+    vertices, edges = rand_graph_data
+    wedges = [(s, d, float((s * 7 + d * 13) % 23) + 1.0) for s, d in edges]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    g = Graph.from_edges(e, directed=False, weight="weight")
+    fin = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(g).collect()
+    }
+    dist = {
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(g, local_finish_rows=0).collect()
+    }
+    assert fin == dist
