@@ -73,8 +73,13 @@ def training_corpus(
         )
         .join(fps, id_col)
     )
-    keeper = passed.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    # dedup as ONE window pass (min doc_id per fingerprint) — a
+    # groupBy-then-semi-join would recompute the whole gate pipeline
+    # (lang explode + bigram aggregates) a second time
+    from pyspark.sql.window import Window
+
     return (
-        passed.join(keeper, [id_col, "fp"], "left_semi")
+        passed.withColumn("_min", F.min(id_col).over(Window.partitionBy("fp")))
+        .where(F.col(id_col) == F.col("_min"))
         .select(id_col, "n_tokens", "quality_score")
     )

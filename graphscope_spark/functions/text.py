@@ -98,44 +98,60 @@ def repetition_features(
     - ``dup_trigram_frac``: fraction of word-trigram occurrences that
       are duplicates, ``1 - distinct/total`` (0 when < 3 tokens).
 
-    Plan shape for 100 TB: the trigram fraction is purely columnar
-    (``array_distinct`` per row — no shuffle at all); the bigram mode
-    needs a per-(doc, bigram) count, done as explode → two hash
-    aggregates keyed by (doc_id, bigram) then doc_id — partial
-    aggregation map-side, no per-row quadratic work, no UDF.
+    Plan shape for 100 TB: ONE posexplode of the token array, a window
+    ``lead`` to form bigrams/trigrams (shuffle keyed by doc), then hash
+    aggregates with map-side partial aggregation — no UDF, no per-row
+    quadratic work.  (A per-row ``transform(..., tok[i+1])`` lambda was
+    measured O(tokens²): Catalyst's project-collapse re-inlines the
+    regex split into every element access.)
     """
+    from pyspark.sql.window import Window
+
     t = tokens(text_col)
     tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.array()).otherwise(t)
-    base = docs.select(F.col(id_col), tok.alias("tok"))
-    # bigram list: element i of slice(tok, 1, n-1) pairs with tok[i+1]
-    # (0-based bracket indexing inside transform's lambda index)
-    bg = F.expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 1, 0)),"
-        " (x, i) -> concat(x, ' ', tok[i + 1]))"
-    )
-    tg = F.expr(
-        "transform(slice(tok, 1, greatest(size(tok) - 2, 0)),"
-        " (x, i) -> concat(x, ' ', tok[i + 1], ' ', tok[i + 2]))"
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        docs.select(F.col(id_col), F.posexplode(tok).alias("pos", "w0"))
+        .select(
+            F.col(id_col),
+            "w0",
+            F.lead("w0", 1).over(w).alias("w1"),
+            F.lead("w0", 2).over(w).alias("w2"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("w1").isNotNull(), F.concat_ws(" ", "w0", "w1")
+            ).alias("bg"),
+            F.when(
+                F.col("w2").isNotNull(), F.concat_ws(" ", "w0", "w1", "w2")
+            ).alias("tg"),
+        )
     )
     top = (
-        base.select(F.col(id_col), F.explode(bg).alias("bg"))
+        grams.where(F.col("bg").isNotNull())
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
     )
-    tri = base.select(
-        F.col(id_col),
-        F.when(F.size(tg) <= 0, F.lit(0.0))
-        .otherwise(1.0 - F.size(F.array_distinct(tg)) / F.size(tg))
-        .alias("dup_trigram_frac"),
+    tri = (
+        grams.where(F.col("tg").isNotNull())
+        .groupBy(id_col)
+        .agg(
+            (1.0 - F.count_distinct(F.col("tg")) / F.count(F.lit(1))).alias(
+                "dup_trigram_frac"
+            )
+        )
     )
     return (
-        tri.join(top, id_col, "left")
+        docs.select(F.col(id_col))
+        .join(top, id_col, "left")
+        .join(tri, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            "dup_trigram_frac",
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )
 
