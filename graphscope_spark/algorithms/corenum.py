@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graphscope_spark.graph import DST, SRC, VID, Graph
-from graphscope_spark.superstep import StepResult, SuperstepRunner
+from graphscope_spark.superstep import StepResult, SuperstepRunner, stats_barrier
 
 
 def _core_local_pdf(pdf):
@@ -76,6 +76,17 @@ def _core_local_pdf(pdf):
     return pd.DataFrame({"vid": vids, "core": core})
 
 
+# session-scoped memo of the (deterministic, unique) decomposition —
+# the same materialized-view reuse discipline as tpch_graph._memo_graph:
+# kshell / degeneracy / kcore-search / densest-subgraph all consume the
+# SAME core numbers of the same memoized Graph object, and recomputing
+# the fixpoint per caller is pure waste.  Keyed on the identity of the
+# graph's frames plus every semantics-affecting argument (so a forced
+# local_finish_rows=0 test run never returns a memoized finisher
+# result); the value is a materialized leaf, not live lineage.
+_CORE_MEMO: dict[tuple, tuple[object, DataFrame]] = {}
+
+
 def core_number(
     g: Graph,
     max_iter: int = 100,
@@ -91,6 +102,18 @@ def core_number(
     pin equality).  This also lifts every consumer of the decomposition
     (kshell, degeneracy/onion orderings, k-core search, densest-subgraph
     2-approx)."""
+    memo_key = (
+        id(g.edges), id(g.vertices), max_iter, checkpoint_dir, local_finish_rows
+    )
+    hit = _CORE_MEMO.get(memo_key)
+    if hit is not None and hit[0] is g.edges:
+        return hit[1]
+
+    def _memoize(df: DataFrame) -> DataFrame:
+        out = stats_barrier(df)
+        _CORE_MEMO[memo_key] = (g.edges, out)
+        return out
+
     spark = g.edges.sparkSession
     sym = g.symmetrized().cache()
 
@@ -101,11 +124,14 @@ def core_number(
             ).unionByName(
                 sym.select(F.lit(0).alias("tag"), F.col(SRC).alias("a"), F.col(DST).alias("b"))
             )
-            return (
+            out = (
                 packed.withColumn("g", F.lit(1))
                 .groupBy("g")
                 .applyInPandas(_core_local_pdf, f"{VID} long, core long")
             )
+            out = _memoize(out)
+            sym.unpersist()
+            return out
 
     deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("deg"))
 
@@ -155,7 +181,7 @@ def core_number(
     run = SuperstepRunner(spark, "core_number", checkpoint_dir=checkpoint_dir)
     final = run.run(init, step, max_iterations=max_iter, tol=0.0)
     sym.unpersist()
-    return final.select(VID, "core")
+    return _memoize(final.select(VID, "core"))
 
 
 def kshell(g: Graph, k: int, checkpoint_dir: str | None = None) -> DataFrame:
