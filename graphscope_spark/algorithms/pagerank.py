@@ -210,13 +210,21 @@ def pagerank(
     run = runner or SuperstepRunner(
         spark, "pagerank", checkpoint_dir=checkpoint_dir, resume=resume
     )
+    # Batched convergence (tol with sync_every > 1) is sound for this
+    # contractive iteration: the L1 delta shrinks monotonically (factor
+    # ~alpha per round), so checking only at batch boundaries can stop
+    # AT or AFTER the reference's per-round stop — never early — and
+    # the extra rounds only move the result closer to the fixpoint.
+    # delta_fn measures the final chained round's |r - r_prev|, exactly
+    # the reference's per-round eps (pagerank_networkx.h:147).
     with one_shuffle_mode(spark):
         final = run.run(
             init,
             step,
             max_iterations=max_iter,
             tol=(tol * n if tol is not None else None),
-            sync_every=sync_every if tol is None else 1,
+            sync_every=sync_every,
+            idempotent=(tol is not None and sync_every > 1),
         )
     result = final.select(VID, "rank")
     edges.unpersist()
