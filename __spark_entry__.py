@@ -3418,6 +3418,66 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-synthesized messy
+    URLs (mixed case, default ports, fragments, bare-authority slashes)
+    — both engines build the identical strings from orders, so the
+    parity check isolates the canonicalization semantics."""
+    from graphscope_spark.functions.urls import canonical_url
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.concat(
+        F.lit("HTTP://Site"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".Example.com"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("/")).otherwise(
+            F.concat(F.lit("/P/"), F.col("o_orderkey").cast("string"))
+        ),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return (
+        o.select(canonical_url(url).alias("cu"))
+        .groupBy("cu")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_URL_CANONICAL_SQL = r"""
+  with u as (
+    select 'HTTP://Site' || cast(o_custkey % 50 as varchar) || '.Example.com'
+           || case when o_orderkey % 3 = 0 then ':80' else '' end
+           || case when o_orderkey % 5 = 0 then '/'
+                   else '/P/' || cast(o_orderkey as varchar) end
+           || case when o_orderkey % 2 = 0 then '#Frag' else '' end as url
+    from orders
+  ),
+  nf as (select regexp_replace(url, '#.*$', '') as nfu from u),
+  parts as (
+    select nfu,
+           lower(regexp_extract(nfu,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) as scheme,
+           lower(regexp_extract(nfu,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) as host,
+           regexp_extract(nfu,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3) as rest
+    from nf
+  ),
+  canon as (
+    select case when scheme = '' then nfu
+                else scheme || '://' ||
+                     case when scheme = 'http'
+                          then regexp_replace(host, ':80$', '')
+                          when scheme = 'https'
+                          then regexp_replace(host, ':443$', '')
+                          else host end ||
+                     regexp_replace(rest, '^/$', '') end as cu
+    from parts
+  )
+  select cu, count(*) as n from canon group by 1
+"""
+
+
 def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.text import token_count
 
@@ -3917,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang": _q_doc_lang,
         "doc_repetition": _q_doc_repetition,
         "training_corpus": _q_training_corpus,
+        "url_canonical": _q_url_canonical,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_pairs": _q_lsh_pairs,
@@ -4246,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
           from f
         """,
         "doc_repetition": _doc_repetition_sql(),
+        "url_canonical": _URL_CANONICAL_SQL,
         "training_corpus": _training_corpus_sql(stop_list),
         "doc_lang": rf"""
           with tok as (

@@ -1,0 +1,52 @@
+"""URL canonicalization — the crawl-side normalization a link-graph
+loader applies before the url→vid dictionary, so that casing/fragment/
+default-port variants of one page collapse to one vertex (the analog of
+the reference loader's oid unification, arrow_fragment_loader.h).
+
+Pure JVM-side regexp column expressions (no UDF), restricted to
+constructs Spark's Java regex and DuckDB's RE2 evaluate identically
+(no lookaround, no backrefs) so the driver oracle can mirror each step
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheme://authority[rest] — authority ends at the first /, ?, or #
+_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of an absolute URL:
+
+    1. drop the fragment (``#...``);
+    2. lowercase the scheme and the host (path/query stay case-sensitive);
+    3. strip the scheme's default port (``:80`` http, ``:443`` https);
+    4. a bare authority gets no trailing slash: ``http://a.ex/`` →
+       ``http://a.ex``.
+
+    Strings that don't parse as ``scheme://authority...`` are returned
+    unchanged (relative links are resolved elsewhere).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _SPLIT_RE, 1))
+    host = F.lower(F.regexp_extract(no_frag, _SPLIT_RE, 2))
+    rest = F.regexp_extract(no_frag, _SPLIT_RE, 3)
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(host, r":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    rest = F.regexp_replace(rest, r"^/$", "")
+    rebuilt = F.concat(scheme, F.lit("://"), host, rest)
+    return F.when(scheme == "", no_frag).otherwise(rebuilt)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercase host (with any explicit non-default port stripped by
+    ``canonical_url`` first if desired); '' when not an absolute URL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, _SPLIT_RE, 2))

@@ -355,3 +355,26 @@ def test_training_corpus(spark):
     # repetitious doc 10 rejected, non-English docs rejected
     assert 0 in got and 1 not in got and 2 not in got
     assert 10 not in got and 3 not in got and 4 not in got and 5 not in got
+
+
+def test_canonical_url(spark):
+    from graphscope_spark.functions.urls import canonical_url, url_host
+
+    cases = [
+        # (input, canonical)
+        ("HTTP://Example.COM:80/Path#frag", "http://example.com/Path"),
+        ("https://A.example:443/", "https://a.example"),
+        ("https://a.example:8443/x", "https://a.example:8443/x"),  # non-default kept
+        ("http://a.example/", "http://a.example"),
+        ("http://a.example/p/1?q=UP#x", "http://a.example/p/1?q=UP"),  # query case kept
+        ("ftp://Host.Example:80/f", "ftp://host.example:80/f"),  # :80 only for http
+        ("not-a-url", "not-a-url"),  # passthrough
+        ("relative/path#frag", "relative/path"),  # fragment still stripped
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url("u").alias("c")).collect()}
+    for i, (u, exp) in enumerate(cases):
+        assert got[i] == exp, (u, got[i], exp)
+    hosts = {r["i"]: r["h"] for r in df.select("i", url_host("u").alias("h")).collect()}
+    assert hosts[0] == "example.com:80" and hosts[5] == "host.example:80"
+    assert hosts[6] == "" and hosts[7] == ""
