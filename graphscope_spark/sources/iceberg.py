@@ -271,6 +271,80 @@ class IcebergishTable:
             fh.write(str(version))
         os.replace(tmp, os.path.join(_meta_dir(self.path), "version-hint.text"))
 
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots) --
+    def compact(self, target_file_rows: int = 1_000_000) -> None:
+        """Rewrite the CURRENT snapshot's data into large files — the
+        small-files maintenance pass (Iceberg's ``rewrite_data_files``).
+        Commits a new ``replace`` snapshot holding only the rewritten
+        files; older snapshots keep referencing the original files, so
+        time travel is intact until ``expire_snapshots`` reclaims them.
+
+        Partitioned tables rewrite to one task per partition value
+        (one file per value); unpartitioned tables target
+        ``target_file_rows`` rows per file.
+        """
+        meta = _load_metadata(self.path)
+        cur = meta["current-snapshot-id"]
+        part_by = list(meta["partition-spec"])
+        total = sum(f["record_count"] for f in self.plan_files())
+        df = self.scan()
+        if part_by:
+            df = df.repartition(*[F.col(c) for c in part_by])
+        else:
+            df = df.repartition(max(1, -(-total // max(target_file_rows, 1))))
+        self._commit(df, part_by, operation="replace", parent=cur)
+
+    def expire_snapshots(self, keep_last: int = 1) -> None:
+        """Drop all but the newest ``keep_last`` snapshots and DELETE
+        manifests + data files referenced only by the expired ones
+        (Iceberg's ``expire_snapshots`` — the step that actually
+        reclaims storage after compaction/overwrites).  Time travel to
+        an expired snapshot subsequently raises ``KeyError``.  The new
+        metadata version is committed via the same atomic version-hint
+        replace as every other commit."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = _load_metadata(self.path)
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return
+        keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if not any(s["snapshot-id"] == meta["current-snapshot-id"] for s in keep):
+            raise ValueError("expire_snapshots would drop the current snapshot")
+        keep_manifests = {m for s in keep for m in s["manifests"]}
+        keep_files = {
+            r["file_path"]
+            for m in keep_manifests
+            for r in _read_manifest(os.path.join(self.path, m))
+        }
+        for s in expired:
+            for m in s["manifests"]:
+                if m in keep_manifests:
+                    continue
+                mpath = os.path.join(self.path, m)
+                if not os.path.exists(mpath):
+                    continue
+                for r in _read_manifest(mpath):
+                    if r["file_path"] not in keep_files:
+                        fp = os.path.join(self.path, r["file_path"])
+                        if os.path.exists(fp):
+                            os.remove(fp)
+                if os.path.isdir(mpath):
+                    import shutil
+
+                    shutil.rmtree(mpath)
+                else:
+                    os.remove(mpath)
+        version = _read_version(self.path) + 1
+        meta["snapshots"] = keep
+        mpath = os.path.join(_meta_dir(self.path), f"v{version}.metadata.json")
+        with open(mpath, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        tmp = os.path.join(_meta_dir(self.path), f".hint-expire-{version}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(_meta_dir(self.path), "version-hint.text"))
+
     # -- read path ----------------------------------------------------
     def history(self) -> list[dict]:
         return [

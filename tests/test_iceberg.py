@@ -103,3 +103,52 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # old snapshot still reads with the evolved schema (nulls filled)
     first = t.history()[0]["snapshot-id"]
     assert t.scan(snapshot_id=first).where(F.col("score").isNull()).count() == 2
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """Maintenance pass: compact rewrites the current snapshot into one
+    file per partition value (older snapshots untouched — time travel
+    intact), then expire_snapshots reclaims the superseded files and
+    makes expired ids unreadable."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 == 0 else "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "t")
+    # create + 3 appends, fragmented on purpose (4 input partitions each)
+    t = IcebergishTable.create(
+        spark, path, docs.where("doc_id < 10").repartition(4), partition_by=["lang"]
+    )
+    for lo in (10, 20, 30):
+        t.append(docs.where(f"doc_id >= {lo} and doc_id < {lo + 10}").repartition(4))
+    hist = t.history()
+    assert len(hist) == 4
+    first_snap = hist[0]["snapshot-id"]
+    n_files_before = len(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+
+    t.compact()
+    # full table contents unchanged
+    got = sorted((r["doc_id"], r["lang"]) for r in t.scan().collect())
+    assert got == sorted((i, "en" if i % 2 == 0 else "de") for i in range(40))
+    # the compacted snapshot plans exactly one file per partition value
+    assert len(t.plan_files()) == 2
+    # time travel to the first snapshot still works (old files alive)
+    assert t.scan(snapshot_id=first_snap).count() == 10
+
+    t.expire_snapshots(keep_last=1)
+    # expired snapshot ids are gone, current scan unaffected
+    with _pytest.raises(KeyError):
+        t.scan(snapshot_id=first_snap)
+    assert t.scan().count() == 40
+    assert len(t.history()) == 1
+    # storage actually reclaimed: only the compacted files remain
+    n_files_after = len(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+    assert n_files_after == 2 < n_files_before
+    # a fresh handle (new reader) sees the same table
+    t2 = IcebergishTable.load(spark, path)
+    assert t2.scan().count() == 40
