@@ -106,12 +106,15 @@ def core_number(
         id(g.edges), id(g.vertices), max_iter, checkpoint_dir, local_finish_rows
     )
     hit = _CORE_MEMO.get(memo_key)
-    if hit is not None and hit[0] is g.edges:
-        return hit[1]
+    # pin BOTH frames and verify BOTH identities: a dict keyed on id()
+    # alone could hand back a stale decomposition after CPython recycles
+    # a freed frame's id for a different vertices/edges object
+    if hit is not None and hit[0] is g.edges and hit[1] is g.vertices:
+        return hit[2]
 
     def _memoize(df: DataFrame) -> DataFrame:
         out = stats_barrier(df)
-        _CORE_MEMO[memo_key] = (g.edges, out)
+        _CORE_MEMO[memo_key] = (g.edges, g.vertices, out)
         return out
 
     spark = g.edges.sparkSession

@@ -38,38 +38,46 @@ from graphscope_spark.graph import DST, SRC, VID, Graph
 from graphscope_spark.superstep import stats_barrier
 
 
-def _mm_tail_pdf(pdf):
+def _mm_tail_pdf_factory(rounds_left: int):
     """Single-task replay of the handshake rounds over the unmatched
-    induced subgraph.  Rows: tag=1 → (vid, _); tag=0 → (src, dst) of the
-    SYMMETRIZED unmatched-induced edges.  Max-id proposals work on ranks
-    because vids are sorted (rank order == id order)."""
-    import numpy as np
-    import pandas as pd
+    induced subgraph, capped at ``rounds_left`` so the replay stops
+    exactly where the distributed loop's ``max_iter`` would.  Rows:
+    tag=1 → (vid, _); tag=0 → (src, dst) of the SYMMETRIZED
+    unmatched-induced edges.  Max-id proposals work on ranks because
+    vids are sorted (rank order == id order)."""
 
-    v = pdf[pdf["tag"] == 1].sort_values("a")
-    e = pdf[pdf["tag"] == 0]
-    vids = v["a"].to_numpy(np.int64)
-    n = vids.size
-    if n == 0:
-        return pd.DataFrame(
-            {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
-        )
-    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
-    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
-    mate = np.full(n, -1, np.int64)
-    while se.size:
-        prop = np.full(n, -1, np.int64)
-        np.maximum.at(prop, de, se)  # max-id unmatched neighbor (as rank)
-        idx = np.nonzero(prop >= 0)[0]
-        mut = np.zeros(n, dtype=bool)
-        mut[idx] = prop[prop[idx]] == idx
-        if not mut.any():  # cannot happen (global-max endpoint always
-            break  # lands a mutual proposal) — safeguard only
-        mate[mut] = vids[prop[mut]]
-        alive = mate == -1
-        keep = alive[se] & alive[de]
-        se, de = se[keep], de[keep]
-    return pd.DataFrame({"vid": vids, "mate": mate})
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1].sort_values("a")
+        e = pdf[pdf["tag"] == 0]
+        vids = v["a"].to_numpy(np.int64)
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        mate = np.full(n, -1, np.int64)
+        for _ in range(rounds_left):
+            if not se.size:
+                break
+            prop = np.full(n, -1, np.int64)
+            np.maximum.at(prop, de, se)  # max-id unmatched neighbor (as rank)
+            idx = np.nonzero(prop >= 0)[0]
+            mut = np.zeros(n, dtype=bool)
+            mut[idx] = prop[prop[idx]] == idx
+            if not mut.any():  # cannot happen (global-max endpoint always
+                break  # lands a mutual proposal) — safeguard only
+            mate[mut] = vids[prop[mut]]
+            alive = mate == -1
+            keep = alive[se] & alive[de]
+            se, de = se[keep], de[keep]
+        return pd.DataFrame({"vid": vids, "mate": mate})
+
+    return _pdf
 
 
 def maximal_matching(
@@ -91,7 +99,7 @@ def maximal_matching(
     state = stats_barrier(
         g.vertices.select(VID, F.lit(-1).cast("long").alias("mate"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         un = state.where(F.col("mate") == -1).select(VID)
         active = (
             sym.join(un.withColumnRenamed(VID, SRC), SRC)
@@ -112,7 +120,9 @@ def maximal_matching(
                 fin = (
                     packed.withColumn("g", F.lit(1))
                     .groupBy("g")
-                    .applyInPandas(_mm_tail_pdf, f"{VID} long, mate long")
+                    .applyInPandas(
+                        _mm_tail_pdf_factory(max_iter - it), f"{VID} long, mate long"
+                    )
                 )
                 out = state.where(F.col("mate") != -1).unionByName(fin)
                 out = stats_barrier(out)
@@ -129,9 +139,10 @@ def maximal_matching(
                 VID, F.coalesce("new_mate", "mate").alias("mate")
             )
         )
+        done = matched.limit(1).count() == 0
         if local_finish_rows > 0:
-            active.unpersist()
-        if matched.limit(1).count() == 0:
+            active.unpersist()  # after the count — it reads the cache
+        if done:
             break
     return state
 
@@ -368,52 +379,58 @@ def min_dominating_set(
     return selected.select(VID)
 
 
-def _mec_tail_pdf(pdf):
+def _mec_tail_pdf_factory(rounds_left: int):
     """Single-task replay of the min-(deg,id) handshake with pick
-    persistence/reset.  Rows: tag=1 → (vid, d, p) for unmatched
-    vertices (p = pending pick vid or -1); tag=0 → (src, dst, _) of the
-    SYMMETRIZED unmatched-induced edges.  The struct-min (d, vid) is
-    packed as d·(n+1)+rank — lexicographic because ranks are dense."""
-    import numpy as np
-    import pandas as pd
+    persistence/reset, capped at ``rounds_left`` to stop exactly where
+    the distributed loop's ``max_iter`` would.  Rows: tag=1 → (vid, d,
+    p) for unmatched vertices (p = pending pick vid or -1); tag=0 →
+    (src, dst, _) of the SYMMETRIZED unmatched-induced edges.  The
+    struct-min (d, vid) is packed as d·(n+1)+rank — lexicographic
+    because ranks are dense."""
 
-    v = pdf[pdf["tag"] == 1].sort_values("a")
-    e = pdf[pdf["tag"] == 0]
-    vids = v["a"].to_numpy(np.int64)
-    d = v["b"].to_numpy(np.int64)
-    p0 = v["c"].to_numpy(np.int64)
-    n = vids.size
-    if n == 0:
-        return pd.DataFrame(
-            {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
-        )
-    se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
-    de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
-    p = np.full(n, -1, np.int64)
-    hasp = p0 >= 0
-    p[hasp] = np.searchsorted(vids, p0[hasp])  # targets are unmatched → present
-    mate = np.full(n, -1, np.int64)
-    big = np.int64(n + 1)
-    sent = np.iinfo(np.int64).max
-    while True:
-        pickers = (mate == -1) & (p == -1)
-        mk = np.full(n, sent, np.int64)
-        if se.size:
-            sel = pickers[de]
-            np.minimum.at(mk, de[sel], d[se[sel]] * big + se[sel])
-        newp = np.where(mk != sent, mk % big, np.int64(-1))
-        p = np.where(pickers, newp, p)
-        idx = np.nonzero((mate == -1) & (p >= 0))[0]
-        ok = idx[p[p[idx]] == idx]
-        if ok.size == 0:
-            break
-        mate[ok] = vids[p[ok]]
-        alive = mate == -1
-        rs = np.nonzero(alive & (p >= 0))[0]
-        p[rs[mate[p[rs]] != -1]] = -1  # picks at newly-matched reset
-        keep = alive[se] & alive[de]
-        se, de = se[keep], de[keep]
-    return pd.DataFrame({"vid": vids, "mate": mate})
+    def _pdf(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf[pdf["tag"] == 1].sort_values("a")
+        e = pdf[pdf["tag"] == 0]
+        vids = v["a"].to_numpy(np.int64)
+        d = v["b"].to_numpy(np.int64)
+        p0 = v["c"].to_numpy(np.int64)
+        n = vids.size
+        if n == 0:
+            return pd.DataFrame(
+                {"vid": np.empty(0, np.int64), "mate": np.empty(0, np.int64)}
+            )
+        se = np.searchsorted(vids, e["a"].to_numpy(np.int64))
+        de = np.searchsorted(vids, e["b"].to_numpy(np.int64))
+        p = np.full(n, -1, np.int64)
+        hasp = p0 >= 0
+        p[hasp] = np.searchsorted(vids, p0[hasp])  # targets are unmatched → present
+        mate = np.full(n, -1, np.int64)
+        big = np.int64(n + 1)
+        sent = np.iinfo(np.int64).max
+        for _ in range(rounds_left):
+            pickers = (mate == -1) & (p == -1)
+            mk = np.full(n, sent, np.int64)
+            if se.size:
+                sel = pickers[de]
+                np.minimum.at(mk, de[sel], d[se[sel]] * big + se[sel])
+            newp = np.where(mk != sent, mk % big, np.int64(-1))
+            p = np.where(pickers, newp, p)
+            idx = np.nonzero((mate == -1) & (p >= 0))[0]
+            ok = idx[p[p[idx]] == idx]
+            if ok.size == 0:
+                break
+            mate[ok] = vids[p[ok]]
+            alive = mate == -1
+            rs = np.nonzero(alive & (p >= 0))[0]
+            p[rs[mate[p[rs]] != -1]] = -1  # picks at newly-matched reset
+            keep = alive[se] & alive[de]
+            se, de = se[keep], de[keep]
+        return pd.DataFrame({"vid": vids, "mate": mate})
+
+    return _pdf
 
 
 def min_edge_cover(
@@ -445,8 +462,9 @@ def min_edge_cover(
             F.lit(-1).cast("long").alias("p"),
         )
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         un = state.where(F.col("mate") == -1)
+        ind = None
         if local_finish_rows > 0:
             ind = (
                 sym.join(
@@ -470,7 +488,10 @@ def min_edge_cover(
                 fin = (
                     packed.withColumn("g", F.lit(1))
                     .groupBy("g")
-                    .applyInPandas(_mec_tail_pdf, f"{VID} long, mate long")
+                    .applyInPandas(
+                        _mec_tail_pdf_factory(max_iter - it),
+                        f"{VID} long, mate long",
+                    )
                     .select(VID, F.col("mate").alias("nm2"))
                 )
                 state = stats_barrier(
@@ -480,11 +501,15 @@ def min_edge_cover(
                 )
                 ind.unpersist()
                 break
-            ind.unpersist()
         pickers = un.where(F.col("p") == -1).select(VID)
-        # min (deg, id) over unmatched neighbors of each picker
+        # min (deg, id) over unmatched neighbors of each picker — reuse
+        # the cached unmatched-induced edge table from the finisher
+        # check when available (it IS sym ⋈ un ⋈ un)
+        cand_edges = ind if ind is not None else (
+            sym.join(un.select(F.col(VID).alias(SRC)), SRC, "semi")
+        )
         cand = (
-            sym.join(pickers.withColumnRenamed(VID, DST), DST)
+            cand_edges.join(pickers.withColumnRenamed(VID, DST), DST)
             .join(
                 un.select(
                     F.col(VID).alias(SRC),

@@ -78,7 +78,7 @@ def _msf_tail_pdf(pdf):
 
 def minimum_spanning_forest(
     g: Graph, weight: str = "weight", max_rounds: int = 50,
-    local_finish_rows: int = 4_000_000,
+    local_finish_rows: int = 2_000_000,
 ) -> DataFrame:
     """Returns (src long, dst long, weight double): the MSF edges,
     canonical src < dst orientation."""
@@ -104,17 +104,23 @@ def minimum_spanning_forest(
     ).transform(stats_barrier)
     chosen: DataFrame | None = None
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # single-task tail: Borůvka's per-round job count (picks +
         # pointer-jumping contraction + relabel ≈ 8 jobs/round) pays
         # Spark's floor on a shrinking edge set; once the surviving
         # inter-component edges fit one task, one Kruskal with the same
         # (w, oa, ob) order finishes the forest in ONE shuffle.
+        # Kruskal runs to COMPLETION, so it is only equivalent to the
+        # distributed continuation when the remaining round budget
+        # would also complete: Borůvka at least halves the component
+        # count per round, so ceil(log2(components)) ≤
+        # ceil(log2(n_work + 1)) rounds always suffice.
         if local_finish_rows > 0:
             n_work = work.count()
             if n_work == 0:
                 break
-            if n_work <= local_finish_rows:
+            rounds_needed = max(1, (n_work + 1).bit_length())
+            if n_work <= local_finish_rows and max_rounds - rnd >= rounds_needed:
                 fin = (
                     work.withColumn("g", F.lit(1))
                     .groupBy("g")

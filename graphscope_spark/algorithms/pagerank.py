@@ -82,7 +82,12 @@ def pagerank(
     if weight is None:
         edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
     elif g.directed:
-        edges = g.edges.select(SRC, DST, F.col(weight).alias("_w"))
+        # zero-weight edges contribute nothing; keeping them would make
+        # an all-zero-weight source both "dangling" (Σw = 0) and a
+        # message sender (rank·0/0 = NaN) — drop them up front
+        edges = g.edges.select(SRC, DST, F.col(weight).alias("_w")).where(
+            F.col("_w") != 0
+        )
     else:
         e = g.edges.select(SRC, DST, F.col(weight).alias("_w"))
         edges = (
@@ -92,6 +97,7 @@ def pagerank(
             .where(F.col(SRC) != F.col(DST))
             .groupBy(SRC, DST)
             .agg(F.sum("_w").alias("_w"))
+            .where(F.col("_w") != 0)
         )
     if g.num_partitions != p:
         edges = edges.repartition(p, SRC)

@@ -97,15 +97,19 @@ def _write_manifest(path_abs: str, entries: list[tuple]) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    cols = list(zip(*entries)) if entries else [[], [], [], [], []]
+    cols = list(zip(*entries)) if entries else [[]] * len(_MANIFEST_FIELDS)
+    types = {
+        "file_path": pa.string(),
+        "partition": pa.string(),
+        "record_count": pa.int64(),
+        "file_size": pa.int64(),
+        "col_stats": pa.string(),
+    }
     pq.write_table(
         pa.table(
             {
-                "file_path": pa.array(list(cols[0]), pa.string()),
-                "partition": pa.array(list(cols[1]), pa.string()),
-                "record_count": pa.array(list(cols[2]), pa.int64()),
-                "file_size": pa.array(list(cols[3]), pa.int64()),
-                "col_stats": pa.array(list(cols[4]), pa.string()),
+                name: pa.array(list(vals), types[name])
+                for name, vals in zip(_MANIFEST_FIELDS, cols)
             }
         ),
         path_abs,
@@ -317,6 +321,20 @@ class IcebergishTable:
             for m in keep_manifests
             for r in _read_manifest(os.path.join(self.path, m))
         }
+        # COMMIT FIRST, delete after (Iceberg order): once the
+        # version-hint flips, no reader can plan an expired snapshot, so
+        # the deletes below are invisible; a crash between commit and
+        # delete leaves only orphaned files (retryable), never a live
+        # metadata version pointing at missing ones.
+        version = _read_version(self.path) + 1
+        meta["snapshots"] = keep
+        mpath_meta = os.path.join(_meta_dir(self.path), f"v{version}.metadata.json")
+        with open(mpath_meta, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        tmp = os.path.join(_meta_dir(self.path), f".hint-expire-{version}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(_meta_dir(self.path), "version-hint.text"))
         for s in expired:
             for m in s["manifests"]:
                 if m in keep_manifests:
@@ -335,15 +353,6 @@ class IcebergishTable:
                     shutil.rmtree(mpath)
                 else:
                     os.remove(mpath)
-        version = _read_version(self.path) + 1
-        meta["snapshots"] = keep
-        mpath = os.path.join(_meta_dir(self.path), f"v{version}.metadata.json")
-        with open(mpath, "w") as fh:
-            json.dump(meta, fh, indent=1)
-        tmp = os.path.join(_meta_dir(self.path), f".hint-expire-{version}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(_meta_dir(self.path), "version-hint.text"))
 
     # -- read path ----------------------------------------------------
     def history(self) -> list[dict]:

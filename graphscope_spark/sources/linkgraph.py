@@ -26,15 +26,9 @@ from graphscope_spark.graph import Graph, build_vertex_ids
 from graphscope_spark.sources.extract import links_from_pages
 
 
-# scheme://host — host ends at the first /, ?, # or end of string
-HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
-
-
-def host_of(col):
-    """URL → lowercase host, '' when the url has no scheme://host shape.
-    Pure JVM-side regexp (no UDF)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_extract(c, HOST_RE, 1))
+# URL → lowercase host: single source of truth in functions/urls.py so
+# host-graph contraction can never drift from URL canonicalization
+from graphscope_spark.functions.urls import url_host as host_of  # noqa: E402
 
 
 def host_graph_from_pages(

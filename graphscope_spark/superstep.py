@@ -271,11 +271,16 @@ class SuperstepRunner:
         ``sync_every=1`` so the stop decision sees every round, which
         is also the reference's per-round all-reduce behavior
         (default_worker.h:89-131) — UNLESS the step is ``idempotent``:
-        for monotone fixpoints (BFS discovery, min-relaxation, min-label
-        propagation) extra rounds past quiescence change nothing, so the
-        termination check may legally run once per batch; the batch's
-        ``delta_fn`` must then measure "did anything change in the final
-        chained round", which is 0 iff the fixpoint was reached.
+        extra rounds past the stop condition must be HARMLESS.  Two
+        classes qualify: monotone fixpoints (BFS discovery,
+        min-relaxation, min-label propagation — extra rounds change
+        nothing once quiesced) and contractive iterations whose delta
+        shrinks monotonically (power iterations — the batched check can
+        only stop at or after the per-round stop, and the extra rounds
+        move the state strictly closer to the fixpoint).  An iteration
+        whose delta can oscillate does NOT qualify; keep sync_every=1.
+        The batch's ``delta_fn`` must measure the FINAL chained round's
+        change, which reproduces the per-round stop test.
         Requires ``step`` to be fully lazy (no driver-side collects) —
         see pagerank's broadcast-crossjoin dangling pool.
         """

@@ -215,3 +215,21 @@ def test_maximal_matching_mid_switch(rand_graph, rand_graph_data):
         ).collect()
     }
     assert got == exp
+
+
+def test_maximal_matching_max_iter_cap(rand_graph, rand_graph_data):
+    # when max_iter binds, the finisher replays exactly that many
+    # rounds — same partial matching as the distributed loop
+    from graphscope_spark.algorithms.matching import maximal_matching
+
+    fin = {
+        r["vid"]: r["mate"]
+        for r in maximal_matching(rand_graph, max_iter=1).collect()
+    }
+    dist = {
+        r["vid"]: r["mate"]
+        for r in maximal_matching(
+            rand_graph, max_iter=1, local_finish_rows=0
+        ).collect()
+    }
+    assert fin == dist
