@@ -189,6 +189,126 @@ class IncrementalPageRank:
         return w.start()
 
 
+def _warm_wcc(
+    g: Graph, prev: DataFrame | None, seed_vertices: DataFrame, max_iter: int = 200
+) -> DataFrame:
+    """Min-label propagation warm-started from ``prev`` (vid, comp).
+
+    For an ADDITIONS-ONLY stream this is exact with a frontier seeded
+    only at the new edges' endpoints (plus never-seen vertices): the
+    previous labels are a fixpoint of the old edge set, labels are
+    monotone non-increasing under edge additions, and any label that
+    can still fall must fall along a path through a new edge — the
+    Ingress memoized-superstep class for monotone algorithms
+    (docs/analytical_engine/ingress.md).  Deletions invalidate the
+    warm start; callers must rebuild cold for them (as Ingress does
+    outside its monotone class).
+    """
+    sym = g.symmetrized().cache()
+    state = g.vertices.select(VID).join(
+        prev if prev is not None else g.vertices.select(VID, F.col(VID).alias("comp")),
+        VID,
+        "left",
+    ).select(VID, F.coalesce("comp", F.col(VID)).alias("comp"))
+    state = state.localCheckpoint(eager=True)
+    frontier = (
+        seed_vertices.select(VID).distinct()
+        if prev is not None
+        else state.select(VID)
+    )
+    for _ in range(max_iter):
+        fstate = state.join(frontier, VID, "semi")
+        msgs = (
+            sym.join(
+                fstate.select(F.col(VID).alias(SRC), F.col("comp").alias("c")), SRC
+            )
+            .groupBy(F.col(DST).alias(VID))
+            .agg(F.min("c").alias("mc"))
+        )
+        nxt = state.join(msgs, VID, "left").select(
+            VID,
+            F.least(F.col("comp"), F.coalesce("mc", F.col("comp"))).alias("comp"),
+            (F.coalesce("mc", F.col("comp")) < F.col("comp")).alias("_ch"),
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        frontier = nxt.where(F.col("_ch")).select(VID)
+        state = nxt.select(VID, "comp")
+        if frontier.limit(1).count() == 0:
+            break
+    sym.unpersist()
+    return state
+
+
+class IncrementalWCC:
+    """foreachBatch processor maintaining edges + warm-started
+    weakly-connected components (min-vid labels, the LDBC contract —
+    identical output to a cold ``algorithms.wcc`` run, pinned by
+    tests).  Same state layout discipline as :class:`IncrementalPageRank`:
+    ``edges/`` accumulated Parquet, ``comps/`` current (vid, comp),
+    ``metrics.jsonl`` one line per micro-batch with the superstep count
+    — which tracks the PERTURBATION (new edges' reach), not the graph
+    size."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        num_partitions: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.num_partitions = num_partitions
+        os.makedirs(state_dir, exist_ok=True)
+        self.batches_seen = 0
+
+    @property
+    def _edges_dir(self) -> str:
+        return os.path.join(self.state_dir, "edges")
+
+    @property
+    def _comps_dir(self) -> str:
+        return os.path.join(self.state_dir, "comps")
+
+    def current_components(self) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self._comps_dir, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(self._comps_dir)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
+        batch_df.select(SRC, DST).write.mode("append").parquet(self._edges_dir)
+        edges = self.spark.read.parquet(self._edges_dir)
+        g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
+        prev = self.current_components()
+        seeds = (
+            batch_df.select(F.col(SRC).alias(VID))
+            .unionByName(batch_df.select(F.col(DST).alias(VID)))
+            .distinct()
+        )
+        comps = _warm_wcc(g, prev, seeds).localCheckpoint(eager=True)
+        comps.write.mode("overwrite").parquet(self._comps_dir)
+        self.batches_seen += 1
+        rec = {
+            "batch_id": int(batch_id),
+            "batch_edges": batch_df.count(),
+            "total_vertices": g.num_vertices(),
+            "seconds": round(time.time() - t0, 3),
+            "warm_start": prev is not None,
+            "ts": time.time(),
+        }
+        with open(os.path.join(self.state_dir, "metrics.jsonl"), "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def attach(self, edge_stream: DataFrame, trigger_available_now: bool = True):
+        """Wire onto a streaming edge DataFrame; returns the query."""
+        w = edge_stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", os.path.join(self.state_dir, "_checkpoint")
+        )
+        if trigger_available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+
 def stream_edges(spark: SparkSession, path_glob: str) -> DataFrame:
     """File-source stream of edge Parquet batches (one file per
     micro-batch — the WARC-batch arrival pattern)."""

@@ -58,3 +58,46 @@ def test_incremental_via_stream(spark, tmp_path):
     assert abs(total - 1.0) < 1e-6
     metrics = (tmp_path / "state" / "metrics.jsonl").read_text().strip().splitlines()
     assert len(metrics) == inc.batches_seen
+
+
+def test_incremental_wcc_matches_batch(spark, tmp_path):
+    """Warm-started incremental WCC must EXACTLY equal a cold wcc run
+    on the accumulated edges after every batch (min-vid contract)."""
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.streaming.incremental import IncrementalWCC
+
+    batches = _edge_batches(n=200, seed=13, k=3)
+    inc = IncrementalWCC(spark, str(tmp_path / "state"))
+    seen = []
+    for i, b in enumerate(batches):
+        seen.extend(b)
+        inc.process_batch(spark.createDataFrame(b, "src long, dst long"), i)
+        got = {r["vid"]: r["comp"] for r in inc.current_components().collect()}
+        g = Graph.from_edges(
+            spark.createDataFrame(seen, "src long, dst long"), directed=True
+        )
+        exp = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+        assert got == exp, f"divergence after batch {i}"
+
+
+def test_incremental_wcc_via_stream(spark, tmp_path):
+    from graphscope_spark.algorithms import wcc
+    from graphscope_spark.streaming.incremental import IncrementalWCC
+
+    batches = _edge_batches(n=120, seed=17, k=2)
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.parquet(
+            str(in_dir / f"batch_{i}")
+        )
+    inc = IncrementalWCC(spark, str(tmp_path / "state"))
+    q = inc.attach(stream_edges(spark, str(in_dir / "batch_*")))
+    q.awaitTermination(300)
+    got = {r["vid"]: r["comp"] for r in inc.current_components().collect()}
+    all_edges = [e for b in batches for e in b]
+    g = Graph.from_edges(
+        spark.createDataFrame(all_edges, "src long, dst long"), directed=True
+    )
+    exp = {r["vid"]: r["comp"] for r in wcc(g).collect()}
+    assert got == exp
