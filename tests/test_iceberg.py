@@ -152,3 +152,37 @@ def test_compact_and_expire(spark, tmp_path):
     # a fresh handle (new reader) sees the same table
     t2 = IcebergishTable.load(spark, path)
     assert t2.scan().count() == 40
+
+
+def test_training_corpus_export_roundtrip(spark, tmp_path):
+    """End-to-end training-data export: corpus selection → Iceberg-layout
+    table partitioned by a derived length bucket → pruned scan returns
+    exactly the selected docs (the 100TB pipeline's hand-off shape:
+    filters upstream, manifest-planned scans downstream)."""
+    from pyspark.sql import functions as F
+
+    from graphscope_spark.functions.corpus import training_corpus
+
+    # mostly-unique tokens (the repetition gate rejects repeated
+    # phrases) + marker stopwords so lang-id and quality pass
+    def _text(i: int) -> str:
+        k = 30 if i % 2 == 0 else 10
+        return "the is of " + " ".join(f"w{i}x{j}" for j in range(k))
+
+    docs = spark.createDataFrame(
+        [(i, _text(i)) for i in range(60)], "doc_id long, text string"
+    )
+    sel = training_corpus(docs).withColumn(
+        "len_bucket", F.when(F.col("n_tokens") >= 24, "long").otherwise("short")
+    )
+    path = str(tmp_path / "corpus")
+    t = IcebergishTable.create(spark, path, sel, partition_by=["len_bucket"])
+
+    back = {r["doc_id"] for r in t.scan().collect()}
+    assert back == {r["doc_id"] for r in sel.collect()} and back
+    # partition pruning: the "long" scan plans only long-bucket files
+    longs = {r["doc_id"] for r in t.scan(partition_filter={"len_bucket": "long"}).collect()}
+    exp_longs = {r["doc_id"] for r in sel.where("len_bucket = 'long'").collect()}
+    assert longs == exp_longs and 0 < len(longs) < len(back)
+    planned = t.plan_files(partition_filter={"len_bucket": "long"})
+    assert all(f["partition"]["len_bucket"] == "long" for f in planned)
