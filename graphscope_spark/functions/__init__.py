@@ -1,3 +1,3 @@
-from graphscope_spark.functions import dedup, similarity, text
+from graphscope_spark.functions import corpus, dedup, multimodal, similarity, text, urls
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["corpus", "dedup", "multimodal", "similarity", "text", "urls"]
