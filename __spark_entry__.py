@@ -3478,6 +3478,87 @@ _URL_CANONICAL_SQL = r"""
 """
 
 
+def _q_doc_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over documents augmented with deterministic
+    synthetic emails/urls/number runs built from doc_id — both engines
+    build the identical augmented string, so parity isolates the
+    ordered url→email→number redaction chain and its counts."""
+    from graphscope_spark.functions.text import redact, redaction_counts
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.lit(" visit https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" ref 123456"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", aug.alias("t"))
+    nu, ne, nn = redaction_counts("t")
+    return base.select(
+        "doc_id",
+        nu.cast("long").alias("n_urls"),
+        ne.cast("long").alias("n_emails"),
+        nn.cast("long").alias("n_nums"),
+        F.md5(redact("t")).alias("fp"),
+    )
+
+
+def _doc_redact_sql() -> str:
+    from graphscope_spark.functions import specs
+
+    u, e, n = specs.REDACT_URL_RE, specs.REDACT_EMAIL_RE, specs.REDACT_NUM_RE
+    tu, te, tn = (
+        specs.REDACT_TOKENS["url"],
+        specs.REDACT_TOKENS["email"],
+        specs.REDACT_TOKENS["num"],
+    )
+    return rf"""
+      with a as (
+        select doc_id,
+               text || ' contact user' || cast(doc_id as varchar)
+                    || '@example.com'
+                    || ' visit https://site' || cast(doc_id % 7 as varchar)
+                    || '.example/p/' || cast(doc_id as varchar)
+                    || case when doc_id % 3 = 0
+                            then ' ref 123456' || cast(doc_id as varchar)
+                            else '' end as t
+        from documents
+      ),
+      s1 as (
+        select doc_id,
+               len(regexp_extract_all(t, '{u}')) as n_urls,
+               regexp_replace(t, '{u}', '{tu}', 'g') as t1
+        from a
+      ),
+      s2 as (
+        select doc_id, n_urls,
+               len(regexp_extract_all(t1, '{e}')) as n_emails,
+               regexp_replace(t1, '{e}', '{te}', 'g') as t2
+        from s1
+      ),
+      s3 as (
+        select doc_id, n_urls, n_emails,
+               len(regexp_extract_all(t2, '{n}')) as n_nums,
+               regexp_replace(t2, '{n}', '{tn}', 'g') as t3
+        from s2
+      )
+      select doc_id,
+             cast(n_urls as bigint) as n_urls,
+             cast(n_emails as bigint) as n_emails,
+             cast(n_nums as bigint) as n_nums,
+             md5(t3) as fp
+      from s3
+    """
+
+
 def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.text import token_count
 
@@ -3978,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "training_corpus": _q_training_corpus,
         "url_canonical": _q_url_canonical,
+        "doc_redact": _q_doc_redact,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_pairs": _q_lsh_pairs,
@@ -4308,6 +4390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_repetition": _doc_repetition_sql(),
         "url_canonical": _URL_CANONICAL_SQL,
+        "doc_redact": _doc_redact_sql(),
         "training_corpus": _training_corpus_sql(stop_list),
         "doc_lang": rf"""
           with tok as (

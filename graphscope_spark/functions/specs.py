@@ -35,6 +35,15 @@ LANG_MARKERS = {
 # quality score: weighted ratios, all computable in both engines
 STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it"]
 
+# redaction (functions/text.py redact): applied in THIS order — urls
+# first (they contain digits and @-free emails), then emails, then
+# bare long digit runs.  Patterns restricted to constructs Spark's
+# Java regex and DuckDB's RE2 evaluate identically (no lookaround).
+REDACT_URL_RE = r"https?://[^\s]+"
+REDACT_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+REDACT_NUM_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9]+"  # 6+ digit runs
+REDACT_TOKENS = {"url": "<URL>", "email": "<EMAIL>", "num": "<NUM>"}
+
 # training-corpus selection gates (functions/corpus.py): Gopher-style
 # repetition caps + quality floor + language gate; dedup keeps min doc_id
 CORPUS_LANG = "en"

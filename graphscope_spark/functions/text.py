@@ -87,6 +87,31 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def redact(col: Column | str) -> Column:
+    """PII-style scrub (the C4/RefinedWeb pre-training step): replace
+    urls, then emails, then 6+-digit runs with fixed tokens — strictly
+    in that order, since urls contain digits and host-only emails.
+    Pure JVM-side regexp chain; specs.REDACT_* patterns are RE2-safe so
+    the DuckDB oracle applies the identical pipeline."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.regexp_replace(c, specs.REDACT_URL_RE, specs.REDACT_TOKENS["url"])
+    t = F.regexp_replace(t, specs.REDACT_EMAIL_RE, specs.REDACT_TOKENS["email"])
+    return F.regexp_replace(t, specs.REDACT_NUM_RE, specs.REDACT_TOKENS["num"])
+
+
+def redaction_counts(col: Column | str) -> tuple[Column, Column, Column]:
+    """(n_urls, n_emails, n_nums), counted on the same intermediate
+    strings the redaction chain produces (so an email inside a url is
+    counted once, as a url)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_urls = F.regexp_count(c, F.lit(specs.REDACT_URL_RE))
+    t1 = F.regexp_replace(c, specs.REDACT_URL_RE, specs.REDACT_TOKENS["url"])
+    n_emails = F.regexp_count(t1, F.lit(specs.REDACT_EMAIL_RE))
+    t2 = F.regexp_replace(t1, specs.REDACT_EMAIL_RE, specs.REDACT_TOKENS["email"])
+    n_nums = F.regexp_count(t2, F.lit(specs.REDACT_NUM_RE))
+    return n_urls, n_emails, n_nums
+
+
 def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -378,3 +378,27 @@ def test_canonical_url(spark):
     hosts = {r["i"]: r["h"] for r in df.select("i", url_host("u").alias("h")).collect()}
     assert hosts[0] == "example.com:80" and hosts[5] == "host.example:80"
     assert hosts[6] == "" and hosts[7] == ""
+
+
+def test_redact(spark):
+    from graphscope_spark.functions.text import redact, redaction_counts
+
+    cases = [
+        (0, "mail me at a.b+c@sub.example.org today", "mail me at <EMAIL> today", (0, 1, 0)),
+        (1, "see https://a.example/p?q=1#f and http://b.example", "see <URL> and <URL>", (2, 0, 0)),
+        (2, "card 1234567890 pin 12345", "card <NUM> pin 12345", (0, 0, 1)),  # 5 digits kept
+        # the email inside the url is swallowed by the url (order matters)
+        (3, "go https://x.example/u@example.com now", "go <URL> now", (1, 0, 0)),
+        (4, "plain text only", "plain text only", (0, 0, 0)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in cases], "i long, t string")
+    nu, ne, nn = redaction_counts("t")
+    got = {
+        r["i"]: (r["r"], (r["u"], r["e"], r["n"]))
+        for r in df.select(
+            "i", redact("t").alias("r"), nu.alias("u"), ne.alias("e"), nn.alias("n")
+        ).collect()
+    }
+    for i, _, exp_r, exp_c in cases:
+        assert got[i][0] == exp_r, (i, got[i][0])
+        assert got[i][1] == exp_c, (i, got[i][1])
