@@ -3197,9 +3197,12 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_four_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import four_clique_count
-    from graphscope_spark.sources.tpch_graph import copurchase_graph
+    from graphscope_spark.sources.tpch_graph import copurchase_graph, memo_oriented
 
-    return four_clique_count(copurchase_graph(spark, sf_dir)).select("k4")
+    g = copurchase_graph(spark, sf_dir)
+    return four_clique_count(
+        g, eo=memo_oriented(spark, sf_dir, "copurchase", g)
+    ).select("k4")
 
 
 def _q_clustering_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3262,17 +3265,24 @@ def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_subgraph_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import subgraph_census
-    from graphscope_spark.sources.tpch_graph import copurchase_graph
+    from graphscope_spark.sources.tpch_graph import copurchase_graph, memo_oriented
 
-    return subgraph_census(copurchase_graph(spark, sf_dir)).select("kind", "cnt")
+    g = copurchase_graph(spark, sf_dir)
+    return subgraph_census(
+        g, eo=memo_oriented(spark, sf_dir, "copurchase", g)
+    ).select("kind", "cnt")
 
 
 def _q_triangle_census_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import directed_triangle_census
-    from graphscope_spark.sources.tpch_graph import copurchase_directed_graph
+    from graphscope_spark.sources.tpch_graph import (
+        copurchase_directed_graph,
+        memo_oriented,
+    )
 
+    g = copurchase_directed_graph(spark, sf_dir)
     return directed_triangle_census(
-        copurchase_directed_graph(spark, sf_dir)
+        g, eo=memo_oriented(spark, sf_dir, "copurchase_directed", g)
     ).select("kind", "cnt")
 
 
@@ -3778,10 +3788,14 @@ def _thin_cpd_graph(spark: SparkSession, sf_dir: str):
 
 def _q_five_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms.kclique import k_clique_count
-    from graphscope_spark.sources.tpch_graph import thin_copurchase_graph
+    from graphscope_spark.sources.tpch_graph import (
+        memo_oriented,
+        thin_copurchase_graph,
+    )
 
+    g = thin_copurchase_graph(spark, sf_dir, COLOR_MOD)
     return k_clique_count(
-        thin_copurchase_graph(spark, sf_dir, COLOR_MOD), k=5
+        g, k=5, eo=memo_oriented(spark, sf_dir, f"thin_copurchase:{COLOR_MOD}", g)
     ).select("kc")
 
 

@@ -24,23 +24,20 @@ from pyspark.sql import functions as F
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
-def _oriented(g: Graph) -> DataFrame:
-    sym = g.symmetrized().select(SRC, DST)
-    deg = sym.groupBy(F.col(SRC).alias(VID)).agg(F.count(F.lit(1)).alias("d"))
-    return (
-        sym.join(deg.select(F.col(VID).alias(SRC), F.col("d").alias("ds")), SRC)
-        .join(deg.select(F.col(VID).alias(DST), F.col("d").alias("dd")), DST)
-        .where(
-            (F.col("ds") < F.col("dd"))
-            | ((F.col("ds") == F.col("dd")) & (F.col(SRC) < F.col(DST)))
-        )
-        .select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
-    )
+def _oriented(g: Graph, eo: DataFrame | None = None) -> DataFrame:
+    """Degree-oriented DAG edges as (a, b) — thin shim over the shared
+    oriented.oriented_edges table (pass a cached ``eo`` to reuse it
+    across clique/census queries in one session)."""
+    from graphscope_spark.algorithms.oriented import oriented_edges
+
+    if eo is None:
+        eo = oriented_edges(g)
+    return eo.select(F.col("x").alias("a"), F.col("y").alias("b"))
 
 
-def four_clique_count(g: Graph) -> DataFrame:
+def four_clique_count(g: Graph, eo: DataFrame | None = None) -> DataFrame:
     """Returns a single row (k4 long) — the number of 4-cliques."""
-    eor = _oriented(g).cache()
+    eor = _oriented(g, eo).cache()
     e_ab = eor
     e_ac = eor.select(F.col("a"), F.col("b").alias("c"))
     e_bc = eor.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -49,28 +46,31 @@ def four_clique_count(g: Graph) -> DataFrame:
         .where(F.col("b") != F.col("c"))
         .join(e_bc, ["b", "c"], "semi")
     )
-    # extend triangle (a, b, c) by d adjacent FROM all three (oriented)
+    # extend triangle (a, b, c) by d adjacent FROM all three (oriented).
+    # Generate candidates from c — the highest-rank corner, whose
+    # oriented out-degree is the SMALLEST of the three on power-law
+    # degree sequences (hubs sort last and have few higher-rank
+    # neighbors) — then semi-check the a→d and b→d edges.
     e_ad = eor.select(F.col("a"), F.col("b").alias("d"))
     e_bd = eor.select(F.col("a").alias("b"), F.col("b").alias("d"))
     e_cd = eor.select(F.col("a").alias("c"), F.col("b").alias("d"))
     k4 = (
-        tri.join(e_ad, "a")
-        .where((F.col("d") != F.col("b")) & (F.col("d") != F.col("c")))
+        tri.join(e_cd, "c")
+        .join(e_ad, ["a", "d"], "semi")
         .join(e_bd, ["b", "d"], "semi")
-        .join(e_cd, ["c", "d"], "semi")
     )
     out = k4.agg(F.count(F.lit(1)).alias("k4"))
     return out
 
 
-def k_clique_count(g: Graph, k: int) -> DataFrame:
+def k_clique_count(g: Graph, k: int, eo: DataFrame | None = None) -> DataFrame:
     """Returns one row (kc long) — the number of k-cliques (k ≥ 3),
     the generic form of k-clique.h: cliques enumerate exactly once as
     chains v0 < v1 < … < v_{k-1} in the degree-orientation DAG; the
     i-th vertex extends via the tight v_{i-1}→v_i edge and semi-join
     checks of the remaining v_j→v_i edges (each join's fan-out bounded
     by the max oriented out-degree, O(sqrt(E)))."""
-    eor = _oriented(g).cache()
+    eor = _oriented(g, eo).cache()
     cliques = eor.select(F.col("a").alias("v0"), F.col("b").alias("v1"))
     for i in range(2, k):
         ext = eor.select(

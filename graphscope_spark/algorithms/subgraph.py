@@ -45,17 +45,19 @@ def _rank_gt(da, a, db, b):
     return (da > db) | ((da == db) & (a > b))
 
 
-def edge_support(g: Graph) -> DataFrame:
+def edge_support(g: Graph, eo: DataFrame | None = None) -> DataFrame:
     """(a, b, da, db, sup): canonical a<b undirected edges with endpoint
     degrees and triangle support |N(a) ∩ N(b)| (0 kept).
 
-    Support comes from DEGREE-ORIENTED triangle enumeration (same trick
-    as ktruss.py / apps/clustering/triangles.h:78-91): orient lo→hi by
-    (deg, vid), wedge-join at the lowest corner so each triangle is
-    found ONCE, then explode it to its 3 canonical edges.  An
-    unoriented wedge join probes Σ deg² pairs (hub-quadratic); the
-    oriented form is the standard |E|^1.5 bound that survives
-    power-law hubs."""
+    Support comes from DEGREE-ORIENTED triangle enumeration
+    (oriented.triangles_once, same trick as ktruss.py /
+    apps/clustering/triangles.h:78-91): each triangle found ONCE, then
+    exploded to its 3 canonical edges.  An unoriented wedge join probes
+    Σ deg² pairs (hub-quadratic); the oriented form is the standard
+    |E|^1.5 bound that survives power-law hubs.  Pass a cached ``eo``
+    (oriented.oriented_edges) to share the orientation across queries."""
+    from graphscope_spark.algorithms.oriented import triangles_once
+
     sym, deg = _sym_deg(g)
     und = (
         sym.where(F.col(SRC) < F.col(DST))
@@ -63,24 +65,7 @@ def edge_support(g: Graph) -> DataFrame:
         .join(deg.select(F.col(VID).alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col(VID).alias("b"), F.col("d").alias("db")), "b")
     )
-    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
-    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
-    eo = und.select(
-        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("x"),
-        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("y"),
-        F.greatest(ka, kb).alias("ky"),
-    ).localCheckpoint(eager=False)  # reused 3×: wedge sides + closing edge
-    e1, e2 = eo.alias("e1"), eo.alias("e2")
-    tri = (
-        e1.join(e2, F.col("e1.x") == F.col("e2.x"))
-        .where(F.col("e1.ky") < F.col("e2.ky"))
-        .select(
-            F.col("e1.x").alias("u"),
-            F.col("e1.y").alias("v"),
-            F.col("e2.y").alias("w"),
-        )
-        .join(eo.select(F.col("x").alias("v"), F.col("y").alias("w")), ["v", "w"])
-    )
+    tri = triangles_once(g, eo)
     pairs = tri.select(
         F.explode(
             F.array(
@@ -196,11 +181,11 @@ def densest_subgraph_2approx(g: Graph) -> DataFrame:
     )
 
 
-def subgraph_census(g: Graph) -> DataFrame:
+def subgraph_census(g: Graph, eo: DataFrame | None = None) -> DataFrame:
     """(kind string, cnt long), 4 rows — rectangles/diamonds/paths3/
     tailed in one pass: diamonds, 3-paths and tailed triangles all read
     the same per-edge support table, so it is computed once."""
-    es = edge_support(g).cache()
+    es = edge_support(g, eo).cache()
 
     def _row(col, kind):
         return es.agg(
@@ -219,58 +204,109 @@ def subgraph_census(g: Graph) -> DataFrame:
     return out
 
 
-def directed_triangle_census(g: Graph) -> DataFrame:
+def directed_triangle_census(g: Graph, eo: DataFrame | None = None) -> DataFrame:
     """(kind string, cnt long), 5 rows: the FLASH directed-triangle
     census over the distinct self-loop-free directed edge set E, with
     R = reciprocal pairs (u→v and v→u):
 
       acyclic    — triples s→d, s→x, d→x (acyclic-triangle.h:57-66)
-      cyclic     — 3-cycles s→d→x→s counted once at the max-rank x
-                   (cyclic-triangle.h:60-73); any total vertex order
-                   yields the same count, vid order used here
+      cyclic     — 3-cycles s→d→x→s, each directed 3-cycle once
+                   (cyclic-triangle.h:60-73)
       in         — per unordered reciprocal pair {s,d}: common
                    out-neighbors x (s→x, d→x) (in-triangle.h:63-71)
       out        — per unordered reciprocal pair {s,d}: common
                    in-neighbors x (x→s, x→d) (out-triangle.h:59-70)
       cycle_plus — per ORDERED reciprocal pair (s,d): x with d→x and
                    x→s (cycle-plus-triangle.h:59-72)
-    """
+
+    Plan (round 3 rewrite): every contribution to all five counts lives
+    inside an undirected triangle, so enumerate each triangle ONCE via
+    the degree-oriented |E|^1.5 probe (oriented.triangles_once), join
+    the three edges' direction flags, and evaluate each count as a
+    closed-form polynomial of the six flag bits — replacing the old
+    Σ outdeg(s)² unoriented fan-out joins (hub-quadratic, the round-2
+    sweep's most expensive plan) with one bounded enumeration."""
+    from graphscope_spark.algorithms.oriented import oriented_edges
+
     e = g.distinct_edges().select(SRC, DST)
-    rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    recip = e.join(rev, [SRC, DST], "semi")
+    # direction flags per unordered pair p<q: fpq = [p→q ∈ E], fqp = [q→p ∈ E]
+    flags = e.groupBy(
+        F.least(SRC, DST).alias("p"), F.greatest(SRC, DST).alias("q")
+    ).agg(
+        F.max(F.when(F.col(SRC) < F.col(DST), 1).otherwise(0)).alias("fpq"),
+        F.max(F.when(F.col(SRC) > F.col(DST), 1).otherwise(0)).alias("fqp"),
+    )
+    # attach flags to the oriented edges BEFORE enumeration (one |E|-size
+    # join) so the wedge join carries them for free and only the closing
+    # edge needs a lookup — instead of 3 joins on the (larger) triangle set
+    if eo is None:
+        eo = oriented_edges(g)
+    eof = (
+        eo.join(
+            flags,
+            (F.least("x", "y") == F.col("p")) & (F.greatest("x", "y") == F.col("q")),
+        )
+        .select(
+            "x",
+            "y",
+            "ky",
+            F.when(F.col("x") < F.col("y"), F.col("fpq")).otherwise(F.col("fqp")).alias("fxy"),
+            F.when(F.col("x") < F.col("y"), F.col("fqp")).otherwise(F.col("fpq")).alias("fyx"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2 = eof.alias("e1"), eof.alias("e2")
+    t = (
+        e1.join(e2, F.col("e1.x") == F.col("e2.x"))
+        .where(F.col("e1.ky") < F.col("e2.ky"))
+        .select(
+            F.col("e1.x").alias("u"),
+            F.col("e1.y").alias("v"),
+            F.col("e2.y").alias("w"),
+            F.col("e1.fxy").alias("f_uv"),
+            F.col("e1.fyx").alias("f_vu"),
+            F.col("e2.fxy").alias("f_uw"),
+            F.col("e2.fyx").alias("f_wu"),
+        )
+        .join(
+            eof.select(
+                F.col("x").alias("v"),
+                F.col("y").alias("w"),
+                F.col("fxy").alias("f_vw"),
+                F.col("fyx").alias("f_wv"),
+            ),
+            ["v", "w"],
+        )
+    )
+    uv, vu = F.col("f_uv"), F.col("f_vu")
+    uw, wu = F.col("f_uw"), F.col("f_wu")
+    vw, wv = F.col("f_vw"), F.col("f_wv")
 
-    def _cnt(df: DataFrame, kind: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        ).select(F.lit(kind).alias("kind"), "cnt")
-
-    e_sd = e.select(F.col(SRC).alias("s"), F.col(DST).alias("d"))
-    e_sx = e.select(F.col(SRC).alias("s"), F.col(DST).alias("x"))
-    e_dx = e.select(F.col(SRC).alias("d"), F.col(DST).alias("x"))
-    e_xs = e.select(F.col(SRC).alias("x"), F.col(DST).alias("s"))
-    e_xd = e.select(F.col(SRC).alias("x"), F.col(DST).alias("d"))
-
-    acyclic = e_sd.join(e_sx, "s").join(e_dx, ["d", "x"], "semi")
-
-    cyclic = (
-        e_sd.join(e_xs.where(F.col("x") > F.col("s")), "s")
-        .where(F.col("x") > F.col("d"))
-        .join(e_dx, ["d", "x"], "semi")
+    # per-triangle contributions, derived by expanding each census
+    # definition over the 3 vertices (6 ordered / 3 unordered roles):
+    acyclic = uv * uw * (vw + wv) + vu * vw * (uw + wu) + wu * wv * (uv + vu)
+    cyclic = uv * vw * wu + uw * wv * vu
+    in_t = uv * vu * uw * vw + uw * wu * uv * wv + vw * wv * vu * wu
+    out_t = uv * vu * wu * wv + uw * wu * vu * vw + vw * wv * uv * uw
+    cycle_plus = (
+        uv * vu * (vw * wu + uw * wv)
+        + uw * wu * (wv * vu + uv * vw)
+        + vw * wv * (wu * uv + vu * uw)
     )
 
-    r_c = recip.where(F.col(SRC) < F.col(DST)).select(
-        F.col(SRC).alias("s"), F.col(DST).alias("d")
+    def _tot(expr, name):
+        return F.coalesce(F.sum(expr), F.lit(0)).cast("long").alias(name)
+
+    sums = t.agg(
+        _tot(acyclic, "acyclic_c"),
+        _tot(cyclic, "cyclic_c"),
+        _tot(in_t, "in_c"),
+        _tot(out_t, "out_c"),
+        _tot(cycle_plus, "cycle_plus_c"),
     )
-    in_tri = r_c.join(e_sx, "s").join(e_dx, ["d", "x"], "semi")
-    out_tri = r_c.join(e_xs, "s").join(e_xd, ["x", "d"], "semi")
-
-    r_o = recip.select(F.col(SRC).alias("s"), F.col(DST).alias("d"))
-    cycle_plus = r_o.join(e_dx, "d").join(e_xs, ["x", "s"], "semi")
-
-    return (
-        _cnt(acyclic, "acyclic")
-        .unionByName(_cnt(cyclic, "cyclic"))
-        .unionByName(_cnt(in_tri, "in"))
-        .unionByName(_cnt(out_tri, "out"))
-        .unionByName(_cnt(cycle_plus, "cycle_plus"))
+    return sums.select(
+        F.expr(
+            "stack(5, 'acyclic', acyclic_c, 'cyclic', cyclic_c, 'in', in_c, "
+            "'out', out_c, 'cycle_plus', cycle_plus_c) as (kind, cnt)"
+        )
     )

@@ -145,10 +145,7 @@ class Graph:
         (WCC/CDLP/triangles) all run on the symmetrized graph.
         """
         e = self.edges.select(SRC, DST)
-        if not self.directed:
-            both = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-        else:
-            both = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+        both = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
         return (
             both.where(F.col(SRC) != F.col(DST))
             .distinct()

@@ -41,6 +41,24 @@ def _memo_graph(spark: SparkSession, sf_dir: str, key: str, build) -> Graph:
     return g
 
 
+# Shared degree-oriented DAG memo (round 3): the clique / census /
+# truss family all start from the same (degree, vid)-oriented edge
+# table; materialize it once per (session, graph) and let every
+# pattern query reuse it — the round-2 sweep rebuilt it per query.
+_ORIENTED_MEMO: dict[tuple, DataFrame] = {}
+
+
+def memo_oriented(spark: SparkSession, sf_dir: str, key: str, g: Graph) -> DataFrame:
+    from graphscope_spark.algorithms.oriented import oriented_edges
+
+    k = (spark.sparkContext.applicationId, sf_dir, f"oriented:{key}")
+    eo = _ORIENTED_MEMO.get(k)
+    if eo is None:
+        eo = stats_barrier(oriented_edges(g))
+        _ORIENTED_MEMO[k] = eo
+    return eo
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
