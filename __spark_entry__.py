@@ -45,6 +45,8 @@ KCORE_UNROLL = 6
 KNN_K = 3
 KNN_QUERIES = 10
 LSH_PLANES = 4
+EMB_BANDS = 4            # multi-band sign-LSH for embedding near-dup:
+EMB_PLANES_PER_BAND = 4  # 4 bands x 4 sign planes over dims 1..16
 IVF_STRIDE = 37        # seed centroid every 37th vec_id (~n/37 cells)
 IVF_NPROBE = 2
 EV_ROUNDS = 5
@@ -2588,21 +2590,38 @@ def _dedup_near_sql() -> str:
 
 
 def _emb_neardup_sql() -> str:
+    """Multi-band sign-LSH twin of similarity.cosine_near_duplicates:
+    band j's key = 'j|' + Σ 2^i·[v[j·r+i+1] ≥ 0] over its r planes."""
+    band_keys = ", ".join(
+        "concat('{j}|', cast({bits} as varchar))".format(
+            j=j,
+            bits=" + ".join(
+                f"(case when embedding[{j * EMB_PLANES_PER_BAND + i + 1}] >= 0 "
+                f"then {2 ** i} else 0 end)"
+                for i in range(EMB_PLANES_PER_BAND)
+            ),
+        )
+        for j in range(EMB_BANDS)
+    )
     return f"""
       with e as (
-        select vec_id, embedding::DOUBLE[] as v,
-               (case when embedding[1] >= 0 then 1 else 0 end)
-             + (case when embedding[2] >= 0 then 2 else 0 end)
-             + (case when embedding[3] >= 0 then 4 else 0 end)
-             + (case when embedding[4] >= 0 then 8 else 0 end) as bucket
-        from embeddings
+        select vec_id, embedding::DOUBLE[] as v from embeddings
+      ),
+      keyed as (
+        select vec_id, unnest([{band_keys}]) as bk from embeddings
+      ),
+      cand as (
+        select distinct x.vec_id as a, y.vec_id as b
+        from keyed x join keyed y using(bk)
+        where x.vec_id < y.vec_id
       ),
       p as (
-        select a.vec_id as a, b.vec_id as b,
-               list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) as cos
-        from e a join e b using(bucket)
-        where a.vec_id < b.vec_id
+        select c.a, c.b,
+               list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) as cos
+        from cand c
+        join e ea on ea.vec_id = c.a
+        join e eb on eb.vec_id = c.b
       )
       select a, b, round(cos, 6) as cosine from p where cos >= {EMB_NEARDUP_T}
     """
@@ -3355,7 +3374,10 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.similarity import cosine_near_duplicates
 
     return cosine_near_duplicates(
-        _emb(spark, sf_dir), threshold=EMB_NEARDUP_T, planes=LSH_PLANES
+        _emb(spark, sf_dir),
+        threshold=EMB_NEARDUP_T,
+        bands=EMB_BANDS,
+        planes_per_band=EMB_PLANES_PER_BAND,
     ).select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -87,28 +87,63 @@ def sign_bucket(vec: Column, planes: int = 4) -> Column:
     return b.cast("int")
 
 
+def banded_sign_keys(vec: Column, bands: int = 4, planes_per_band: int = 4) -> Column:
+    """array<string> of ``bands`` LSH band keys; key j encodes the sign
+    bits of dims j·r+1 .. j·r+r (1-based), prefixed with the band id —
+    the sign-LSH analog of MinHash banding (dedup.lsh_candidate_pairs)."""
+    keys = []
+    for j in range(bands):
+        bits = F.lit(0)
+        for i in range(planes_per_band):
+            d = j * planes_per_band + i + 1
+            bits = bits + F.when(
+                F.element_at(vec, d) >= 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+        keys.append(F.concat_ws("|", F.lit(str(j)), bits.cast("string")))
+    return F.array(*keys)
+
+
 def cosine_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.9,
-    planes: int = 4,
+    bands: int = 4,
+    planes_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
-    cosine ≥ threshold, a < b, candidates restricted to the same
-    sign-LSH bucket (the scale path — per-bucket self-join instead of
-    an all-pairs product; recall misses only cross-bucket pairs, the
-    standard sign-LSH trade)."""
-    e = corpus.select(
+    cosine ≥ threshold, a < b.
+
+    Candidates come from MULTI-BAND sign-LSH (b bands × r planes, the
+    same banding shape as the MinHash path in dedup.py): a pair is a
+    candidate if it agrees on ALL r sign bits of at least one band.
+    Bucket population shrinks as corpus_size/2^r per band — raise r
+    with corpus size to keep per-bucket self-joins bounded, and raise b
+    to recover recall (a near-identical pair disagrees on a given sign
+    bit with probability θ/π ≈ 0.14 at cosine 0.9, so b=4, r=4 keeps
+    ~90% recall while cutting bucket mass 2^r-fold per band).  The
+    single-band 2^planes variant this replaces kept a CONSTANT 16
+    buckets, i.e. (N/16)² per-bucket work at 100 TB.  Verification
+    re-joins the two vectors by id (hash joins on the corpus), never
+    carrying vectors through the banded self-join."""
+    e = corpus.select(F.col(id_col), F.col(vec_col).alias("v"))
+    keyed = corpus.select(
         F.col(id_col),
-        F.col(vec_col).alias("v"),
-        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(
+            banded_sign_keys(F.col(vec_col), bands, planes_per_band)
+        ).alias("bk"),
     )
-    a = e.select("bucket", F.col(id_col).alias("a"), F.col("v").alias("va"))
-    b = e.select("bucket", F.col(id_col).alias("b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, "bucket")
+    a = keyed.select("bk", F.col(id_col).alias("a"))
+    b = keyed.select("bk", F.col(id_col).alias("b"))
+    cand = (
+        a.join(b, "bk")
         .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.join(e.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
+        .join(e.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
