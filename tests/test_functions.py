@@ -247,8 +247,49 @@ def test_multimodal_image_features(spark):
     # determinism
     rows2 = {r["id"]: r for r in image_features(df).collect()}
     assert rows2[0]["feature"] == rows[0]["feature"]
-    with pytest.raises(NotImplementedError):
-        image_features(df, decoder="real")
+
+
+def test_multimodal_real_bmp_decoder(spark):
+    """decoder='real' end-to-end: generate an uncompressed 24-bit BMP,
+    run it through the Arrow-batched image_features stage, and pin the
+    exact expected 16-bin luma-histogram feature."""
+    from graphscope_spark.functions.multimodal import (
+        IMAGE_FEATURE_DIM,
+        encode_bmp,
+        image_features,
+    )
+
+    # 2x4 image: 4 black px (gray 0 -> bin 0), 2 white px (255 -> bin 15),
+    # 1 pure red (76.245 -> bin 4), 1 mid gray 130 (-> bin 8; 128 itself
+    # sits on the bin edge where float luma rounds to 127.999…)
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[0, 0] = (255, 255, 255)
+    px[0, 1] = (255, 255, 255)
+    px[0, 2] = (255, 0, 0)
+    px[0, 3] = (130, 130, 130)
+    payload = encode_bmp(px)
+    df = spark.createDataFrame([(7, payload)], "id long, payload binary")
+    rows = image_features(df, decoder="real").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    expected = np.zeros(IMAGE_FEATURE_DIM, dtype=np.float32)
+    expected[0], expected[4], expected[8], expected[15] = 4, 1, 1, 2
+    expected /= np.linalg.norm(expected)
+    assert np.allclose(np.array(r["feature"]), expected, atol=1e-6)
+    # width not divisible by 4 exercises row padding
+    px2 = np.full((3, 3, 3), 200, dtype=np.uint8)
+    df2 = spark.createDataFrame([(8, encode_bmp(px2))], "id long, payload binary")
+    r2 = image_features(df2, decoder="real").collect()[0]
+    assert (r2["width"], r2["height"]) == (3, 3)
+    exp2 = np.zeros(IMAGE_FEATURE_DIM, dtype=np.float32)
+    exp2[12] = 9  # gray 200 -> bin 12
+    exp2 /= np.linalg.norm(exp2)
+    assert np.allclose(np.array(r2["feature"]), exp2, atol=1e-6)
+    # non-BMP payload names the gap instead of decoding garbage
+    df3 = spark.createDataFrame([(9, b"\xff\xd8jpegish")], "id long, payload binary")
+    with pytest.raises(Exception, match="BMP"):
+        image_features(df3, decoder="real").collect()
 
 
 def test_multimodal_frame_sample(spark):
