@@ -2903,6 +2903,50 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(g, source=source, weight="weight").select("vid", "dist")
 
 
+def _q_pie_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSSP expressed through the @pie decorator surface (reference
+    decorators.py:51-116, acceptance example test_udf_app.py:570-618) —
+    same graph/source/oracle as the sssp query, exercising the
+    PEval/IncEval runtime end-to-end."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.pie import pie, run_pie
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+
+    @pie(vd_type="double", md_type="double")
+    class SSSP_PIE:
+        @staticmethod
+        def Init(frag, context):
+            src = context.get_config("src")
+            context.init_value(
+                F.when(F.col("vid") == src, 0.0).otherwise(float("inf")),
+                aggregate="min",
+            )
+
+        @staticmethod
+        def PEval(frag, context):
+            src = context.get_config("src")
+            e = frag.weighted_edges()
+            return e.where(e["src"] == src).select(
+                F.col("dst").alias("vid"), F.col("w").alias("msg")
+            )
+
+        @staticmethod
+        def IncEval(frag, context):
+            e = frag.weighted_edges()
+            st = context.values
+            return e.join(st, e["src"] == st["vid"]).select(
+                e["dst"].alias("vid"), (st["value"] + e["w"]).alias("msg")
+            )
+
+    return run_pie(g, SSSP_PIE, config={"src": source}, name="pie_sssp").select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import degree_centrality
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -4117,6 +4161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_census_directed": _q_triangle_census_directed,
         # -- re-implemented this round: needs fresh driver verification -
         "ngram_jaccard": _q_jaccard,
+        # -- new this round: @pie decorator surface ---------------------
+        "pie_sssp": _q_pie_sssp,
         # -- headliners (r02-green, kept in the verified window) -------
         "pagerank": _q_pagerank,
         "graph_degree": _q_graph_degree,
@@ -4319,6 +4365,7 @@ def oracle_sql() -> dict[str, str]:
         "lcc": _lcc_sql(),
         "bfs": _bfs_sql(),
         "sssp": _sssp_sql(),
+        "pie_sssp": _sssp_sql(),
         "degree_centrality": f"""
           with edges as ({SQL_EDGES}),
           verts as ({SQL_VERTS}),
