@@ -1768,6 +1768,49 @@ def _diameter_sql() -> str:
     )
 
 
+APSP_UNROLL = 8  # thin order graph BFS depth is 4 at sf0.01; 2x margin
+
+
+def _apsp_full_sql() -> str:
+    """Full APSP over the thinned order graph: multi-source BFS from
+    ALL vertices, unrolled to quiescence, digested per root."""
+    parts = [
+        f"""with tedges as materialized (
+          select src, dst from ({SQL_EDGES}) where (src + dst) % {BIC_MOD} = 0
+        )""",
+        """tverts as materialized (
+          select distinct vid from (
+            select src as vid from tedges union all select dst as vid from tedges)
+        )""",
+        """tsym as materialized (
+          select distinct src, dst from (
+            select src, dst from tedges
+            union all select dst as src, src as dst from tedges)
+        )""",
+        "d0 as materialized (select vid as root, vid, 0 as d from tverts)",
+    ]
+    for k in range(APSP_UNROLL):
+        parts.append(
+            f"""d{k + 1} as materialized (
+              select root, vid, min(d) as d from (
+                select root, vid, d from d{k}
+                union all
+                select x.root, s.dst as vid, x.d + 1 as d
+                from d{k} x join tsym s on x.vid = s.src
+              ) group by root, vid
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        select root as vid,
+               cast(max(d) as bigint) as ecc,
+               cast(sum(d) as bigint) as sum_dist,
+               cast(count(*) - 1 as bigint) as reachable
+        from d{APSP_UNROLL} group by root"""
+    )
+
+
 def _ppr_sql() -> str:
     """Unrolled personalized PageRank: teleport + dangling mass return
     to the uniform distribution over the supplier-side landmark set."""
@@ -3229,6 +3272,25 @@ def _q_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.max("dist").cast("long").alias("diameter"))
 
 
+def _q_apsp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL unsampled APSP (reference apps/apsp/, registry
+    .gs_conf.yaml:220-225): exact BFS distances from EVERY vertex of
+    the thinned order graph, digested per root as (ecc, sum_dist,
+    reachable) so the contract row count stays |V| while the underlying
+    computation is genuinely all-pairs.  Raw (root, vid, dist) pairs:
+    multi_source_distances(g, roots=None)."""
+    from graphscope_spark.algorithms import multi_source_distances
+    from graphscope_spark.sources.tpch_graph import thin_order_graph
+
+    g = thin_order_graph(spark, sf_dir, BIC_MOD)
+    pairs = multi_source_distances(g, None, weight=None, directed=False)
+    return pairs.groupBy(F.col("root").alias("vid")).agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("reachable"),
+    )
+
+
 def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import personalized_pagerank
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -4161,13 +4223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_census_directed": _q_triangle_census_directed,
         # -- re-implemented this round: needs fresh driver verification -
         "ngram_jaccard": _q_jaccard,
-        # -- new this round: @pie decorator surface ---------------------
+        # -- new this round: @pie decorator surface + full APSP ---------
         "pie_sssp": _q_pie_sssp,
-        # -- headliners (r02-green, kept in the verified window) -------
+        "apsp": _q_apsp_full,
+        # -- headliner (r02-green, kept in the verified window) --------
         "pagerank": _q_pagerank,
+        # -- r02-green ---------------------------------------------------
         "graph_degree": _q_graph_degree,
         "wcc": _q_wcc,
-        # -- r02-green ---------------------------------------------------
         "nation_pagerank": _q_nation_pagerank,
         "wcc_log": _q_wcc_log,
         "cdlp": _q_cdlp,
@@ -4681,6 +4744,7 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality": _harmonic_sql(),
         "eccentricity": _eccentricity_sql(),
         "apsp_sampled": _apsp_sql(),
+        "apsp": _apsp_full_sql(),
         "diameter_sampled": _diameter_sql(),
         "ppr": _ppr_sql(),
         "mis": _mis_sql(),
