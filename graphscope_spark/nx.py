@@ -278,3 +278,207 @@ def adamic_adar_index(g: Graph) -> list[tuple[int, int, float]]:
 def preferential_attachment(g: Graph) -> list[tuple[int, int, int]]:
     rows = A.link_prediction(g).collect()
     return sorted((r["a"], r["b"], r["pref_attach"]) for r in rows)
+
+
+# -- shortest-path variants (round 3: NX long tail) --------------------
+def _follow_tree(tree: dict, source: int, target: int) -> list:
+    if target not in tree:
+        raise ValueError(f"no path to {target}")
+    path = [target]
+    while path[-1] != source:
+        path.append(tree[path[-1]])
+    return list(reversed(path))
+
+
+def shortest_path(g: Graph, source: int, target: int, weight: str | None = None) -> list:
+    """One shortest path source→target as a node list (NX
+    shortest_path); unweighted hops when ``weight`` is None."""
+    tree = {
+        r[VID]: r["pred"]
+        for r in A.sssp_path(g, source=source, weight=weight).collect()
+    }
+    return _follow_tree(tree, source, target)
+
+
+def dijkstra_path(g: Graph, source: int, target: int, weight: str = "weight") -> list:
+    return shortest_path(g, source, target, weight=weight)
+
+
+def bidirectional_shortest_path(g: Graph, source: int, target: int) -> list:
+    return shortest_path(g, source, target, weight=None)
+
+
+def single_target_shortest_path_length(g: Graph, target: int) -> dict:
+    """{u: hops u→target} — BFS from ``target`` over reversed edges."""
+    rev = Graph(
+        g.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        g.vertices,
+        directed=g.directed,
+        num_partitions=g.num_partitions,
+    )
+    res = A.bfs(rev, source=target, directed=g.directed)
+    return {r[VID]: r["depth"] for r in res.collect() if r["depth"] >= 0}
+
+
+def all_pairs_shortest_path_length(g: Graph) -> dict:
+    """{u: {v: d}} for every reachable pair — the FULL APSP surface
+    (reference apps/apsp/); O(V·E) compute, collect()-bound output."""
+    pairs = A.multi_source_distances(g, None, weight=None, directed=None)
+    out: dict = {}
+    for r in pairs.collect():
+        out.setdefault(r["root"], {})[r[VID]] = (
+            int(r["dist"]) if float(r["dist"]).is_integer() else r["dist"]
+        )
+    return out
+
+
+# -- structure scalars --------------------------------------------------
+def density(g: Graph) -> float:
+    n = g.num_vertices()
+    if n <= 1:
+        return 0.0
+    if g.directed:
+        m = g.distinct_edges().count()
+        return m / (n * (n - 1))
+    m = g.symmetrized().count() / 2
+    return 2.0 * m / (n * (n - 1))
+
+
+def degree_histogram(g: Graph) -> list:
+    deg = (
+        g.symmetrized()
+        .groupBy(F.col("src").alias(VID))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(g.vertices.select(VID), VID, "right")
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {r["d"]: r["c"] for r in deg}
+    top = max(counts) if counts else 0
+    return [counts.get(i, 0) for i in range(top + 1)]
+
+
+def is_connected(g: Graph) -> bool:
+    return number_connected_components(g) == 1
+
+
+def number_of_selfloops(g: Graph) -> int:
+    return g.edges.where(F.col("src") == F.col("dst")).count()
+
+
+def reciprocity(g: Graph) -> float:
+    """Fraction of distinct directed (self-loop-free) edges whose
+    reverse also exists."""
+    e = g.distinct_edges().select("src", "dst").cache()
+    m = e.count()
+    if m == 0:
+        return 0.0
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    r = e.join(rev, ["src", "dst"], "semi").count()
+    e.unpersist()
+    return r / m
+
+
+# -- coloring / communities ---------------------------------------------
+def greedy_color(g: Graph) -> dict:
+    return _to_dict(A.graph_coloring(g).select(VID, "color"))
+
+
+def louvain_communities(g: Graph) -> list[set]:
+    comm: dict = {}
+    for r in A.louvain(g).collect():
+        comm.setdefault(r["community"], set()).add(r[VID])
+    return sorted(comm.values(), key=lambda s: min(s))
+
+
+# -- bipartite module -----------------------------------------------------
+def _parity_color(g: Graph) -> DataFrame:
+    """(vid, color 0/1): BFS depth parity from each component's min-vid
+    root — the distributed 2-coloring attempt behind is_bipartite."""
+    comp = A.wcc(g)
+    roots = [r[0] for r in comp.select("comp").distinct().collect()]
+    pairs = A.multi_source_distances(g, roots, weight=None, directed=False)
+    return pairs.select(VID, (F.col("dist").cast("long") % 2).alias("color"))
+
+
+def is_bipartite(g: Graph) -> bool:
+    colors = _parity_color(g)
+    sym = g.symmetrized()
+    bad = (
+        sym.join(colors.select(F.col(VID).alias("src"), F.col("color").alias("cs")), "src")
+        .join(colors.select(F.col(VID).alias("dst"), F.col("color").alias("cd")), "dst")
+        .where(F.col("cs") == F.col("cd"))
+        .limit(1)
+        .count()
+    )
+    return bad == 0
+
+
+def bipartite_color(g: Graph) -> dict:
+    """NX bipartite.color: a proper 2-coloring; raises if impossible."""
+    if not is_bipartite(g):
+        raise ValueError("graph is not bipartite")
+    return _to_dict(_parity_color(g))
+
+
+def bipartite_sets(g: Graph) -> tuple[set, set]:
+    colors = bipartite_color(g)
+    return (
+        {v for v, c in colors.items() if c == 0},
+        {v for v, c in colors.items() if c == 1},
+    )
+
+
+def bipartite_density(g: Graph, nodes: list[int]) -> float:
+    """NX bipartite.density(B, nodes): m / (|nodes| · |others|)
+    (undirected convention)."""
+    nodes_set = set(nodes)
+    n_top = len(nodes_set)
+    n_bot = g.num_vertices() - n_top
+    if n_top == 0 or n_bot == 0:
+        return 0.0
+    m = g.symmetrized().count() / 2
+    return m / (n_top * n_bot)
+
+
+def bipartite_degrees(g: Graph, nodes: list[int]) -> tuple[dict, dict]:
+    """NX bipartite.degrees(B, nodes): (degrees of the OTHER side,
+    degrees of ``nodes``)."""
+    deg = {
+        r[VID]: r["d"]
+        for r in g.symmetrized()
+        .groupBy(F.col("src").alias(VID))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .join(g.vertices.select(VID), VID, "right")
+        .select(VID, F.coalesce("d", F.lit(0)).alias("d"))
+        .collect()
+    }
+    nodes_set = set(nodes)
+    return (
+        {v: d for v, d in deg.items() if v not in nodes_set},
+        {v: d for v, d in deg.items() if v in nodes_set},
+    )
+
+
+def bipartite_projected_graph(g: Graph, nodes: list[int]) -> Graph:
+    """NX bipartite.projected_graph: the graph on ``nodes`` with an
+    edge (u, w) when they share any neighbor — one wedge self-join on
+    the shared-neighbor key (broadcastable node filter; at scale pass
+    the node set as a DataFrame semi-join instead of an isin literal)."""
+    spark = g.edges.sparkSession
+    nodes_df = spark.createDataFrame([(int(v),) for v in nodes], f"{VID} long")
+    sym = g.symmetrized()
+    side = sym.join(nodes_df.select(F.col(VID).alias("src")), "src", "semi")
+    a = side.select(F.col("src").alias("u"), F.col("dst").alias("n"))
+    b = side.select(F.col("src").alias("w"), F.col("dst").alias("n"))
+    edges = (
+        a.join(b, "n")
+        .where(F.col("u") < F.col("w"))
+        .select(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .distinct()
+    )
+    return Graph(edges, nodes_df, directed=False, num_partitions=g.num_partitions)
