@@ -124,7 +124,15 @@ def dfs_preorder(g: Graph) -> DataFrame:
     neighbors visited in ascending vid order (deterministic rendering
     of dfs.h's token-passing order).  Components run in parallel via
     ``applyInPandas``; the walk within a component is sequential, as in
-    the reference (one token)."""
+    the reference (one token).
+
+    SCALE LIMIT (by construction, not a bug): each component's edge
+    list must fit one executor task — DFS preorder is inherently
+    sequential (the reference's dfs.h passes a single token too), so
+    there is no distributed formulation to fall back to.  On a web-scale
+    graph the giant component will NOT fit; keep this operator off any
+    100×-scale path and use bfs/wcc/sssp for traversal-order needs
+    there."""
     from graphscope_spark.algorithms import wcc
 
     comp = wcc(g)
