@@ -201,10 +201,22 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         resume: bool = True,
-        barrier_mode: str = "checkpoint",
+        barrier_mode: str = "columnar",
     ) -> None:
-        """``barrier_mode``: "checkpoint" (localCheckpoint rows) or
-        "columnar" (compressed SQL cache — see columnar_barrier)."""
+        """``barrier_mode`` selects the barrier for CHAINED
+        INTERMEDIATE rounds (sync_every > 1): "columnar" (compressed
+        SQL cache — see columnar_barrier; DEFAULT since round 3) or
+        "checkpoint" (localCheckpoint rows).  Sync-point states always
+        use the lineage-truncating localCheckpoint (see run()).
+
+        Round-3 A/B at 4M vertices / 13.1M edges, fixed-10-round
+        PageRank chained into one job, 3 interleaved pairs on a noisy
+        host: columnar 32.2/35.7/40.0 s vs checkpoint 17.0/47.4/95.9 s
+        (medians 35.7 vs 47.4, identical checksums).  Columnar wins the
+        median AND is far less variance-prone: ten rounds of
+        deserialized localCheckpoint rows (~100 B/row heap objects)
+        resident at once put the old default at the mercy of GC,
+        while lz4 columnar batches are a handful of arrays."""
         self.spark = spark
         self.name = name
         self.dir = checkpoint_dir
@@ -347,9 +359,14 @@ class SuperstepRunner:
                 for d in os.listdir(self.dir):
                     if d.startswith("iter_") and int(d.split("_")[1]) < k - 1:
                         shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
-            elif self.barrier_mode == "columnar":
-                state = columnar_barrier(res.state, eager=True)
             else:
+                # sync points ALWAYS use the lineage-TRUNCATING eager
+                # localCheckpoint, even in columnar mode: truncation is
+                # what makes unpersisting the chained intermediates
+                # below safe (nothing can recompute through a
+                # checkpoint back into a freed cache; a columnar sync
+                # state instead KEEPS lineage into the intermediates,
+                # and freeing them mid-loop NPEs executors — observed)
                 state = stats_barrier(res.state)
             # the new state is durably materialized (parquet or eager
             # barrier): every older round's storage is dead

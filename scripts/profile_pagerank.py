@@ -39,6 +39,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
             **(
                 {"spark.driver.extraJavaOptions": os.environ["SPARK_JAVA_OPTS"]}
@@ -106,7 +108,7 @@ def main() -> None:
     stages = {}
     jobs = []
     for path in logs:
-        with open(path) as fh:
+        with open(path, errors="replace") as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
@@ -117,11 +119,10 @@ def main() -> None:
                     si = ev["Stage Info"]
                     sid = si["Stage ID"]
                     dur = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1000.0
-                    stages[sid] = {
-                        "name": si["Stage Name"].split("\n")[0][:70],
-                        "wall": round(dur, 2),
-                        "tasks": si["Number of Tasks"],
-                    }
+                    st = stages.setdefault(sid, {})  # keep task-metric sums
+                    st["name"] = si["Stage Name"].split("\n")[0][:70]
+                    st["wall"] = round(dur, 2)
+                    st["tasks"] = si["Number of Tasks"]
                 elif et == "SparkListenerTaskEnd":
                     sid = ev["Stage ID"]
                     st = stages.setdefault(sid, {})
