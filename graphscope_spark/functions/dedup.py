@@ -309,3 +309,80 @@ def simhash_near_duplicates(
     return cand.select("a", "b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# -- segment-level (CCNet-style line/boilerplate) dedup ----------------
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 5,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """CCNet-style segment-level dedup / boilerplate removal.
+
+    Splits each document into consecutive non-overlapping windows of
+    ``seg_tokens`` whitespace tokens ("segments" — the stand-in for
+    newline-delimited paragraphs, which the synthetic corpus lacks),
+    counts how many DISTINCT documents each exact segment occurs in,
+    drops every segment present in more than ``max_doc_freq`` documents
+    (the classic "remove lines duplicated across documents" boilerplate
+    rule from CCNet / Gopher pipelines), and reassembles the surviving
+    segments in document order.
+
+    Returns (doc_id, clean_text, kept_segs, dropped_segs) for documents
+    that retain at least one segment.
+
+    Scale notes (100TB): two shuffles — the segment-frequency groupBy
+    (map-side partial aggregation collapses repeated boilerplate before
+    the exchange, which is also the skew story: a segment shared by 10^9
+    docs arrives at the reducer as one partial count per map partition)
+    and the per-document reassembly groupBy. The frequency join keys on
+    the segment string for exactness; at petabyte scale key on
+    ``xxhash64(seg)`` instead (64-bit keys, collision risk ≈ n²/2⁶⁴).
+    Everything is JVM-side column expressions — no Python in the path.
+    """
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ts")
+    )
+    n_segs = F.ceil(F.size("_ts") / F.lit(float(seg_tokens))).cast("int")
+    segs = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice("_ts", i * seg_tokens + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg_pos", "seg"),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    flagged = segs.join(freq, "seg").select(
+        F.col(id_col),
+        "seg_pos",
+        "seg",
+        (F.col("_df") <= max_doc_freq).alias("_keep"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_keep"), F.struct("seg_pos", "seg"))
+                )
+            ).alias("_kept"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).alias("dropped_segs"),
+        )
+        .where(F.size("_kept") > 0)
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("_kept", lambda s: s["seg"]), " "
+            ).alias("clean_text"),
+            F.size("_kept").alias("kept_segs"),
+            F.col("dropped_segs").cast("long").alias("dropped_segs"),
+        )
+    )

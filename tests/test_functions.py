@@ -443,3 +443,45 @@ def test_redact(spark):
     for i, _, exp_r, exp_c in cases:
         assert got[i][0] == exp_r, (i, got[i][0])
         assert got[i][1] == exp_c, (i, got[i][1])
+
+
+def test_segment_dedup(spark):
+    """CCNet-style segment dedup vs a pure-Python replay: 3-token
+    segments, drop segments appearing in >1 distinct docs, reassemble
+    survivors in order; docs with no surviving segment vanish."""
+    from graphscope_spark.functions.dedup import segment_dedup
+
+    docs = [
+        (0, "a b c d e f g h i"),          # "a b c" shared with doc 1
+        (1, "a b c x y z"),                # shares "a b c"
+        (2, "p q r s t u"),                # unique throughout
+        (3, "a b c a b c a b c"),          # only the shared segment -> dropped row
+        (4, "x y z w"),                    # "x y z" shared with doc 1; tail "w" kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["kept_segs"], r["dropped_segs"])
+        for r in segment_dedup(df, seg_tokens=3, max_doc_freq=1).collect()
+    }
+
+    # python replay
+    K, T = 3, 1
+    segs = {}  # (doc, pos) -> seg
+    from collections import defaultdict
+
+    docfreq = defaultdict(set)
+    for i, t in docs:
+        ts = t.split(" ")
+        for p in range((len(ts) + K - 1) // K):
+            s = " ".join(ts[p * K : p * K + K])
+            segs[(i, p)] = s
+            docfreq[s].add(i)
+    expected = {}
+    for i, _ in docs:
+        kept = [s for (d, p), s in sorted(segs.items()) if d == i and len(docfreq[s]) <= T]
+        dropped = sum(1 for (d, _), s in segs.items() if d == i and len(docfreq[s]) > T)
+        if kept:
+            expected[i] = (" ".join(kept), len(kept), dropped)
+    assert got == expected
+    assert 3 not in got  # all-boilerplate doc removed entirely
+    assert got[4][0] == "w" and got[4][2] == 1
