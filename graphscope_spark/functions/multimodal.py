@@ -5,12 +5,17 @@ metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
 Decoders:
-- ``decoder="real"`` — a REAL production path for uncompressed 24-bit
-  BMP, implemented in pure numpy (header parse, padded-row slicing,
-  bottom-up flip, BGR→RGB, 16-bin luma-histogram feature).  Compressed
-  codecs (JPEG/PNG/…) need libraries absent from this container and
-  raise ValueError naming the format; plug PIL/libvips into
-  ``_decode_real`` when deploying.
+- ``decoder="real"`` — REAL production paths for the codec-free
+  formats, implemented in pure numpy: uncompressed 24-bit BMP for
+  images (header parse, padded-row slicing, bottom-up flip, BGR→RGB,
+  16-bin luma-histogram feature) and PCM 16-bit RIFF/WAVE for audio
+  (chunk walk, mono/stereo, RMS/peak/zero-cross features).  Compressed
+  codecs (JPEG/PNG/MP3/Ogg/…) need libraries absent from this
+  container and raise ValueError naming the format; plug PIL/libvips
+  into ``_decode_real`` and ffmpeg/soundfile into
+  ``_decode_audio_real`` when deploying.  Video frame-sampling keeps a
+  fake fixed-width "codec" (no container format is decodable without
+  codec libs) behind the same plumbing.
 - ``decoder="fake"`` — a deterministic stand-in (sha256-seeded) for
   payloads of any format, exercising identical Spark-side plumbing:
   schema, batching, partition behavior.
@@ -198,3 +203,153 @@ def frame_sample(
             yield pd.DataFrame(out, columns=["id", "frame_index", "frame"])
 
     return src.mapInPandas(run, schema=schema)
+
+
+# -- audio: PCM WAV, pure numpy ----------------------------------------
+audio_feature_schema = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_sec", FloatType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("zero_cross_rate", FloatType(), True),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Serialize an int16 array — shape (n,) mono or (n, ch) — as a
+    canonical RIFF/WAVE PCM file; the test/fixture twin of
+    :func:`_decode_wav`, pure bytes, no codec library."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")     # block align
+        + (16).to_bytes(2, "little")         # bits/sample
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy decode of a PCM 16-bit RIFF/WAVE payload →
+    (sample_rate, channels, int16 array shaped (n, channels)).  Walks
+    the RIFF chunk list (fmt may be followed by LIST/fact/cue chunks
+    before data — real CC-crawled WAVs have them), supports mono or
+    multi-channel, rejects compressed codecs by name."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"decoder='real' supports PCM RIFF/WAVE only; payload magic "
+            f"{payload[:4]!r} is a format needing codec libraries — plug "
+            "ffmpeg/soundfile into multimodal._decode_audio_real when deploying"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if codec != 1 or bits != 16:
+        raise ValueError(
+            f"decoder='real' supports 16-bit PCM only (got codec={codec}, "
+            f"bits={bits})"
+        )
+    n = len(data) // (2 * ch)
+    pcm = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return rate, ch, pcm
+
+
+_decode_audio_real = _decode_wav  # deployment hook: swap for ffmpeg/soundfile
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in: sha256-seeded "samples" so the Spark
+    plumbing is testable without codec libraries."""
+    h = hashlib.sha256(payload).digest()
+    rate = 8000 * (1 + h[0] % 3)
+    n = 64 + h[1]
+    raw = np.frombuffer(
+        (hashlib.sha256(payload + b"#pcm").digest() * ((2 * n) // 32 + 1))[: 2 * n],
+        dtype="<i2",
+    ).reshape(n, 1)
+    return rate, 1, raw
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode + feature-extract an audio payload column: sample rate,
+    channel count, duration, RMS/peak level (float in [-1, 1] units),
+    and zero-crossing rate of the channel-mean signal.
+
+    ``decoder="real"`` decodes PCM 16-bit RIFF/WAVE in pure numpy (see
+    :func:`_decode_wav`); compressed formats raise ValueError naming the
+    gap.  Arrow-batched ``mapInPandas`` — one Python hop per batch, no
+    per-row UDFs; scale shape identical to :func:`image_features`."""
+    if decoder == "real":
+        decode = _decode_audio_real
+    elif decoder == "fake":
+        decode = _fake_decode_audio
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                rate, ch, pcm = decode(bytes(payload))
+                x = pcm.astype(np.float64) / 32768.0
+                mono = x.mean(axis=1)
+                n = pcm.shape[0]
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                peak = float(np.abs(x).max()) if n else 0.0
+                zc = (
+                    float((np.diff(np.signbit(mono)) != 0).sum() / (n - 1))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append(
+                    (int(i), rate, ch, n, n / rate if rate else 0.0, rms, peak, zc)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "duration_sec",
+                    "rms",
+                    "peak",
+                    "zero_cross_rate",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=audio_feature_schema)

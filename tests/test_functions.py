@@ -485,3 +485,58 @@ def test_segment_dedup(spark):
     assert got == expected
     assert 3 not in got  # all-boilerplate doc removed entirely
     assert got[4][0] == "w" and got[4][2] == 1
+
+
+def test_multimodal_real_wav_decoder(spark):
+    """decoder='real' audio end-to-end: generate a PCM WAV (with an
+    extra RIFF chunk before data, like real crawled files), run it
+    through the Arrow-batched audio_features stage, pin exact features."""
+    import pytest as _pytest
+
+    from graphscope_spark.functions.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    # 1 second of a 50 Hz square wave at 16 kHz, amplitude 8192 (=0.25)
+    rate, freq, amp = 16000, 50, 8192
+    t = np.arange(rate)
+    samples = (amp * np.sign(np.sin(2 * np.pi * freq * t / rate))).astype(np.int16)
+    payload = encode_wav(samples, rate)
+    # splice a LIST chunk between fmt and data (chunk-walk exercise)
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    payload2 = payload[:fmt_end] + extra + payload[fmt_end:]
+    payload2 = payload2[:4] + (len(payload2) - 8).to_bytes(4, "little") + payload2[8:]
+
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload2)], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in audio_features(df, decoder="real").collect()}
+    x = samples.astype(np.float64) / 32768.0
+    exp_rms = float(np.sqrt((x * x).mean()))
+    exp_zc = float((np.diff(np.signbit(x)) != 0).sum() / (rate - 1))
+    for rid in (1, 2):
+        r = rows[rid]
+        assert r["sample_rate"] == rate and r["channels"] == 1
+        assert r["n_samples"] == rate and abs(r["duration_sec"] - 1.0) < 1e-6
+        assert abs(r["rms"] - exp_rms) < 1e-6 and abs(r["peak"] - 0.25) < 1e-6
+        assert abs(r["zero_cross_rate"] - exp_zc) < 1e-6
+
+    # stereo: L = square wave, R = silence -> rms halves under mean? no:
+    # rms is over BOTH channels' samples -> amp/sqrt(2) of mono rms
+    st = np.stack([samples, np.zeros_like(samples)], axis=1)
+    df2 = spark.createDataFrame([(3, encode_wav(st, rate))], "id long, payload binary")
+    r3 = audio_features(df2, decoder="real").collect()[0]
+    assert r3["channels"] == 2 and r3["n_samples"] == rate
+    assert abs(r3["rms"] - exp_rms / np.sqrt(2)) < 1e-6
+
+    # compressed/unknown formats name the gap
+    bad = spark.createDataFrame([(4, b"OggS-vorbis")], "id long, payload binary")
+    with _pytest.raises(Exception, match="RIFF/WAVE"):
+        audio_features(bad, decoder="real").collect()
+
+    # fake decoder keeps the plumbing testable and deterministic
+    got1 = audio_features(df, decoder="fake").orderBy("id").collect()
+    got2 = audio_features(df, decoder="fake").orderBy("id").collect()
+    assert [r.asDict() for r in got1] == [r.asDict() for r in got2]
