@@ -95,6 +95,9 @@ SPATH_LEN = 3          # sampling_path walk length (edges)
 SPATH_LIMIT = 1000     # deterministic lexicographic path cap
 ASP_CUTOFF = 4         # all_simple_paths max hops
 HASPATH_UNROLL = 15    # directed dlg reachability, probed quiesce 12
+RWALK_LEN = 6          # random_walks steps per walker
+RWALK_MOD = 41         # walker start set: src % RWALK_MOD == 0
+RWALK_SEED = 7         # LCG seed shared by Spark and the SQL oracle
 RMB_K = 8              # random-multi-bfs root count (md5-ordered sample)
 RMB_UNROLL = 7         # md5-root BFS quiesce, probed 5 at sf0.01
 
@@ -1314,6 +1317,34 @@ def _sampling_path_sql() -> str:
     """
 
 
+def _random_walks_sql() -> str:
+    """Recursive-CTE replay of the LCG-seeded uniform walks
+    (walks.py): neighbors ranked by ascending dst, hop index =
+    ((node % P) * A + step * B + seed) % P % outdeg."""
+    return f"""
+      with recursive edges as (
+        {SQL_CPD_THIN_EDGES}
+      ), adj as (
+        select src, dst,
+               row_number() over (partition by src order by dst) - 1 as rnk,
+               count(*) over (partition by src) as deg
+        from edges
+      ), starts as (
+        select distinct src as start from edges where src % {RWALK_MOD} = 0
+      ), walk as (
+        select start, 0 as step, start as node from starts
+        union all
+        select w.start, w.step + 1, a.dst
+        from walk w
+        join adj a on a.src = w.node
+         and a.rnk = (((w.node % 2147483647) * 1103515245
+                       + w.step * 12345 + {RWALK_SEED}) % 2147483647) % a.deg
+        where w.step < {RWALK_LEN}
+      )
+      select start, step, node from walk
+    """
+
+
 def _is_simple_path_sql() -> str:
     """Whether the lexicographically-first SPATH_LEN-edge walk is a
     simple path (is_simple_path.h:44-96): pairwise-distinct check over
@@ -1344,24 +1375,31 @@ def _all_simple_paths_sql() -> str:
         "(select max(dst) from sym where src = (select min(vid) from verts)) as t "
         "from verts)",
     ]
+    # source-anchored progressive extension: pk = simple walks of k
+    # edges from s whose interior never touches t — each CTE stays
+    # tiny (fan-out from ONE vertex), unlike an unanchored k-way
+    # self-join of sym that the planner may enumerate globally.
+    parts.append(
+        "p1 as materialized (select st.t as t, e.src as v0, e.dst as v1 "
+        "from sym e join st on e.src = st.s)"
+    )
+    for k in range(2, ASP_CUTOFF + 1):
+        vs = [f"p.v{i}" for i in range(k)]
+        conds = [f"e.src = p.v{k - 1}", f"p.v{k - 1} != p.t"] + [
+            f"e.dst != {v}" for v in vs
+        ]
+        parts.append(
+            f"p{k} as materialized (select p.t, {', '.join(vs)}, "
+            f"e.dst as v{k} from p{k - 1} p join sym e on "
+            f"{' and '.join(conds)})"
+        )
     selects = []
     for k in range(1, ASP_CUTOFF + 1):
-        tabs = ["sym e1"] + [
-            f"join sym e{i} on e{i - 1}.dst = e{i}.src" for i in range(2, k + 1)
-        ]
-        vs = ["e1.src"] + [f"e{i}.dst" for i in range(1, k + 1)]
-        conds = [f"e1.src = (select s from st)", f"e{k}.dst = (select t from st)"]
-        for i in range(k + 1):
-            for j in range(i + 1, k + 1):
-                conds.append(f"{vs[i]} != {vs[j]}")
-        # interior vertices must not be the target (paths stop there)
-        for i in range(1, k):
-            conds.append(f"{vs[i]} != (select t from st)")
+        vs = ", ".join(f"v{i}" for i in range(k + 1))
         selects.append(
-            f"""select concat_ws('-', {", ".join(vs)}) as path,
+            f"""select concat_ws('-', {vs}) as path,
                        cast({k} as int) as hops
-                from {" ".join(tabs)}
-                where {" and ".join(conds)}"""
+                from p{k} where v{k} = t"""
         )
     return ",\n".join(parts) + "\n" + "\nunion all\n".join(selects)
 
@@ -3906,12 +3944,21 @@ def _q_fluid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _thin_cpd_graph(spark: SparkSession, sf_dir: str):
     from graphscope_spark.graph import Graph
-    from graphscope_spark.sources.tpch_graph import copurchase_directed_edges
-
-    e = copurchase_directed_edges(spark, sf_dir).where(
-        (F.col("src") + F.col("dst")) % 7 == 0
+    from graphscope_spark.sources.tpch_graph import (
+        _memo_graph,
+        copurchase_directed_edges,
     )
-    return Graph.from_edges(e, directed=True, num_partitions=32)
+    from graphscope_spark.superstep import stats_barrier
+
+    def build() -> Graph:
+        e = copurchase_directed_edges(spark, sf_dir).where(
+            (F.col("src") + F.col("dst")) % 7 == 0
+        )
+        return Graph.from_edges(
+            stats_barrier(e), directed=True, num_partitions=32
+        )
+
+    return _memo_graph(spark, sf_dir, "thin_cpd:7", build)
 
 
 def _q_five_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3946,6 +3993,22 @@ def _q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling_path(
         _thin_cpd_graph(spark, sf_dir), length=SPATH_LEN, limit=SPATH_LIMIT
     )
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style uniform walk sampling (walks.py) — LCG
+    hash picks each hop so the DuckDB recursive-CTE oracle replays the
+    identical walks."""
+    from graphscope_spark.algorithms import random_walks
+
+    g = _thin_cpd_graph(spark, sf_dir)
+    starts = (
+        g.distinct_edges()
+        .where(F.col("src") % RWALK_MOD == 0)
+        .select(F.col("src").alias("start"))
+        .distinct()
+    )
+    return random_walks(g, length=RWALK_LEN, seed=RWALK_SEED, starts=starts)
 
 
 def _q_is_simple_path(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4186,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-covers every entry."""
     return {
         # -- not yet driver-verified (r02 gate stopped at 50) ----------
+        "random_walks": _q_random_walks,
         "eccentricity": _q_eccentricity,
         "apsp_sampled": _q_apsp,
         "diameter_sampled": _q_diameter,
@@ -4517,6 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "five_clique": _kclique_sql(5),
         "sssp_delta": _sssp_sql(),
         "sampling_path": _sampling_path_sql(),
+        "random_walks": _random_walks_sql(),
         "is_simple_path": _is_simple_path_sql(),
         "all_simple_paths": _all_simple_paths_sql(),
         "sssp_path": _sssp_path_sql(),

@@ -58,6 +58,7 @@ from graphscope_spark.algorithms.paths import (
     is_simple_path,
     sampling_path,
 )
+from graphscope_spark.algorithms.walks import random_walks
 from graphscope_spark.algorithms.peeling import (
     degeneracy,
     degeneracy_ordering,
@@ -90,6 +91,7 @@ __all__ = [
     "dfs_preorder",
     "is_simple_path",
     "sampling_path",
+    "random_walks",
     "k_center",
     "maximal_matching",
     "min_dominating_set",

@@ -1,0 +1,134 @@
+"""Deterministic random walks — the DeepWalk/node2vec sampling
+primitive (uniform-neighbor walk, p=q=1) over a directed edge table.
+
+Reference parity: GraphScope ships walk-based sampling through its
+learning engine's samplers (``learning_engine/graph-learn`` random-walk
+negative sampling; the analytical registry's ``sampling_path`` is the
+pattern-walk analog, apps/sampling_path/sampling_path.h:43-135).  The
+reference seeds its walkers with per-thread RNG, which is not
+reproducible across engines; here the "randomness" is an explicit LCG
+hash of (node, step, seed) so ANY engine — including the DuckDB oracle
+via a recursive CTE — replays the identical walk:
+
+    idx(node, step) = ((node % P) * A + step * B + seed) % P
+    next = neighbor with rank idx % outdeg(node)
+
+where neighbors are ranked by ascending dst (rank 0-based), A =
+1103515245, B = 12345, P = 2147483647 (the classic glibc LCG
+multipliers — quality is adequate for walk sampling and the point is
+cross-engine determinism, not cryptographic mixing).  Walks truncate
+at dead ends (no out-neighbors); self-loops and duplicate edges are
+dropped (Graph.distinct_edges semantics).
+
+Spark plan (default, ``adjacency="array"``): neighbors are grouped
+into one sorted array per source (the CSR row GraphScope's fragments
+store natively) with ONE shuffle, persisted, and each step is a single
+left join + ``element_at`` pick — the walk grows WIDE (one column per
+step, no union fan), and a final ``posexplode`` emits (start, step,
+node).  L steps = L joins against the same persisted adjacency, one
+output pass; walkers are embarrassingly parallel, no cross-walker
+state.  ``adjacency="edges"`` keeps the per-edge (row_number, count)
+ranking instead and selects the hop with a join-residual rank filter —
+one row per edge, no per-vertex array, for graphs whose hub
+out-degrees are too large to hold as a single array cell (≳10^7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphscope_spark.graph import DST, SRC, Graph
+
+WALK_A = 1103515245
+WALK_B = 12345
+WALK_P = 2147483647
+
+
+def _lcg_idx(node_col, step: int, seed: int):
+    return (
+        (node_col % WALK_P) * F.lit(WALK_A) + F.lit(step * WALK_B + seed)
+    ) % WALK_P
+
+
+def random_walks(
+    g: Graph,
+    length: int,
+    seed: int = 7,
+    starts: DataFrame | None = None,
+    adjacency: str = "array",
+) -> DataFrame:
+    """Walk ``length`` steps from every start vertex; returns
+    (start, step, node) rows including step 0.  ``starts`` is a
+    1-column (``start``) DataFrame; default = every distinct source
+    vertex.  Deterministic: the LCG index above picks each hop."""
+    edges = g.distinct_edges().select(SRC, DST)
+    if starts is None:
+        starts = edges.select(F.col(SRC).alias("start")).distinct()
+    if adjacency == "array":
+        return _walks_array(edges, starts, length, seed)
+    return _walks_edges(edges, starts, length, seed)
+
+
+def _walks_array(
+    edges: DataFrame, starts: DataFrame, length: int, seed: int
+) -> DataFrame:
+    adj = (
+        edges.groupBy(SRC)
+        .agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+        .persist()
+    )
+    cur = starts.select("start", F.col("start").alias("v0"))
+    for t in range(length):
+        nxt = F.element_at(
+            "nbrs",
+            (_lcg_idx(F.col(f"v{t}"), t, seed) % F.size("nbrs") + 1).cast(
+                "int"
+            ),
+        )
+        cur = cur.join(adj, cur[f"v{t}"] == adj[SRC], "left").select(
+            *cur.columns, nxt.alias(f"v{t + 1}")
+        )
+    walk = F.array(*[F.col(f"v{i}") for i in range(length + 1)])
+    return cur.select(
+        "start", F.posexplode(walk).alias("step", "node")
+    ).where(F.col("node").isNotNull())
+
+
+def _walks_edges(
+    edges: DataFrame, starts: DataFrame, length: int, seed: int
+) -> DataFrame:
+    by_src = Window.partitionBy(SRC)
+    adj = (
+        edges.withColumn(
+            "rnk", F.row_number().over(by_src.orderBy(DST)) - F.lit(1)
+        )
+        .withColumn("deg", F.count(F.lit(1)).over(by_src))
+        .persist()
+    )
+    cur = starts.select(
+        "start", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    levels = [cur]
+    for t in range(length):
+        nxt = (
+            cur.join(adj, cur["node"] == adj[SRC])
+            .where(
+                F.col("rnk") == _lcg_idx(F.col("node"), t, seed) % F.col("deg")
+            )
+            .select(
+                "start",
+                F.lit(t + 1).alias("step"),
+                F.col(DST).alias("node"),
+            )
+        )
+        # Lazy barrier: without it each union branch re-derives the
+        # whole join prefix (O(L^2) joins); with it level k reuses
+        # level k-1's computed RDD, so the union costs O(L) joins.
+        nxt = nxt.localCheckpoint(eager=False)
+        levels.append(nxt)
+        cur = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -50,6 +51,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -57,7 +59,7 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"PASS {name} (rows-only: {len(sdf)} rows)")
+            print(f"PASS {name} (rows-only: {len(sdf)} rows, {time.time() - t0:.1f}s)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
@@ -96,7 +98,7 @@ def main() -> int:
             print(f"FAIL {name}: {bad}")
             failed.append(name)
         else:
-            print(f"PASS {name} ({len(s)} rows, exact)")
+            print(f"PASS {name} ({len(s)} rows, exact, {time.time() - t0:.1f}s)")
     print("----")
     print(f"{len(failed)} failures: {failed}" if failed else "ALL PASS")
     return 1 if failed else 0

@@ -1,0 +1,71 @@
+"""random_walks vs a pure-Python LCG replay oracle."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from graphscope_spark.algorithms import random_walks
+from graphscope_spark.algorithms.walks import WALK_A, WALK_B, WALK_P
+from tests.conftest import TINY_EDGES
+
+
+def walk_oracle(edges, length, seed, starts=None):
+    # mirrors Graph.distinct_edges: dedup + self-loops removed
+    adj = defaultdict(list)
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+    if starts is None:
+        starts = sorted(adj)
+    rows = []
+    for s0 in starts:
+        node = s0
+        rows.append((s0, 0, s0))
+        for t in range(length):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            idx = ((node % WALK_P) * WALK_A + t * WALK_B + seed) % WALK_P
+            node = nbrs[idx % len(nbrs)]
+            rows.append((s0, t + 1, node))
+    return sorted(rows)
+
+
+def test_random_walks_tiny(tiny_graph):
+    exp = walk_oracle(TINY_EDGES, length=4, seed=7)
+    got = sorted(
+        tuple(r) for r in random_walks(tiny_graph, length=4, seed=7).collect()
+    )
+    assert got == exp
+
+
+def test_random_walks_rand(rand_graph, rand_graph_data):
+    _, edges = rand_graph_data
+    exp = walk_oracle(edges, length=5, seed=3)
+    got = sorted(
+        tuple(r) for r in random_walks(rand_graph, length=5, seed=3).collect()
+    )
+    assert got == exp
+
+
+def test_random_walks_edges_variant_matches(rand_graph, rand_graph_data):
+    # the hub-safe per-edge rank-join plan replays identical walks
+    _, edges = rand_graph_data
+    exp = walk_oracle(edges, length=4, seed=11)
+    got = sorted(
+        tuple(r)
+        for r in random_walks(
+            rand_graph, length=4, seed=11, adjacency="edges"
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_random_walks_dead_end_truncates(tiny_graph, spark):
+    # vertex 3 is a dangling sink: its walk is exactly the step-0 row
+    starts = spark.createDataFrame([(3,)], "start long")
+    rows = [
+        tuple(r)
+        for r in random_walks(tiny_graph, length=3, seed=7, starts=starts).collect()
+    ]
+    assert rows == [(3, 0, 3)]
