@@ -1345,6 +1345,58 @@ def _random_walks_sql() -> str:
     """
 
 
+def _node2vec_sql(wr: int = 1, wc: int = 2, wf: int = 1) -> str:
+    """Unrolled replay of the node2vec biased walks (walks.py
+    node2vec_walks): step 0 is the uniform rank pick; each later step
+    weighs every neighbor (wr return / wc common / wf far) and takes
+    the first whose windowed cumulative weight exceeds
+    lcg(node, step) % total."""
+    A, B, P = 1103515245, 12345, 2147483647
+    parts = [
+        f"edges as materialized ({SQL_CPD_THIN_EDGES})",
+        """adjr as materialized (
+          select src, dst,
+                 row_number() over (partition by src order by dst) - 1 as rnk,
+                 count(*) over (partition by src) as deg
+          from edges
+        )""",
+        f"s0 as (select distinct src as start, cast(null as bigint) as prev, "
+        f"src as node from edges where src % {RWALK_MOD} = 0)",
+        f"""s1 as (
+          select w.start, w.node as prev, a.dst as node
+          from s0 w join adjr a on a.src = w.node
+           and a.rnk = (((w.node % {P}) * {A} + {RWALK_SEED}) % {P}) % a.deg
+        )""",
+    ]
+    for t in range(1, RWALK_LEN):
+        parts.append(
+            f"""s{t + 1} as (
+          select start, prev, node from (
+            select start, prev, node, wt,
+                   sum(wt) over (partition by start order by node) as cum,
+                   sum(wt) over (partition by start) as tot, h
+            from (
+              select w.start, w.node as prev, a.dst as node,
+                     case when a.dst = w.prev then {wr}
+                          when exists (select 1 from edges e2
+                                       where e2.src = w.prev
+                                         and e2.dst = a.dst) then {wc}
+                          else {wf} end as wt,
+                     (((w.node % {P}) * {A} + {t * B + RWALK_SEED}) % {P}) as h
+              from s{t} w join adjr a on a.src = w.node
+            )
+          ) where cum - wt <= h % tot and h % tot < cum
+        )"""
+        )
+    selects = [
+        f"select start, {t} as step, node from s{t}"
+        for t in range(RWALK_LEN + 1)
+    ]
+    return (
+        "with " + ",\n".join(parts) + "\n" + "\nunion all\n".join(selects)
+    )
+
+
 def _is_simple_path_sql() -> str:
     """Whether the lexicographically-first SPATH_LEN-edge walk is a
     simple path (is_simple_path.h:44-96): pairwise-distinct check over
@@ -3995,6 +4047,25 @@ def _q_sampling_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec p/q-biased second-order walks (walks.py) with integer
+    weights wr=1, wc=2, wf=1 (p = q = 2): higher-order array functions
+    compute the biased pick JVM-side; the DuckDB oracle replays it
+    with per-step windowed cumulative weights."""
+    from graphscope_spark.algorithms.walks import node2vec_walks
+
+    g = _thin_cpd_graph(spark, sf_dir)
+    starts = (
+        g.distinct_edges()
+        .where(F.col("src") % RWALK_MOD == 0)
+        .select(F.col("src").alias("start"))
+        .distinct()
+    )
+    return node2vec_walks(
+        g, length=RWALK_LEN, wr=1, wc=2, wf=1, seed=RWALK_SEED, starts=starts
+    )
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk/node2vec-style uniform walk sampling (walks.py) — LCG
     hash picks each hop so the DuckDB recursive-CTE oracle replays the
@@ -4250,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- not yet driver-verified (r02 gate stopped at 50) ----------
         "random_walks": _q_random_walks,
+        "node2vec": _q_node2vec,
         "eccentricity": _q_eccentricity,
         "apsp_sampled": _q_apsp,
         "diameter_sampled": _q_diameter,
@@ -4582,6 +4654,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_delta": _sssp_sql(),
         "sampling_path": _sampling_path_sql(),
         "random_walks": _random_walks_sql(),
+        "node2vec": _node2vec_sql(),
         "is_simple_path": _is_simple_path_sql(),
         "all_simple_paths": _all_simple_paths_sql(),
         "sssp_path": _sssp_path_sql(),

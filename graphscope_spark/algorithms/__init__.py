@@ -58,7 +58,7 @@ from graphscope_spark.algorithms.paths import (
     is_simple_path,
     sampling_path,
 )
-from graphscope_spark.algorithms.walks import random_walks
+from graphscope_spark.algorithms.walks import node2vec_walks, random_walks
 from graphscope_spark.algorithms.peeling import (
     degeneracy,
     degeneracy_ordering,
@@ -92,6 +92,7 @@ __all__ = [
     "is_simple_path",
     "sampling_path",
     "random_walks",
+    "node2vec_walks",
     "k_center",
     "maximal_matching",
     "min_dominating_set",

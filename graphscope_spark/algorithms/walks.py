@@ -95,6 +95,97 @@ def _walks_array(
     ).where(F.col("node").isNotNull())
 
 
+def node2vec_walks(
+    g: Graph,
+    length: int,
+    wr: int = 1,
+    wc: int = 2,
+    wf: int = 1,
+    seed: int = 7,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order (node2vec, Grover & Leskovec 2016) biased walks
+    with INTEGER transition weights so the walk is exactly replayable
+    cross-engine: stepping from ``prev`` at ``cur``, neighbor ``x``
+    weighs ``wr`` if x == prev (return, 1/p), ``wc`` if x is also a
+    neighbor of prev (common, 1), else ``wf`` (far, 1/q) — i.e.
+    p = wc/wr, q = wc/wf.  The hop draws r = idx(cur, step, seed) %
+    total_weight and takes the first neighbor whose cumulative weight
+    exceeds r (neighbors in ascending order); step 0 has no prev and
+    is the uniform first-order pick.  ``wf`` must be ≥ 1 so every
+    neighbor list has positive total weight.
+
+    Spark plan: same wide chained-join shape as ``random_walks``; the
+    bias is computed per row with higher-order array functions
+    (transform / zip_with / aggregate) over the persisted CSR-row
+    adjacency — entirely JVM-side, no UDF, no extra shuffle beyond
+    the one adjacency groupBy.  Each step joins the walk to the
+    adjacency twice (cur's row and prev's row); at 100 TB both joins
+    shuffle only the live-walker rows."""
+    if wf < 1:
+        raise ValueError("wf must be >= 1")
+    edges = g.distinct_edges().select(SRC, DST)
+    if starts is None:
+        starts = edges.select(F.col(SRC).alias("start")).distinct()
+    adj = (
+        edges.groupBy(SRC)
+        .agg(F.sort_array(F.collect_list(DST)).alias("nbrs"))
+        .persist()
+    )
+    cur = starts.select("start", F.col("start").alias("v0"))
+    for t in range(length):
+        idx = _lcg_idx(F.col(f"v{t}"), t, seed)
+        a = adj.select(F.col(SRC).alias("_c"), F.col("nbrs").alias("_cn"))
+        cur = cur.join(a, cur[f"v{t}"] == F.col("_c"), "left")
+        if t == 0:
+            nxt = F.element_at(
+                "_cn", (idx % F.size("_cn") + 1).cast("int")
+            )
+        else:
+            p = adj.select(
+                F.col(SRC).alias("_p"), F.col("nbrs").alias("_pn")
+            )
+            cur = cur.join(p, cur[f"v{t - 1}"] == F.col("_p"), "left")
+            prev = F.col(f"v{t - 1}")
+            pn = F.coalesce(F.col("_pn"), F.array().cast("array<long>"))
+            weights = F.transform(
+                "_cn",
+                lambda x: F.when(x == prev, F.lit(wr))
+                .when(F.array_contains(pn, x), F.lit(wc))
+                .otherwise(F.lit(wf))
+                .cast("long"),
+            )
+            tot = F.aggregate(
+                weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+            )
+            r = idx % tot
+            pairs = F.zip_with(
+                "_cn",
+                weights,
+                lambda n, w: F.struct(n.alias("n"), w.alias("w")),
+            )
+            nxt = F.aggregate(
+                pairs,
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"),
+                    F.lit(None).cast("long").alias("sel"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["cum"] + x["w"]).alias("cum"),
+                    F.when(acc["sel"].isNotNull(), acc["sel"])
+                    .when(acc["cum"] + x["w"] > r, x["n"])
+                    .alias("sel"),
+                ),
+                lambda acc: acc["sel"],
+            )
+        keep = [c for c in cur.columns if not c.startswith("_")]
+        cur = cur.select(*keep, nxt.alias(f"v{t + 1}"))
+    walk = F.array(*[F.col(f"v{i}") for i in range(length + 1)])
+    return cur.select(
+        "start", F.posexplode(walk).alias("step", "node")
+    ).where(F.col("node").isNotNull())
+
+
 def _walks_edges(
     edges: DataFrame, starts: DataFrame, length: int, seed: int
 ) -> DataFrame:

@@ -69,3 +69,67 @@ def test_random_walks_dead_end_truncates(tiny_graph, spark):
         for r in random_walks(tiny_graph, length=3, seed=7, starts=starts).collect()
     ]
     assert rows == [(3, 0, 3)]
+
+
+def n2v_oracle(edges, length, wr, wc, wf, seed, starts=None):
+    adj = defaultdict(list)
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+    nbr_sets = {k: set(v) for k, v in adj.items()}
+    if starts is None:
+        starts = sorted(adj)
+    rows = []
+    for s0 in starts:
+        prev, node = None, s0
+        rows.append((s0, 0, s0))
+        for t in range(length):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            idx = ((node % WALK_P) * WALK_A + t * WALK_B + seed) % WALK_P
+            if prev is None:
+                nxt = nbrs[idx % len(nbrs)]
+            else:
+                ws = [
+                    wr if x == prev
+                    else wc if x in nbr_sets.get(prev, ())
+                    else wf
+                    for x in nbrs
+                ]
+                r = idx % sum(ws)
+                cum = 0
+                for x, w in zip(nbrs, ws):
+                    cum += w
+                    if cum > r:
+                        nxt = x
+                        break
+            prev, node = node, nxt
+            rows.append((s0, t + 1, node))
+    return sorted(rows)
+
+
+def test_node2vec_walks_tiny(tiny_graph):
+    from graphscope_spark.algorithms.walks import node2vec_walks
+
+    exp = n2v_oracle(TINY_EDGES, length=4, wr=1, wc=2, wf=1, seed=7)
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(tiny_graph, length=4, seed=7).collect()
+    )
+    assert got == exp
+
+
+def test_node2vec_walks_rand(rand_graph, rand_graph_data):
+    from graphscope_spark.algorithms.walks import node2vec_walks
+
+    _, edges = rand_graph_data
+    # strong return bias (p small: wr large) and exploration (wf=3)
+    exp = n2v_oracle(edges, length=5, wr=4, wc=2, wf=3, seed=13)
+    got = sorted(
+        tuple(r)
+        for r in node2vec_walks(
+            rand_graph, length=5, wr=4, wc=2, wf=3, seed=13
+        ).collect()
+    )
+    assert got == exp
