@@ -102,3 +102,18 @@ def test_iceberg_scan_prunes_partitions(spark, tmp_path):
     scanned = t.scan(partition_filter={"lang": "de"})
     plan = scanned._jdf.queryExecution().executedPlan().toString()
     assert "lang=en" not in plan
+
+
+def test_random_walks_no_cartesian_no_python_udf(spark, tiny_graph):
+    """The walk plan must stay join-shaped: no cartesian product, no
+    Python row UDF (the pick is element_at / higher-order array fns)."""
+    from graphscope_spark.algorithms import node2vec_walks, random_walks
+
+    for df in (
+        random_walks(tiny_graph, length=3, seed=7),
+        node2vec_walks(tiny_graph, length=3, seed=7),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
