@@ -3367,17 +3367,19 @@ def _q_apsp_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     .gs_conf.yaml:220-225): exact BFS distances from EVERY vertex of
     the thinned order graph, digested per root as (ecc, sum_dist,
     reachable) so the contract row count stays |V| while the underlying
-    computation is genuinely all-pairs.  Raw (root, vid, dist) pairs:
+    computation is genuinely all-pairs.  Runs root-parallel over a
+    broadcast CSR (all_pairs_digest) — the |V|x|V| pair table is never
+    materialized.  Raw (root, vid, dist) pairs, if needed:
     multi_source_distances(g, roots=None)."""
-    from graphscope_spark.algorithms import multi_source_distances
+    from graphscope_spark.algorithms import all_pairs_digest
     from graphscope_spark.sources.tpch_graph import thin_order_graph
 
     g = thin_order_graph(spark, sf_dir, BIC_MOD)
-    pairs = multi_source_distances(g, None, weight=None, directed=False)
-    return pairs.groupBy(F.col("root").alias("vid")).agg(
-        F.max("dist").cast("long").alias("ecc"),
-        F.sum("dist").cast("long").alias("sum_dist"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("reachable"),
+    return all_pairs_digest(g, weight=None, directed=False).select(
+        "vid",
+        F.col("ecc").cast("long").alias("ecc"),
+        F.col("sum_dist").cast("long").alias("sum_dist"),
+        F.col("reachable").alias("reachable"),
     )
 
 

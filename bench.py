@@ -115,6 +115,7 @@ def main() -> None:
         try:
             fn(spark, SF_DIR).count()
             qtimes[name] = _compact(time.time() - t0)
+            print(f"# query {name}: {time.time() - t0:.1f}s", file=sys.stderr)
         except Exception as exc:  # record the failure, keep benching
             qtimes[name] = -1.0
             print(f"# query {name} failed: {exc}", file=sys.stderr)

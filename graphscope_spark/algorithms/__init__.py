@@ -31,7 +31,10 @@ from graphscope_spark.algorithms.voterank import voterank
 from graphscope_spark.algorithms.betweenness import betweenness_centrality
 from graphscope_spark.algorithms.louvain import louvain
 from graphscope_spark.algorithms.pagerank import personalized_pagerank
-from graphscope_spark.algorithms.multisource import multi_source_distances
+from graphscope_spark.algorithms.multisource import (
+    all_pairs_digest,
+    multi_source_distances,
+)
 from graphscope_spark.algorithms.distances import (
     apsp_sampled,
     diameter_approx,
@@ -113,6 +116,7 @@ __all__ = [
     "subgraph_census",
     "edge_support",
     "personalized_pagerank",
+    "all_pairs_digest",
     "multi_source_distances",
     "apsp_sampled",
     "diameter_approx",

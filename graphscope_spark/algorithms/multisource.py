@@ -223,6 +223,154 @@ def _distances_local(
     )
 
 
+def _csr_pack(edges_pdf, vid_arr):
+    """CSR arrays (vids, indptr, indices, weights) from an edge pandas
+    frame with columns (src, dst, w) over the sorted vid universe."""
+    import numpy as np
+
+    vids = np.sort(np.unique(vid_arr))
+    n = vids.size
+    es = np.searchsorted(vids, edges_pdf["src"].to_numpy(np.int64))
+    ed = np.searchsorted(vids, edges_pdf["dst"].to_numpy(np.int64))
+    ew = edges_pdf["w"].to_numpy(np.float64)
+    order = np.argsort(es, kind="stable")
+    indptr = np.concatenate(([0], np.bincount(es, minlength=n).cumsum())).astype(
+        np.int64
+    )
+    return vids, indptr, ed[order], ew[order]
+
+
+def _bf_from_root(rk, indptr, indices, weights, n, max_rounds):
+    """Frontier Bellman-Ford distances from one root over a CSR graph —
+    the same fixpoint as the distributed wide sweep (min over forward
+    float sums, order-independent)."""
+    import numpy as np
+
+    dist = np.full(n, np.inf)
+    dist[rk] = 0.0
+    frontier = np.array([rk], dtype=np.int64)
+    for _ in range(max_rounds):
+        st, en = indptr[frontier], indptr[frontier + 1]
+        cnt = en - st
+        tot = int(cnt.sum())
+        if tot == 0:
+            break
+        idx = np.repeat(st, cnt) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        old = dist.copy()
+        np.minimum.at(
+            dist, indices[idx], dist[np.repeat(frontier, cnt)] + weights[idx]
+        )
+        frontier = np.flatnonzero(dist < old)
+        if frontier.size == 0:
+            break
+    return dist
+
+
+def all_pairs_digest(
+    g: Graph,
+    weight: str | None = None,
+    directed: bool | None = None,
+    max_rounds: int = 200,
+    broadcast_rows: int = 8_000_000,
+    batch: int = DEFAULT_BATCH,
+) -> DataFrame:
+    """FULL all-pairs shortest-path DIGEST: one row per root vertex —
+    (vid, ecc double, sum_dist double, reachable long; self excluded
+    from reachable, included in sums as 0) — without ever materializing
+    the |V|x|V| pair table.
+
+    Reference analog: apps/apsp/ (registry .gs_conf.yaml:220-225) runs
+    one BFS per vertex across workers.  The Spark shape exploits the
+    same structure — the ROOT axis is embarrassingly parallel:
+
+    * graph fits an executor (edge rows <= ``broadcast_rows``): the edge
+      table is collected once, packed to CSR, ``sc.broadcast`` to every
+      executor, and the VERTEX table (tiny) is what gets partitioned —
+      each task sweeps its root slice with vectorized numpy frontier
+      Bellman-Ford and emits only digest rows.  On a 1000-executor
+      cluster this scales linearly in cores with zero shuffle.
+    * larger graphs: falls back to batched wide-column sweeps
+      (``_wide_sweep``) with the digest aggregated per batch — still
+      never wider than |V| rows at a time.  (At true web scale full
+      APSP is O(V*E) and off the table regardless; the sampled
+      ``multi_source_distances`` is the scale path.)
+    """
+    edges = _edge_table(g, weight, directed).cache()
+    verts = g.vertices.select(VID)
+    e_rows = edges.count()
+    spark = g.edges.sparkSession
+    if e_rows <= broadcast_rows:
+        import numpy as np
+
+        e_pdf = edges.toPandas()
+        v_arr = np.concatenate(
+            [
+                verts.toPandas()[VID].to_numpy(np.int64),
+                e_pdf["src"].to_numpy(np.int64),
+                e_pdf["dst"].to_numpy(np.int64),
+            ]
+        )
+        csr = spark.sparkContext.broadcast(_csr_pack(e_pdf, v_arr))
+        edges.unpersist()
+        nparts = g.num_partitions
+
+        def _digest(batches):
+            import numpy as np
+            import pandas as pd
+
+            vids, indptr, indices, weights = csr.value
+            n = vids.size
+            for pdf in batches:
+                roots = pdf[VID].to_numpy(np.int64)
+                rks = np.searchsorted(vids, roots)
+                ecc = np.empty(roots.size)
+                sd = np.empty(roots.size)
+                rc = np.empty(roots.size, dtype=np.int64)
+                for i, rk in enumerate(rks):
+                    dist = _bf_from_root(rk, indptr, indices, weights, n, max_rounds)
+                    reach = dist[np.isfinite(dist)]
+                    ecc[i] = reach.max()
+                    sd[i] = reach.sum()
+                    rc[i] = reach.size - 1
+                yield pd.DataFrame(
+                    {VID: roots, "ecc": ecc, "sum_dist": sd, "reachable": rc}
+                )
+
+        return verts.repartition(nparts, VID).mapInPandas(
+            _digest, f"{VID} long, ecc double, sum_dist double, reachable long"
+        ).transform(stats_barrier)
+
+    # too big to broadcast: batched wide sweeps, digested per batch
+    root_list = _collect_roots(g, None)
+    out: DataFrame | None = None
+    for lo in range(0, len(root_list), batch):
+        chunk = root_list[lo : lo + batch]
+        state, cols = _wide_sweep(edges, verts, chunk, max_rounds)
+        part = (
+            state.select(
+                F.explode(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(r).cast("long") for r in chunk]),
+                        F.array(*[F.col(c) for c in cols]),
+                    )
+                ).alias("root", "dist")
+            )
+            .where(F.col("dist") != F.lit(INF))
+            .groupBy(F.col("root").alias(VID))
+            .agg(
+                F.max("dist").alias("ecc"),
+                F.sum("dist").alias("sum_dist"),
+                (F.count(F.lit(1)) - 1).alias("reachable"),
+            )
+            .transform(stats_barrier)
+        )
+        out = part if out is None else out.unionByName(part)
+    edges.unpersist()
+    return out
+
+
 def multi_source_distances(
     g: Graph,
     roots: DataFrame | list[int] | None = None,

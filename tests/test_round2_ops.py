@@ -259,3 +259,32 @@ def test_msf_distributed_matches_finisher(spark, rand_graph_data):
         for r in minimum_spanning_forest(g, local_finish_rows=0).collect()
     }
     assert fin == dist
+
+
+def test_all_pairs_digest_both_paths(spark, rand_graph):
+    """all_pairs_digest (root-parallel broadcast CSR) equals the digest
+    of the raw multi_source_distances pair table, on BOTH the broadcast
+    path and the wide-sweep fallback (broadcast_rows=0)."""
+    from graphscope_spark.algorithms import all_pairs_digest
+
+    pairs = multi_source_distances(
+        rand_graph, None, directed=False, local_finish_rows=0
+    )
+    exp = {
+        r["vid"]: (int(r["ecc"]), int(r["sum"]), int(r["cnt"]) - 1)
+        for r in pairs.groupBy(F.col("root").alias("vid"))
+        .agg(
+            F.max("dist").alias("ecc"),
+            F.sum("dist").alias("sum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    for br in (8_000_000, 0):
+        got = {
+            r["vid"]: (int(r["ecc"]), int(r["sum_dist"]), int(r["reachable"]))
+            for r in all_pairs_digest(
+                rand_graph, directed=False, broadcast_rows=br
+            ).collect()
+        }
+        assert got == exp
