@@ -100,6 +100,11 @@ RWALK_MOD = 41         # walker start set: src % RWALK_MOD == 0
 RWALK_SEED = 7         # LCG seed shared by Spark and the SQL oracle
 RMB_K = 8              # random-multi-bfs root count (md5-ordered sample)
 RMB_UNROLL = 7         # md5-root BFS quiesce, probed 5 at sf0.01
+SPLIT_SEED = 11        # corpus_split md5 bucket seed
+RESAMPLE_SEED = 13     # quality_resample md5 bucket seed
+CONTAM_MOD = 23        # benchmark set for contamination: doc_id % 23 == 0
+PACK_BUDGET = 256      # pack_sequences tokens per bin
+PACK_SHARDS = 8        # pack_sequences deterministic shard count
 
 # ---------------------------------------------------------------------
 # shared SQL building blocks (DuckDB dialect; tables pre-registered)
@@ -4312,6 +4317,54 @@ def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean_text", "kept_segs", "dropped_segs")
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split (sampling.corpus_split):
+    md5-bucket thresholds, pure column expression — no shuffle."""
+    from graphscope_spark.functions.sampling import corpus_split
+
+    return corpus_split(_docs(spark, sf_dir), seed=SPLIT_SEED).select(
+        "doc_id", "split"
+    )
+
+
+def _q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli-by-quality importance sampling
+    (sampling.quality_resample): keep each doc with probability equal
+    to its 8-decimal-rounded quality score."""
+    from graphscope_spark.functions.sampling import quality_resample
+    from graphscope_spark.functions.text import quality_features
+
+    scored = quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", F.round("quality_score", 8).alias("quality_score")
+    )
+    return quality_resample(scored, seed=RESAMPLE_SEED).select(
+        "doc_id", "quality_score"
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination scan (sampling.contamination): corpus
+    docs sharing a 3-word shingle with the benchmark slice
+    (doc_id % CONTAM_MOD == 0); benchmark shingles broadcast."""
+    from graphscope_spark.functions.sampling import contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+    rest = docs.where(F.col("doc_id") % CONTAM_MOD != 0)
+    return contamination(rest, bench)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk packing
+    (sampling.pack_sequences): per-shard token stream chunked every
+    PACK_BUDGET tokens; bin = chunk of the doc's first token."""
+    from graphscope_spark.functions.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, shards=PACK_SHARDS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4321,6 +4374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 48 r02-green queries close the dict.  Union(r02, r03) then
     driver-covers every entry."""
     return {
+        # -- new this round (sampling/packing family) -------------------
+        "corpus_split": _q_corpus_split,
+        "quality_resample": _q_quality_resample,
+        "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
         # -- not yet driver-verified (r02 gate stopped at 50) ----------
         "random_walks": _q_random_walks,
         "node2vec": _q_node2vec,
@@ -4555,11 +4613,104 @@ def _training_corpus_sql(stop_list: str) -> str:
     """
 
 
+def _bucket_sql(value_expr: str, seed: int) -> str:
+    """DuckDB twin of sampling.hash_bucket: first 4 hex digits of
+    md5(seed ':' value) as an integer in [0, 65536)."""
+    h = f"md5('{seed}:' || cast({value_expr} as varchar))"
+    digits = [
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    return (
+        f"({digits[0]} * 4096 + {digits[1]} * 256 "
+        f"+ {digits[2]} * 16 + {digits[3]})"
+    )
+
+
+def _corpus_split_sql() -> str:
+    thr_train = int(0.8 * 65536)
+    thr_val = int(0.9 * 65536)
+    return f"""
+      with b as (
+        select doc_id, {_bucket_sql('doc_id', SPLIT_SEED)} as bkt
+        from documents
+      )
+      select doc_id,
+             case when bkt < {thr_train} then 'train'
+                  when bkt < {thr_val} then 'val'
+                  else 'test' end as split
+      from b
+    """
+
+
+def _quality_resample_sql(stop_list: str) -> str:
+    return rf"""
+      with t as (
+        select doc_id,
+               regexp_split_to_array(trim(text), '\s+') as toks,
+               cast(case when length(trim(text)) = 0 then 0
+                    else len(regexp_split_to_array(trim(text), '\s+')) end
+                    as bigint) as n_tokens
+        from documents
+      ),
+      q as (
+        select doc_id,
+               round(0.4 * least(n_tokens / 50.0, 1.0)
+                     + 0.3 * (len(list_distinct(toks)) / greatest(n_tokens, 1))
+                     + 0.3 * least((len(list_filter(toks,
+                           x -> list_contains([{stop_list}], x)))
+                           / greatest(n_tokens, 1)) * 5.0, 1.0), 8)
+                 as quality_score
+        from t
+      )
+      select doc_id, quality_score from q
+      where {_bucket_sql('doc_id', RESAMPLE_SEED)}
+            < cast(floor(quality_score * 65536) as bigint)
+    """
+
+
+def _contamination_sql() -> str:
+    return f"""
+      with {SQL_SHINGLES.strip()},
+      bench as (
+        select distinct shingle from sh where doc_id % {CONTAM_MOD} = 0
+      )
+      select s.doc_id, count(*) as hit_shingles
+      from sh s join bench b using(shingle)
+      where s.doc_id % {CONTAM_MOD} <> 0
+      group by 1
+    """
+
+
+def _pack_sequences_sql() -> str:
+    return rf"""
+      with t as (
+        select doc_id,
+               cast(doc_id % {PACK_SHARDS} as bigint) as shard,
+               cast(case when length(trim(text)) = 0 then 0
+                    else len(regexp_split_to_array(trim(text), '\s+')) end
+                    as bigint) as n_tokens
+        from documents
+      )
+      select doc_id, shard,
+             cast(floor(coalesce(sum(n_tokens) over (
+               partition by shard order by doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+               / {PACK_BUDGET}.0) as bigint) as bin,
+             n_tokens
+      from t
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from graphscope_spark.functions import specs
 
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
     return {
+        "corpus_split": _corpus_split_sql(),
+        "quality_resample": _quality_resample_sql(stop_list),
+        "contamination": _contamination_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "graph_degree": f"""
           with edges as ({SQL_EDGES}),
           verts as ({SQL_VERTS})

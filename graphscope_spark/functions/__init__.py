@@ -1,3 +1,19 @@
-from graphscope_spark.functions import corpus, dedup, multimodal, similarity, text, urls
+from graphscope_spark.functions import (
+    corpus,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    urls,
+)
 
-__all__ = ["corpus", "dedup", "multimodal", "similarity", "text", "urls"]
+__all__ = [
+    "corpus",
+    "dedup",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "text",
+    "urls",
+]
