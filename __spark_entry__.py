@@ -4365,6 +4365,27 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.ranking import tf_idf
+
+    return tf_idf(_docs(spark, sf_dir), topk=5)
+
+
+_BM25_QUERY = ["spark", "hash", "window"]
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.ranking import bm25
+
+    return bm25(_docs(spark, sf_dir), _BM25_QUERY, topk=20)
+
+
+def _q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.ranking import ngram_stats
+
+    return ngram_stats(_docs(spark, sf_dir), n=2, topk=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4374,6 +4395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 48 r02-green queries close the dict.  Union(r02, r03) then
     driver-covers every entry."""
     return {
+        # -- new this round (ranking family) ----------------------------
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25": _q_bm25,
+        "ngram_stats": _q_ngram_stats,
         # -- new this round (sampling/packing family) -------------------
         "corpus_split": _q_corpus_split,
         "quality_resample": _q_quality_resample,
@@ -4707,6 +4732,95 @@ def oracle_sql() -> dict[str, str]:
 
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
     return {
+        "tfidf_topk": r"""
+          with tok as (
+            select doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) as token
+            from documents where length(trim(text)) > 0
+          ),
+          tf as (select doc_id, token, count(*) as tf from tok group by 1, 2),
+          dfx as (select token, count(*) as df from tf group by 1),
+          n as (select count(*) as n_docs from documents),
+          scored as (
+            select t.doc_id, t.token, t.tf, d.df,
+                   t.tf * ln(cast(n.n_docs as double) / d.df) as tfidf_raw
+            from tf t join dfx d using (token) cross join n
+          )
+          select doc_id, token, tf, df,
+                 round(tfidf_raw, 8) as tfidf,
+                 cast(rank as int) as rank
+          from (
+            select *, row_number() over (
+              partition by doc_id order by tfidf_raw desc, token asc) as rank
+            from scored
+          ) where rank <= 5
+        """,
+        "bm25": r"""
+          with q as (select unnest(['hash', 'spark', 'window']) as token),
+          lens as (
+            select doc_id,
+                   cast(case when length(trim(text)) = 0 then 0
+                        else len(regexp_split_to_array(trim(text), '\s+')) end
+                        as double) as dl
+            from documents
+          ),
+          tok as (
+            select doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) as token
+            from documents where length(trim(text)) > 0
+          ),
+          tf as (
+            select t.doc_id, t.token, count(*) as tf
+            from tok t join q using (token) group by 1, 2
+          ),
+          dfx as (select token, count(*) as df from tf group by 1),
+          stats as (
+            select cast(count(*) as double) as n_docs, avg(dl) as avgdl
+            from lens
+          ),
+          scored as (
+            select t.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+                   ) as score_raw
+            from tf t
+            join dfx d using (token)
+            join lens l using (doc_id)
+            cross join stats s
+            group by t.doc_id
+          )
+          select doc_id, round(score_raw, 8) as score, cast(rank as int) as rank
+          from (
+            select *, row_number() over (
+              order by score_raw desc, doc_id asc) as rank
+            from scored
+          ) where rank <= 20
+        """,
+        "ngram_stats": r"""
+          with t as (
+            select regexp_split_to_array(trim(text), '\s+') as toks
+            from documents where length(trim(text)) > 0
+          ),
+          g as (
+            select unnest(list_transform(
+              generate_series(1, len(toks) - 1),
+              i -> concat(toks[i], ' ', toks[i + 1]))) as ngram
+            from t where len(toks) >= 2
+          ),
+          c as (select ngram, count(*) as cnt from g group by 1),
+          tot as (select sum(cnt) as total from c)
+          select ngram, cnt,
+                 round(cast(cnt as double) / total, 8) as share,
+                 cast(rank as int) as rank
+          from (
+            select ngram, cnt, row_number() over (
+              order by cnt desc, ngram asc) as rank
+            from c
+          ) cross join tot
+          where rank <= 100
+        """,
         "corpus_split": _corpus_split_sql(),
         "quality_resample": _quality_resample_sql(stop_list),
         "contamination": _contamination_sql(),

@@ -2,6 +2,7 @@ from graphscope_spark.functions import (
     corpus,
     dedup,
     multimodal,
+    ranking,
     sampling,
     similarity,
     text,
@@ -12,6 +13,7 @@ __all__ = [
     "corpus",
     "dedup",
     "multimodal",
+    "ranking",
     "sampling",
     "similarity",
     "text",
