@@ -3496,16 +3496,24 @@ def _q_subgraph_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_triangle_census_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction flags come from the directed graph; the oriented
+    triangle table is SHARED with four/five_clique + subgraph_census
+    under the "copurchase" memo key: the directed graph's undirected
+    support is exactly the co-purchase pair set (two distinct parts
+    co-occur in an order iff some line ordering between them exists),
+    and orientation depends only on that support's degrees."""
     from graphscope_spark.algorithms import directed_triangle_census
     from graphscope_spark.sources.tpch_graph import (
         copurchase_directed_graph,
+        copurchase_graph,
         memo_oriented,
     )
 
     g = copurchase_directed_graph(spark, sf_dir)
-    return directed_triangle_census(
-        g, eo=memo_oriented(spark, sf_dir, "copurchase_directed", g)
-    ).select("kind", "cnt")
+    eo = memo_oriented(
+        spark, sf_dir, "copurchase", copurchase_graph(spark, sf_dir)
+    )
+    return directed_triangle_census(g, eo=eo).select("kind", "cnt")
 
 
 def _q_densest_density(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4365,6 +4373,31 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text profile over a deterministic (dst, anchor)
+    occurrence table synthesized identically in both engines from
+    orders (the pandas-UDF html extraction itself is pytest-verified
+    byte-identically on generated pages; this checks the profile op)."""
+    from graphscope_spark.functions.ranking import anchor_profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w1 = F.element_at(
+        F.array(*[F.lit(x) for x in ["click", "here", "link", "page", "ref"]]),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    w2 = F.element_at(
+        F.array(*[F.lit(x) for x in ["alpha", "beta", "gamma", "delta"]]),
+        (F.col("o_custkey") % 4 + 1).cast("int"),
+    )
+    anchors = o.select(
+        F.concat(F.lit("site"), (F.col("o_custkey") % 100).cast("string")).alias(
+            "dst_url"
+        ),
+        F.concat(w1, F.lit(" "), w2).alias("anchor"),
+    )
+    return anchor_profile(anchors, topk=3)
+
+
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.ranking import tf_idf
 
@@ -4396,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-covers every entry."""
     return {
         # -- new this round (ranking family) ----------------------------
+        "anchor_profile": _q_anchor_profile,
         "tfidf_topk": _q_tfidf_topk,
         "bm25": _q_bm25,
         "ngram_stats": _q_ngram_stats,
@@ -4732,6 +4766,28 @@ def oracle_sql() -> dict[str, str]:
 
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
     return {
+        "anchor_profile": r"""
+          with a as (
+            select 'site' || cast(o_custkey % 100 as varchar) as dst_url,
+                   ['click','here','link','page','ref'][cast(o_orderkey % 5 as int) + 1]
+                   || ' ' ||
+                   ['alpha','beta','gamma','delta'][cast(o_custkey % 4 as int) + 1]
+                     as anchor
+            from orders
+          ),
+          tok as (
+            select dst_url,
+                   unnest(regexp_split_to_array(trim(anchor), '\s+')) as token
+            from a where length(trim(anchor)) > 0
+          ),
+          c as (select dst_url, token, count(*) as cnt from tok group by 1, 2)
+          select dst_url, token, cnt, cast(rank as int) as rank
+          from (
+            select *, row_number() over (
+              partition by dst_url order by cnt desc, token asc) as rank
+            from c
+          ) where rank <= 3
+        """,
         "tfidf_topk": r"""
           with tok as (
             select doc_id,

@@ -148,6 +148,42 @@ def bm25(
     )
 
 
+def anchor_profile(
+    anchors: DataFrame,
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+    topk: int = 3,
+) -> DataFrame:
+    """Inbound anchor-text profile per link target: the top-k tokens of
+    all anchor texts pointing AT a page (the classic search-index
+    signal — anchor text describes the target better than the target's
+    own body; also how a host graph gets entity names).
+
+    Input is the (src, dst, anchor) occurrence table from
+    ``sources.extract.anchor_texts`` (or any table of that shape).
+    Plan: explode anchor tokens → one hash aggregate keyed
+    (dst, token) with map-side partials → per-dst window top-k that
+    rides the same shuffle key.  Ties (count desc, token asc).
+    Returns (dst, token, cnt, rank).
+    """
+    tok = F.when(
+        F.length(F.trim(F.col(anchor_col))) == 0, F.array()
+    ).otherwise(tokens(anchor_col))
+    counts = (
+        anchors.select(F.col(dst_col), F.explode(tok).alias("token"))
+        .groupBy(dst_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(dst_col).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(dst_col, "token", "cnt", "rank")
+    )
+
+
 def ngram_stats(
     docs: DataFrame,
     n: int = 2,

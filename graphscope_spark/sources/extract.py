@@ -24,11 +24,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 _TITLE = re.compile(r"<title>(.*?)</title>", re.S)
 _PARA = re.compile(r"<p>(.*?)</p>", re.S)
 _HREF = re.compile(r'<a\s+href="([^"]+)"')
+_ANCHOR = re.compile(r'<a\s+href="([^"]+)"\s*>(.*?)</a>', re.S)
 
 
 @pandas_udf(StringType())
@@ -52,6 +53,39 @@ def extract_links(html: pd.Series) -> pd.Series:
         return _HREF.findall(s)
 
     return html.map(one)
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("href", StringType()),
+    StructField("anchor", StringType()),
+])))
+def extract_anchor_pairs(html: pd.Series) -> pd.Series:
+    """html binary → array of (href, anchor-text) structs, document
+    order.  Same Arrow-batched shape as extract_links; the struct array
+    keeps link and its text zipped without a second pass."""
+
+    def one(b) -> list[tuple[str, str]]:
+        s = b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else str(b)
+        return _ANCHOR.findall(s)
+
+    return html.map(one)
+
+
+def anchor_texts(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) — one row per <a> occurrence (NOT
+    deduplicated: anchor frequency is the ranking signal downstream).
+
+    Column-pruned to (url, html); the explode keys the follow-on
+    aggregation by dst_url, so the anchor-profile shuffle is the only
+    exchange after extraction.
+    """
+    return pages.select(
+        F.col("url").alias("src_url"),
+        extract_anchor_pairs("html").alias("pairs"),
+    ).select(
+        "src_url",
+        F.explode("pairs").alias("p"),
+    ).select("src_url", F.col("p.href").alias("dst_url"), F.col("p.anchor").alias("anchor"))
 
 
 def links_from_pages(pages: DataFrame) -> DataFrame:

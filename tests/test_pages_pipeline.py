@@ -213,3 +213,47 @@ def test_weighted_pagerank_on_host_graph(spark):
     assert np.allclose(
         [got[v] for v in sorted(got)], [r[v] for v in sorted(r)], atol=1e-12
     )
+
+
+def test_anchor_texts_match_generator(spark):
+    """Anchor extraction parity: every (src, dst, anchor) occurrence the
+    generator rendered comes back exactly (order-insensitive multiset)."""
+    import re
+    from collections import Counter
+
+    from graphscope_spark.sources.extract import anchor_texts
+
+    pages = generate_pages(spark, N_PAGES, partitions=4)
+    got = Counter(
+        (r["src_url"], r["dst_url"], r["anchor"])
+        for r in anchor_texts(pages).collect()
+    )
+    exp = Counter()
+    for i in range(N_PAGES):
+        _, _, html, _, _ = _page_row(i, N_PAGES, 42)
+        for href, text in re.findall(
+            r'<a\s+href="([^"]+)"\s*>(.*?)</a>', html.decode(), re.S
+        ):
+            exp[(url_of(i), href, text)] += 1
+    assert got == exp
+
+
+def test_anchor_profile_hand_oracle(spark):
+    from graphscope_spark.functions.ranking import anchor_profile
+
+    rows = [
+        ("s1", "d1", "big red site"),
+        ("s2", "d1", "red site"),
+        ("s3", "d1", "red"),
+        ("s4", "d2", ""),
+        ("s5", "d2", "only"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    out = {
+        (r.dst_url, r.rank): (r.token, r.cnt)
+        for r in anchor_profile(df, topk=2).collect()
+    }
+    assert out[("d1", 1)] == ("red", 3)
+    assert out[("d1", 2)] == ("site", 2)
+    assert out[("d2", 1)] == ("only", 1)  # empty anchor contributes nothing
+    assert ("d2", 2) not in out
