@@ -4373,6 +4373,26 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-token estimate over documents via the
+    md5-deterministic HLL — the oracle rebuilds the identical sketch in
+    DuckDB, so this checks every register, not just 'close enough'."""
+    from graphscope_spark.functions.sketch import hll_cardinality
+    from graphscope_spark.functions.text import tokens
+
+    toks = _docs(spark, sf_dir).where(
+        F.length(F.trim("text")) > 0
+    ).select(F.explode(tokens("text")).alias("token"))
+    return hll_cardinality(toks, "token")
+
+
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.sketch import hll_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_cardinality(ev, "user_id", group_cols=["event_type"])
+
+
 def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inbound anchor-text profile over a deterministic (dst, anchor)
     occurrence table synthesized identically in both engines from
@@ -4428,7 +4448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 48 r02-green queries close the dict.  Union(r02, r03) then
     driver-covers every entry."""
     return {
-        # -- new this round (ranking family) ----------------------------
+        # -- new this round (sketch + ranking families) ------------------
+        "hll_tokens": _q_hll_tokens,
+        "hll_users_by_type": _q_hll_users_by_type,
         "anchor_profile": _q_anchor_profile,
         "tfidf_topk": _q_tfidf_topk,
         "bm25": _q_bm25,
@@ -4765,7 +4787,19 @@ def oracle_sql() -> dict[str, str]:
     from graphscope_spark.functions import specs
 
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
+    from graphscope_spark.functions.sketch import hll_oracle_sql
+
     return {
+        "hll_tokens": hll_oracle_sql(
+            r"""select unnest(regexp_split_to_array(trim(text), '\s+')) as token
+                from documents where length(trim(text)) > 0""",
+            "token",
+        ),
+        "hll_users_by_type": hll_oracle_sql(
+            "select event_type, user_id from events",
+            "user_id",
+            group_cols=["event_type"],
+        ),
         "anchor_profile": r"""
           with a as (
             select 'site' || cast(o_custkey % 100 as varchar) as dst_url,

@@ -5,6 +5,7 @@ from graphscope_spark.functions import (
     ranking,
     sampling,
     similarity,
+    sketch,
     text,
     urls,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "ranking",
     "sampling",
     "similarity",
+    "sketch",
     "text",
     "urls",
 ]
