@@ -4373,6 +4373,18 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+
+
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphscope_spark.functions.text import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global distinct-token estimate over documents via the
     md5-deterministic HLL — the oracle rebuilds the identical sketch in
@@ -4449,6 +4461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-covers every entry."""
     return {
         # -- new this round (sketch + ranking families) ------------------
+        "weighted_sample": _q_weighted_sample,
+        "length_quantiles": _q_length_quantiles,
         "hll_tokens": _q_hll_tokens,
         "hll_users_by_type": _q_hll_users_by_type,
         "anchor_profile": _q_anchor_profile,
@@ -4787,9 +4801,36 @@ def oracle_sql() -> dict[str, str]:
     from graphscope_spark.functions import specs
 
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
+    from graphscope_spark.functions.sampling import hash_uniform_sql
     from graphscope_spark.functions.sketch import hll_oracle_sql
 
     return {
+        "weighted_sample": rf"""
+          with scored as (
+            select doc_id, cast(n_chars as double) as weight,
+                   ln({hash_uniform_sql('doc_id')})
+                     / cast(n_chars as double) as es_key
+            from documents where cast(n_chars as double) > 0
+          )
+          select doc_id, weight, round(es_key, 8) as es_key,
+                 cast(rank as int) as rank
+          from (
+            select *, row_number() over (
+              order by es_key desc, doc_id asc) as rank
+            from scored
+          ) where rank <= 50
+        """,
+        "length_quantiles": r"""
+          with q as (
+            select lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) as qs
+            from documents group by lang
+          )
+          select lang,
+                 unnest([cast(0.25 as double), cast(0.5 as double),
+                         cast(0.75 as double), cast(0.95 as double)]) as p,
+                 round(cast(unnest(qs) as double), 8) as value
+          from q
+        """,
         "hll_tokens": hll_oracle_sql(
             r"""select unnest(regexp_split_to_array(trim(text), '\s+')) as token
                 from documents where length(trim(text)) > 0""",

@@ -154,3 +154,62 @@ def pack_sequences(
         F.floor(cum_before / budget).cast("long").alias("bin"),
         "n_tokens",
     )
+
+
+def hash_uniform(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform in (0, 1): the first 12 md5 hex digits as
+    a 48-bit integer, mapped to (h + 0.5) / 2**48.  48 + 1 fraction
+    bits fit a double exactly and the divisor is a power of two, so the
+    value is bit-identical in any IEEE engine (the DuckDB oracle runs
+    the same digit arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    b = None
+    for i in range(12):
+        d = (F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1).cast("long")
+        b = d if b is None else b * 16 + d
+    return (b.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): key = ln(u_i) / w_i with u_i = hash_uniform(id), keep the k
+    LARGEST keys.  Inclusion probability is proportional to weight at
+    the margin; the whole draw is one deterministic expression + a
+    distributed top-k (TakeOrderedAndProject) — no RNG state, no
+    collect, replayable on any engine.
+
+    Rows with weight <= 0 are excluded (they can never be drawn).
+    Returns (id, weight, es_key, rank); ties (key desc, id asc).
+    """
+    w = F.col(weight_col).cast("double")
+    key = F.log(hash_uniform(F.col(id_col), seed)) / w
+    scored = docs.where(w > 0).select(
+        F.col(id_col), w.alias("weight"), key.alias("es_key")
+    )
+    top = scored.orderBy(F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
+    win = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "weight",
+        F.round("es_key", 8).alias("es_key"),
+        F.row_number().over(win).alias("rank"),
+    )
+
+
+def hash_uniform_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of ``hash_uniform`` (generated, shared constants)."""
+    digits = " + ".join(
+        f"(instr('{HEX_DIGITS}', substr(md5('{seed}:' || cast({expr} as varchar)), {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return (
+        f"((cast(({digits}) as double) + 0.5)"
+        f" / cast({float(1 << 48)!r} as double))"
+    )

@@ -181,6 +181,38 @@ def repetition_features(
     )
 
 
+def length_quantiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-group quantiles of a numeric column (the corpus
+    length-distribution diagnostic every filtering decision starts
+    from).  Uses Spark's exact ``percentile`` (linear interpolation at
+    rank p·(n−1) — the same definition as DuckDB's ``quantile_cont``,
+    so the oracle matches bitwise-to-8dp).  Exact percentile shuffles
+    each group's values to its reducer: fine for grouped stats where
+    |group| ≪ corpus (languages, sources); for a single global quantile
+    at 100 TB prefer approx_percentile.
+
+    Returns (group, p, value) one row per group × p.
+    """
+    arr = ", ".join(f"CAST({p} AS DOUBLE)" for p in ps)
+    q = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("qs")
+    )
+    pcol = F.array(*[F.lit(float(p)) for p in ps])
+    return (
+        q.select(group_col, F.posexplode("qs").alias("i", "v"))
+        .select(
+            group_col,
+            F.element_at(pcol, F.col("i") + 1).alias("p"),
+            F.round("v", 8).alias("value"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """N-gram-free language ID: count marker-stopword hits per language,
     argmax with (count desc, lang asc) tie-break; no hits → 'und'.
