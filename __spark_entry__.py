@@ -4373,6 +4373,20 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling over deterministic synthesized candidates
+    (url/host/score derived identically in both engines from orders)."""
+    from graphscope_spark.functions.urls import crawl_frontier
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cand = o.select(
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("host"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return crawl_frontier(cand, host_quota=3, budget=100)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.functions.sampling import weighted_sample
 
@@ -4461,6 +4475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-covers every entry."""
     return {
         # -- new this round (sketch + ranking families) ------------------
+        "crawl_frontier": _q_crawl_frontier,
         "weighted_sample": _q_weighted_sample,
         "length_quantiles": _q_length_quantiles,
         "hll_tokens": _q_hll_tokens,
@@ -4805,6 +4820,25 @@ def oracle_sql() -> dict[str, str]:
     from graphscope_spark.functions.sketch import hll_oracle_sql
 
     return {
+        "crawl_frontier": r"""
+          with c as (
+            select 'u' || cast(o_orderkey as varchar) as url,
+                   'h' || cast(o_custkey % 40 as varchar) as host,
+                   o_totalprice as score
+            from orders
+          ),
+          q as (
+            select *, cast(row_number() over (
+              partition by host order by score desc, url asc) as int) as host_rank
+            from c
+          )
+          select url, host, score, host_rank, cast(rank as int) as rank
+          from (
+            select *, row_number() over (
+              order by score desc, url asc) as rank
+            from q where host_rank <= 3
+          ) where rank <= 100
+        """,
         "weighted_sample": rf"""
           with scored as (
             select doc_id, cast(n_chars as double) as weight,

@@ -50,3 +50,44 @@ def url_host(col: Column | str) -> Column:
     ``canonical_url`` first if desired); '' when not an absolute URL."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.regexp_extract(c, _SPLIT_RE, 2))
+
+
+def crawl_frontier(
+    candidates,
+    host_quota: int = 3,
+    budget: int = 100,
+    url_col: str = "url",
+    host_col: str = "host",
+    score_col: str = "score",
+):
+    """Crawl-frontier scheduling: from a scored candidate-URL table,
+    take at most ``host_quota`` URLs per host (politeness — no host
+    monopolizes fetch slots) and then the global top ``budget`` by
+    score.  The ordering is fully deterministic (score desc, url asc).
+
+    Plan shape at 10^12 candidates: the per-host quota is a window
+    partitioned BY HOST (one shuffle on the natural key, map-side
+    partial nothing — but the window never single-partitions), and the
+    global budget is a distributed top-k (TakeOrderedAndProject), never
+    a full sort.  Returns (url, host, score, host_rank, rank).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wh = Window.partitionBy(host_col).orderBy(
+        F.col(score_col).desc(), F.col(url_col).asc()
+    )
+    quota = (
+        candidates.select(url_col, host_col, score_col)
+        .withColumn("host_rank", F.row_number().over(wh))
+        .where(F.col("host_rank") <= host_quota)
+    )
+    top = quota.orderBy(F.col(score_col).desc(), F.col(url_col).asc()).limit(budget)
+    wg = Window.orderBy(F.col(score_col).desc(), F.col(url_col).asc())
+    return top.select(
+        url_col,
+        host_col,
+        score_col,
+        "host_rank",
+        F.row_number().over(wg).alias("rank"),
+    )

@@ -60,3 +60,20 @@ def test_plans(spark):
     df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
     plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "Python" not in plan
+
+
+def test_crawl_frontier(spark):
+    from graphscope_spark.functions.urls import crawl_frontier
+
+    rows = (
+        [(f"u{i}", "h1", float(100 - i)) for i in range(6)]
+        + [(f"v{i}", "h2", 50.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "url string, host string, score double")
+    out = crawl_frontier(df, host_quota=2, budget=3).collect()
+    # h1 keeps only u0 (100) and u1 (99) under quota=2; u2 (98) is cut,
+    # so the third budget slot goes to h2's v0 (50, url-asc tie-break)
+    assert [(r.url, r.rank) for r in out] == [("u0", 1), ("u1", 2), ("v0", 3)]
+    assert all(r.host_rank <= 2 for r in out)
+    plan = crawl_frontier(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
