@@ -540,3 +540,28 @@ def test_multimodal_real_wav_decoder(spark):
     got1 = audio_features(df, decoder="fake").orderBy("id").collect()
     got2 = audio_features(df, decoder="fake").orderBy("id").collect()
     assert [r.asDict() for r in got1] == [r.asDict() for r in got2]
+
+
+def test_image_resize_exact(spark):
+    import numpy as np
+    from graphscope_spark.functions.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        image_resize,
+        resize_nearest,
+    )
+
+    # 2x2 checkerboard upscaled to 4x4: each pixel becomes a 2x2 block
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(px)))], "id long, payload binary")
+    out = image_resize(df, 4, 4).collect()[0]
+    assert (out.width, out.height) == (4, 4)
+    got = decode_bmp_pixels(bytes(out.payload))
+    exp = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert (got == exp).all()
+    # downscale back: pixel centers land on the original samples
+    back = resize_nearest(got, 2, 2)
+    assert (back == px).all()
