@@ -4465,6 +4465,35 @@ def _q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_stats(_docs(spark, sf_dir), n=2, topk=100)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022 shape): per
+    doc, the count and fraction of k-token spans whose hash occurs in
+    >= 2 distinct documents.  One groupBy on the span hash + one join
+    back — no self-join (a boilerplate span shared by a million docs is
+    one aggregate row, not 10^12 pairs)."""
+    from graphscope_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality gate: per-host mean quality_score (one skew-
+    tolerant partial-agg groupBy on the host key), broadcast-joined
+    back; keep = host mean >= floor."""
+    from graphscope_spark.functions.corpus import host_reputation
+
+    return host_reputation(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-architecture hashed-n-gram linear classifier as one
+    Catalyst array expression — zero shuffles; md5-derived weights make
+    the DuckDB oracle replay the identical model."""
+    from graphscope_spark.functions.classify import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4476,6 +4505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     close the dict.  Union of the per-round gates then covers every
     entry."""
     return {
+        # -- newest (added after the round-3 sweep began) ----------------
+        "dup_spans": _q_dup_spans,
+        "host_reputation": _q_host_reputation,
+        "quality_classifier": _q_quality_classifier,
         # -- new this round (sketch + ranking families) ------------------
         "crawl_frontier": _q_crawl_frontier,
         "weighted_sample": _q_weighted_sample,
@@ -4820,8 +4853,90 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in specs.STOPWORDS)
     from graphscope_spark.functions.sampling import hash_uniform_sql
     from graphscope_spark.functions.sketch import hll_oracle_sql
+    from graphscope_spark.functions.classify import bucket_sql, weight_sql
+
+    _k = specs.DUP_SPAN_K
+    _wt = weight_sql(bucket_sql("tk", specs.QCLS_BUCKETS, specs.QCLS_SEED), specs.QCLS_SEED)
 
     return {
+        "dup_spans": rf"""
+          with toks as (
+            select doc_id, regexp_split_to_array(trim(text), '\s+') as t
+            from documents
+          ),
+          pos as (
+            select doc_id, md5(array_to_string(t[i:i+{_k - 1}], ' ')) as span
+            from toks, unnest(generate_series(1, len(t) - {_k - 1})) as g(i)
+            where len(t) >= {_k}
+          ),
+          freq as (
+            select span, 1 as isdup from pos
+            group by span having count(distinct doc_id) >= {specs.DUP_SPAN_MIN_DOCS}
+          ),
+          per as (
+            select p.doc_id, count(*) as n_spans, count(f.isdup) as n_dup
+            from pos p left join freq f using(span)
+            group by 1
+          )
+          select d.doc_id,
+                 cast(coalesce(per.n_spans, 0) as bigint) as n_spans,
+                 cast(coalesce(per.n_dup, 0) as bigint) as n_dup_spans,
+                 round(cast(coalesce(per.n_dup, 0) as double)
+                       / greatest(coalesce(per.n_spans, 0), 1), 8) as dup_frac
+          from documents d left join per using(doc_id)
+          order by doc_id
+        """,
+        "host_reputation": rf"""
+          with t as (
+            select doc_id, source,
+                   regexp_split_to_array(trim(text), '\s+') as toks,
+                   cast(case when length(trim(text)) = 0 then 0
+                        else len(regexp_split_to_array(trim(text), '\s+')) end
+                        as bigint) as n_tokens
+            from documents
+          ),
+          f as (
+            select doc_id, source, n_tokens,
+                   greatest(n_tokens, 1) as st,
+                   len(list_distinct(toks)) as nu,
+                   len(list_filter(toks, x -> list_contains([{stop_list}], x))) as ns
+            from t
+          ),
+          scored as (
+            select doc_id, source,
+                   0.4 * least(n_tokens / 50.0, 1.0)
+                   + 0.3 * (nu / st)
+                   + 0.3 * least((ns / st) * 5.0, 1.0) as q
+            from f
+          ),
+          hosts as (
+            select source, cast(count(*) as bigint) as host_docs, avg(q) as hq
+            from scored group by source
+          )
+          select s.doc_id, s.source, h.host_docs,
+                 round(h.hq, 8) as host_quality,
+                 (h.hq >= {specs.HOST_MIN_QUALITY!r}) as keep
+          from scored s join hosts h using(source)
+          order by s.doc_id
+        """,
+        "quality_classifier": rf"""
+          with t as (
+            select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+            from documents
+          ),
+          tok as (select doc_id, x as tk from t, unnest(toks) as u(x)),
+          w as (select doc_id, {_wt} as wt from tok),
+          agg as (
+            select doc_id, cast(count(*) as bigint) as n_tokens,
+                   round(sum(wt) / greatest(count(*), 1), 8) as mean
+            from w group by doc_id
+          )
+          select doc_id, n_tokens,
+                 round(1.0 / (1.0 + exp(-mean)), 8) as cls_score,
+                 (round(1.0 / (1.0 + exp(-mean)), 8) >= {specs.QCLS_THRESHOLD!r}) as cls_keep
+          from agg
+          order by doc_id
+        """,
         "crawl_frontier": r"""
           with c as (
             select 'u' || cast(o_orderkey as varchar) as url,

@@ -83,3 +83,40 @@ def training_corpus(
         .where(F.col(id_col) == F.col("_min"))
         .select(id_col, "n_tokens", "quality_score")
     )
+
+
+def host_reputation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    min_quality: float | None = None,
+) -> DataFrame:
+    """Host-level quality gate (the URL/domain-reputation filter every
+    web-scale corpus applies before per-document scoring — cheap,
+    because one aggregate covers millions of pages per host).
+
+    Per host: document count + mean quality_score; each document gets
+    its host's aggregates and keep = host_quality >= min_quality.
+
+    Scale (100 TB): one groupBy on the host key (heavily skewed —
+    large hosts — but it is an AVG, so map-side partial aggregation
+    bounds the shuffle to one row per task per host) and one join
+    back.  The host table is tiny relative to pages (millions of hosts
+    vs trillions of docs) → Catalyst/AQE broadcasts it.
+    """
+    floor = specs.HOST_MIN_QUALITY if min_quality is None else min_quality
+    q = quality_features(docs).select(F.col(id_col), F.col(host_col), "quality_score")
+    hosts = q.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("host_docs"),
+        F.avg("quality_score").alias("host_quality"),
+    )
+    return (
+        q.join(F.broadcast(hosts), host_col)
+        .select(
+            id_col,
+            host_col,
+            "host_docs",
+            F.round("host_quality", 8).alias("host_quality"),
+            (F.col("host_quality") >= floor).alias("keep"),
+        )
+    )

@@ -386,3 +386,62 @@ def segment_dedup(
             F.col("dropped_segs").cast("long").alias("dropped_segs"),
         )
     )
+
+
+# -- duplicate spans (exact-substring dedup signal) ---------------------
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+    min_docs: int | None = None,
+) -> DataFrame:
+    """Per-document exact-substring duplication signal (the corpus-level
+    dedup of Lee et al. 2022, at k-token granularity): every position
+    yields the md5 of its k-token span; a span hash held by >=
+    ``min_docs`` DISTINCT documents is corpus-duplicated.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) for EVERY input doc —
+    docs shorter than k tokens have n_spans = 0, dup_frac = 0.0.
+
+    Scale (100 TB): one shuffle — groupBy on the 32-byte span hash with
+    map-side partial counts (count_distinct over doc_id rewrites to a
+    two-level aggregate) — then one hash join back to the positioned
+    spans.  No self-join anywhere, so a boilerplate span shared by a
+    million documents costs one aggregate row, not 10^12 pairs.
+    Reference parity: the reference has no substring dedup; this is the
+    training-pipeline extension grounded in the paper's method.
+    """
+    k = k or specs.DUP_SPAN_K
+    min_docs = min_docs or specs.DUP_SPAN_MIN_DOCS
+    t = tokens(text_col)
+    span_arr = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select(F.col(id_col), F.explode_outer(span_arr).alias("span"))
+    dup = (
+        spans.where(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("span", F.lit(1).alias("_dup"))
+    )
+    n_spans = F.count(F.col("span"))
+    n_dup = F.count(F.col("_dup"))
+    return (
+        spans.join(dup, "span", "left")
+        .groupBy(id_col)
+        .agg(
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(
+                F.count(F.col("_dup")).cast("double")
+                / F.greatest(F.count(F.col("span")), F.lit(1)),
+                8,
+            ).alias("dup_frac"),
+        )
+    )

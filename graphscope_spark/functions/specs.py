@@ -44,6 +44,27 @@ REDACT_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
 REDACT_NUM_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9]+"  # 6+ digit runs
 REDACT_TOKENS = {"url": "<URL>", "email": "<EMAIL>", "num": "<NUM>"}
 
+# duplicate-span detection (exact-substring dedup signal, the shape of
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better": substrings repeated verbatim across the corpus): span =
+# DUP_SPAN_K consecutive tokens at each position; a span hash occurring
+# in >= DUP_SPAN_MIN_DOCS distinct documents is corpus-duplicated.
+DUP_SPAN_K = 5
+DUP_SPAN_MIN_DOCS = 2
+
+# hashed-n-gram linear quality classifier (fastText architecture:
+# hashing-trick buckets + linear layer + sigmoid).  Weights are derived
+# from md5 so Spark and the DuckDB oracle share them bit-for-bit; a
+# learned weight vector drops in as a broadcast array with the same
+# plan shape.
+QCLS_BUCKETS = 512
+QCLS_SEED = 7
+QCLS_THRESHOLD = 0.5
+
+# host-reputation gate: a document is kept when its host's mean
+# quality_score clears the floor
+HOST_MIN_QUALITY = 0.55
+
 # training-corpus selection gates (functions/corpus.py): Gopher-style
 # repetition caps + quality floor + language gate; dedup keeps min doc_id
 CORPUS_LANG = "en"
