@@ -4494,6 +4494,35 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (RAG/eval-slice preparation): fixed
+    token windows with overlap as one zero-shuffle array expression;
+    returns per-doc chunk count + token coverage so the result stays
+    small while still pinning every chunk boundary (the oracle computes
+    the same digest from the exploded chunks)."""
+    from graphscope_spark.functions.text import chunk_text
+
+    ch = chunk_text(_docs(spark, sf_dir))
+    return (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("sum_chunk_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("chunk_id").cast("string"), F.md5("chunk_text"))
+                        )
+                    ),
+                )
+            ).alias("chunks_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4506,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry."""
     return {
         # -- newest (added after the round-3 sweep began) ----------------
+        "doc_chunks": _q_doc_chunks,
         "dup_spans": _q_dup_spans,
         "host_reputation": _q_host_reputation,
         "quality_classifier": _q_quality_classifier,
@@ -4858,7 +4888,35 @@ def oracle_sql() -> dict[str, str]:
     _k = specs.DUP_SPAN_K
     _wt = weight_sql(bucket_sql("tk", specs.QCLS_BUCKETS, specs.QCLS_SEED), specs.QCLS_SEED)
 
+    _c, _s = specs.CHUNK_TOKENS, specs.CHUNK_TOKENS - specs.CHUNK_OVERLAP
+
     return {
+        "doc_chunks": rf"""
+          with t as (
+            select doc_id, regexp_split_to_array(trim(text), '\s+') as tk
+            from documents
+          ),
+          m as (
+            select doc_id, tk, len(tk) as n,
+                   1 + cast(floor((greatest(len(tk) - {_c}, 0) + {_s - 1})
+                                  / {_s}) as int) as m
+            from t
+          ),
+          ch as (
+            select doc_id, cast(i as bigint) as chunk_id,
+                   array_to_string(tk[i*{_s}+1 : i*{_s}+{_c}], ' ') as chunk_text,
+                   cast(least({_c}, n - i*{_s}) as bigint) as nct
+            from m, unnest(generate_series(0, m - 1)) as g(i)
+          )
+          select doc_id,
+                 cast(count(*) as bigint) as n_chunks,
+                 cast(sum(nct) as bigint) as sum_chunk_tokens,
+                 md5(array_to_string(
+                   list_sort(list(cast(chunk_id as varchar) || ':' || md5(chunk_text))),
+                   '|')) as chunks_digest
+          from ch group by doc_id
+          order by doc_id
+        """,
         "dup_spans": rf"""
           with toks as (
             select doc_id, regexp_split_to_array(trim(text), '\s+') as t

@@ -65,6 +65,11 @@ QCLS_THRESHOLD = 0.5
 # quality_score clears the floor
 HOST_MIN_QUALITY = 0.55
 
+# context-window chunking (RAG / eval-slice preparation): fixed token
+# windows with overlap; stride = CHUNK_TOKENS - CHUNK_OVERLAP
+CHUNK_TOKENS = 16
+CHUNK_OVERLAP = 4
+
 # training-corpus selection gates (functions/corpus.py): Gopher-style
 # repetition caps + quality floor + language gate; dedup keeps min doc_id
 CORPUS_LANG = "en"

@@ -238,3 +238,47 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(id_col).join(picked, id_col, "left").select(
         id_col, F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int | None = None,
+    overlap: int | None = None,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_chunk_tokens): fixed-size token
+    windows with overlap — the context-window chunking every RAG /
+    eval-slice pipeline applies before embedding or scoring.
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; a doc
+    with <= chunk_tokens tokens yields exactly one chunk (its whole
+    text, empty docs included).
+
+    Scale (100 TB): zero shuffles — one array expression (sequence →
+    transform → slice) pipelined with the scan; output rows ≈ input
+    tokens / stride, so the fan-out is bounded and linear.
+    """
+    c = chunk_tokens or specs.CHUNK_TOKENS
+    o = specs.CHUNK_OVERLAP if overlap is None else overlap
+    stride = c - o
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = tokens(text_col)
+    n = F.size(t)
+    # m = 1 + ceil(max(n - c, 0) / stride), integer arithmetic
+    m = F.lit(1) + F.floor(
+        (F.greatest(n - c, F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(t, i * stride + 1, c)).alias("chunk_text"),
+            F.least(F.lit(c), n - i * stride).cast("long").alias("n_chunk_tokens"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+        id_col, "ch.chunk_id", "ch.chunk_text", "ch.n_chunk_tokens"
+    )

@@ -119,3 +119,28 @@ def test_quality_classifier(spark, docs3):
     h = int(hashlib.md5(f"w{specs.QCLS_SEED}:{b}".encode()).hexdigest()[:12], 16)
     w = ((h + 0.5) / float(1 << 48)) * 2.0 - 1.0
     assert abs(got[5][1] - 1.0 / (1.0 + math.exp(-round(w, 8)))) < 1e-7
+
+
+def test_chunk_text(spark, docs3):
+    from graphscope_spark.functions.text import chunk_text
+
+    c, o = specs.CHUNK_TOKENS, specs.CHUNK_OVERLAP
+    stride = c - o
+    exp = []
+    for i, text, _ in DOCS:
+        t = _toks(text)
+        n = len(t)
+        m = 1 + max(0, -(-(n - c) // stride)) if n > c else 1
+        for j in range(m):
+            s = j * stride
+            exp.append((i, j, " ".join(t[s : s + c]), min(c, n - s)))
+    got = [
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_text(docs3).orderBy("doc_id", "chunk_id").collect()
+    ]
+    assert got == sorted(exp)
+    # overlap really present: consecutive chunks share o tokens
+    t0 = _toks(DOCS[3][1])
+    if len(t0) > c:
+        c0 = [g for g in got if g[0] == 3]
+        assert c0[0][2].split()[stride:] == c0[1][2].split()[: c - stride or None][:o]
