@@ -120,3 +120,39 @@ def host_reputation(
             (F.col("host_quality") >= floor).alias("keep"),
         )
     )
+
+
+def select_and_chunk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """The round-3 corpus gates composed into ONE Catalyst plan — host
+    reputation AND classifier keep AND duplicate-span fraction <= cap,
+    then context-window chunking of the survivors.
+
+    Demonstrates the operators are closed under composition: three
+    independent per-doc signals (one broadcast-joined host aggregate,
+    one zero-shuffle classifier fold, one span-hash groupBy) meet in
+    doc_id-keyed joins that AQE plans together; chunking adds no
+    shuffle.  At 100 TB the only wide stages are the two aggregates
+    each gate already pays on its own.
+    """
+    from graphscope_spark.functions.classify import quality_classifier
+    from graphscope_spark.functions.dedup import duplicate_spans
+    from graphscope_spark.functions.text import chunk_text
+
+    hr = host_reputation(docs, id_col=id_col).where(F.col("keep")).select(id_col)
+    qc = (
+        quality_classifier(docs, id_col=id_col, text_col=text_col)
+        .where(F.col("cls_keep"))
+        .select(id_col)
+    )
+    ds = (
+        duplicate_spans(docs, id_col=id_col, text_col=text_col)
+        .where(F.col("dup_frac") <= max_dup_frac)
+        .select(id_col)
+    )
+    kept = docs.join(hr, id_col).join(qc, id_col).join(ds, id_col)
+    return chunk_text(kept, id_col=id_col, text_col=text_col)

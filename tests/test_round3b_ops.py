@@ -144,3 +144,27 @@ def test_chunk_text(spark, docs3):
     if len(t0) > c:
         c0 = [g for g in got if g[0] == 3]
         assert c0[0][2].split()[stride:] == c0[1][2].split()[: c - stride or None][:o]
+
+
+def test_select_and_chunk_composition(spark, docs3):
+    from graphscope_spark.functions.corpus import select_and_chunk
+    from graphscope_spark.functions.text import chunk_text
+
+    hr = {r["doc_id"] for r in host_reputation(docs3).collect() if r["keep"]}
+    qc = {r["doc_id"] for r in quality_classifier(docs3).collect() if r["cls_keep"]}
+    ds = {
+        r["doc_id"]
+        for r in duplicate_spans(docs3).collect()
+        if r["dup_frac"] <= 0.2
+    }
+    kept = hr & qc & ds
+    got = select_and_chunk(docs3).collect()
+    assert {r["doc_id"] for r in got} == kept or (not kept and not got)
+    exp = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_text(docs3).collect()
+        if r["doc_id"] in kept
+    }
+    assert {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in got
+    } == exp
