@@ -117,3 +117,20 @@ def test_random_walks_no_cartesian_no_python_udf(spark, tiny_graph):
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The composed corpus pipeline must stay scale-safe: no cartesian
+    product, no Python row UDF anywhere (every gate is JVM-side), and
+    the tiny host-aggregate side arrives broadcast."""
+    from graphscope_spark.functions.corpus import select_and_chunk
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma delta {i}", "h" + str(i % 3)) for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    plan = select_and_chunk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
