@@ -4523,6 +4523,34 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index artifact: per term, document frequency + the top-10
+    'doc:tf' posting list (tf desc, doc asc).  Two shuffles total —
+    (doc,term) tf, then term-keyed rank+list; skewed stopword terms are
+    bounded because only the rank-filtered survivors enter the list."""
+    from graphscope_spark.functions.ranking import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir)).orderBy("term")
+
+
+def _q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recrawl diff between two deterministic snapshot
+    views of the documents table (old: drops doc_id%10==3, mangles
+    text of doc_id%7==0; new: drops doc_id%10==7): one full-outer join
+    on the key comparing 32-byte fingerprints, never bodies."""
+    from graphscope_spark.functions.urls import crawl_delta
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" OLD")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    return crawl_delta(old, new).orderBy("doc_id")
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3 corpus gates composed into ONE Catalyst plan (host
     reputation AND classifier AND dup-span cap, then chunking); output
@@ -4565,6 +4593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry."""
     return {
         # -- newest (added after the round-3 sweep began) ----------------
+        "inverted_index": _q_inverted_index,
+        "crawl_delta": _q_crawl_delta,
         "corpus_pipeline": _q_corpus_pipeline,
         "doc_chunks": _q_doc_chunks,
         "dup_spans": _q_dup_spans,
@@ -4922,6 +4952,48 @@ def oracle_sql() -> dict[str, str]:
     _c, _s = specs.CHUNK_TOKENS, specs.CHUNK_TOKENS - specs.CHUNK_OVERLAP
 
     d = {
+        "inverted_index": r"""
+          with tok as (
+            select doc_id as doc, x as term
+            from (select doc_id, regexp_split_to_array(trim(text), '\s+') as t
+                  from documents), unnest(t) as u(x)
+          ),
+          tf as (
+            select term, doc, cast(count(*) as bigint) as tf
+            from tok group by 1, 2
+          ),
+          rk as (
+            select *, cast(row_number() over (
+              partition by term order by tf desc, doc asc) as int) as rnk
+            from tf
+          )
+          select term, cast(count(*) as bigint) as df,
+                 coalesce(string_agg(
+                   cast(doc as varchar) || ':' || cast(tf as varchar), ' '
+                   order by rnk) filter (rnk <= 10), '') as postings
+          from rk group by term order by term
+        """,
+        "crawl_delta": r"""
+          with o as (
+            select doc_id,
+                   md5(regexp_replace(lower(trim(
+                     case when doc_id % 7 = 0 then text || ' OLD' else text end
+                   )), '\s+', ' ', 'g')) as fp_old
+            from documents where doc_id % 10 <> 3
+          ),
+          n as (
+            select doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp_new
+            from documents where doc_id % 10 <> 7
+          )
+          select coalesce(o.doc_id, n.doc_id) as doc_id,
+                 case when o.doc_id is null then 'added'
+                      when n.doc_id is null then 'removed'
+                      when fp_old <> fp_new then 'changed'
+                      else 'unchanged' end as status
+          from o full outer join n on o.doc_id = n.doc_id
+          order by 1
+        """,
         "doc_chunks": rf"""
           with t as (
             select doc_id, regexp_split_to_array(trim(text), '\s+') as tk

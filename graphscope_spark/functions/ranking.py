@@ -231,3 +231,54 @@ def ngram_stats(
             "rank",
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10,
+) -> DataFrame:
+    """(term, df, postings): the search-index artifact itself — per
+    term, document frequency and the top-``max_postings`` posting list
+    "doc:tf" ranked by tf desc then doc asc, serialized as one string
+    so the row is engine-comparable.
+
+    Scale (100 TB): tf is the (doc, token) partial-agg shuffle;
+    the posting-list build is ONE more shuffle keyed by term (the
+    window's rank rides it) — stopword-skewed terms are bounded because
+    only ``max_postings`` rows per term survive the rank filter and the
+    final list is built from those survivors, never the full posting.
+    A real deployment shards the index by term hash — which is exactly
+    the partitioning this plan already produces.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc").asc())
+    top = tf.withColumn("rnk", F.row_number().over(w))
+    return (
+        top.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rnk") <= max_postings,
+                                F.struct(
+                                    F.col("rnk").alias("r"),
+                                    F.concat_ws(":", F.col("doc").cast("string"), F.col("tf").cast("string")).alias("p"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+            ).alias("postings"),
+        )
+    )

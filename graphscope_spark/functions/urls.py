@@ -91,3 +91,33 @@ def crawl_frontier(
         "host_rank",
         F.row_number().over(wg).alias("rank"),
     )
+
+
+def crawl_delta(old, new, key_col: str = "doc_id", text_col: str = "text"):
+    """(key, status) diff between two crawl snapshots keyed by page
+    identity: ``added`` (key only in new), ``removed`` (only in old),
+    ``changed`` (content fingerprint differs), ``unchanged``.
+
+    The incremental-recrawl primitive: downstream stages (re-extract,
+    re-embed, re-index) run only on added+changed — at 10^12 pages the
+    delta is typically <1% of the corpus, so this one full-outer join
+    (single shuffle on the key; content compared via the 32-byte md5
+    fingerprint, never the bodies) replaces a full reprocess.
+    Fingerprints come from text.fingerprint → identical in DuckDB.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (type doc)
+    from graphscope_spark.functions.text import fingerprint
+
+    o = old.select(F.col(key_col).alias("k"), fingerprint(text_col).alias("fp_old"))
+    n = new.select(F.col(key_col).alias("k"), fingerprint(text_col).alias("fp_new"))
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -168,3 +168,44 @@ def test_select_and_chunk_composition(spark, docs3):
     assert {
         (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in got
     } == exp
+
+
+def test_inverted_index(spark, docs3):
+    from collections import Counter
+
+    from graphscope_spark.functions.ranking import inverted_index
+
+    cap = 3
+    tf: dict[str, Counter] = {}
+    for i, text, _ in DOCS:
+        for tok in _toks(text):
+            tf.setdefault(tok, Counter())[i] += 1
+    exp = {}
+    for term, c in tf.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp[term] = (len(c), " ".join(f"{d}:{n}" for d, n in ranked[:cap]))
+    got = {
+        r["term"]: (r["df"], r["postings"])
+        for r in inverted_index(docs3, max_postings=cap).collect()
+    }
+    assert got == exp
+    # a term in >cap docs really truncates to cap postings
+    wide = [t for t, (df, _) in exp.items() if df > cap]
+    if wide:
+        assert all(len(exp[t][1].split()) == cap for t in wide)
+
+
+def test_crawl_delta(spark, docs3):
+    from graphscope_spark.functions.urls import crawl_delta
+
+    old = spark.createDataFrame(
+        [(0, "same text"), (1, "old version"), (2, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same  TEXT"), (1, "new version"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in crawl_delta(old, new).collect()}
+    # doc 0: same after normalization (case+whitespace) → unchanged
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
