@@ -1,4 +1,5 @@
 from graphscope_spark.functions import (
+    classify,
     corpus,
     dedup,
     multimodal,
@@ -11,6 +12,7 @@ from graphscope_spark.functions import (
 )
 
 __all__ = [
+    "classify",
     "corpus",
     "dedup",
     "multimodal",

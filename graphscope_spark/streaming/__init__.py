@@ -1,3 +1,4 @@
-from graphscope_spark.streaming.events import windowed_event_counts, stream_events
+from graphscope_spark.streaming.dedup import dedup_stream, stream_docs
+from graphscope_spark.streaming.events import stream_events, windowed_event_counts
 
-__all__ = ["windowed_event_counts", "stream_events"]
+__all__ = ["dedup_stream", "stream_docs", "stream_events", "windowed_event_counts"]
