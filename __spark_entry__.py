@@ -64,6 +64,14 @@ NEARDUP_T = 0.6        # n-gram Jaccard near-dup verification threshold
 NEARDUP_CC_UNROLL = 6  # component depth over the tiny verified-pair graph
 EMB_NEARDUP_T = 0.4    # synthetic embeddings are near-orthogonal (max
                        # bucketed cosine 0.513 at sf0.01); real corpora ~0.9
+SALSA_ROUNDS = 4       # salsa: fixed alternations (no normalization agg)
+COCIT_CAP = 64         # co-citation/coupling frequency cap on the shared page
+COCIT_K = 100          # top-k relatedness pairs returned
+SEMDEDUP_TAU = 0.35    # SemDeDup cosine ball (synthetic vecs near-orthogonal;
+                       # real embedding corpora use ~0.9 — same plan shape)
+CMS_D, CMS_W = 4, 1024  # count-min sketch depth x width
+CMS_THRESHOLD = 500    # heavy-hitter token estimate cutoff
+BLOOM_K, BLOOM_M = 3, 8192  # Bloom decontamination bits
 LINKPRED_MOD = 100     # sample: a-side vertices with vid % 100 == 0
 BOUNDARY_MOD = 20      # S = parts with vid % 20 == 0
 DLG_MOD = 7            # linenumber-graph thinning modulus (tpch_graph.py)
@@ -703,6 +711,56 @@ def _hits_sql() -> str:
     return (
         ",\n".join(parts)
         + f"\nselect vid, round(hub, 8) as hub, round(auth, 8) as auth from h{HITS_ROUNDS}"
+    )
+
+
+def _salsa_sql() -> str:
+    """Unrolled SALSA (degree-normalized HITS), SALSA_ROUNDS rounds:
+    auth' = Σ hub/od over in-edges, hub' = Σ auth'/id over out-edges;
+    no normalization step (mass is conserved by construction)."""
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"verts as materialized ({SQL_VERTS})",
+        "od as materialized (select src, cast(count(*) as double) as od from edges group by 1)",
+        "idg as materialized (select dst, cast(count(*) as double) as idg from edges group by 1)",
+        "nh as materialized (select cast(count(*) as double) as n from od)",
+        """h0 as materialized (
+          select v.vid, case when o.src is not null
+                             then 1.0 / (select n from nh) else 0.0 end as hub
+          from verts v left join od o on v.vid = o.src)""",
+    ]
+    for k in range(SALSA_ROUNDS):
+        parts.append(
+            f"""a{k} as materialized (
+              select e.dst as vid, sum(h.hub / o.od) as auth
+              from edges e
+              join h{k} h on e.src = h.vid
+              join od o on e.src = o.src
+              group by 1
+            )"""
+        )
+        parts.append(
+            f"""h{k + 1} as materialized (
+              select v.vid, coalesce(hh.hub, 0.0) as hub
+              from verts v left join (
+                select e.src as vid, sum(a.auth / i.idg) as hub
+                from edges e
+                join a{k} a on e.dst = a.vid
+                join idg i on e.dst = i.dst
+                group by 1
+              ) hh using(vid)
+            )"""
+        )
+    r = SALSA_ROUNDS
+    return (
+        ",\n".join(parts)
+        + f"""
+        select v.vid, round(h.hub, 8) as hub,
+               round(coalesce(a.auth, 0.0), 8) as auth
+        from verts v
+        join h{r} h using(vid)
+        left join a{r - 1} a on v.vid = a.vid
+        """
     )
 
 
@@ -4581,6 +4639,78 @@ def _q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority on the customer->supplier graph: HITS's
+    random-walk (degree-normalized) form — both vectors stay L1=1 by
+    construction, so a round is exactly two shuffles (no normalization
+    aggregate at all; compare _q_hits)."""
+    from graphscope_spark.algorithms import salsa
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return salsa(order_graph(spark, sf_dir), rounds=SALSA_ROUNDS).select(
+        "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k supplier pairs by co-citation count (shared citing
+    customer), with the outdegree frequency cap that keeps directory
+    pages from manufacturing O(outdeg²) pairs at web scale."""
+    from graphscope_spark.algorithms import cocitation
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return cocitation(order_graph(spark, sf_dir), max_citing_outdeg=COCIT_CAP, top_k=COCIT_K)
+
+
+def _q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k order pairs by bibliographic coupling (shared cited part)
+    on the order->part citation graph; indegree cap mirrors the
+    co-citation guard on the cited side."""
+    from graphscope_spark.algorithms import bib_coupling
+    from graphscope_spark.graph import Graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    g = Graph.from_edges(e, directed=True, num_partitions=32)
+    return bib_coupling(g, max_cited_indeg=COCIT_CAP, top_k=COCIT_K)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup: IVF coarse clusters, then
+    in-cluster cosine balls; lower id survives."""
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), stride=IVF_STRIDE, tau=SEMDEDUP_TAU)
+
+
+def _q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via the md5-deterministic count-min sketch —
+    the oracle rebuilds the identical d x w register matrix in DuckDB,
+    so every (one-sided) estimate matches bit-for-bit."""
+    from graphscope_spark.functions.sketch import cms_heavy_hitters
+    from graphscope_spark.functions.text import tokens
+
+    toks = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", threshold=CMS_THRESHOLD, d=CMS_D, w=CMS_W)
+
+
+def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination with a broadcast Bloom filter of the
+    benchmark shingles (constant-size however large the benchmark) —
+    the 100 TB form of _q_contamination; Bloom false positives are
+    md5-deterministic so both engines count identical hits."""
+    from graphscope_spark.functions.sketch import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % CONTAM_MOD == 0)
+    rest = docs.where(F.col("doc_id") % CONTAM_MOD != 0)
+    return bloom_contamination(rest, bench, k=BLOOM_K, m=BLOOM_M)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4592,7 +4722,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     close the dict.  Union of the per-round gates then covers every
     entry."""
     return {
-        # -- newest (added after the round-3 sweep began) ----------------
+        # -- newest (added after the round-3 sweep began), cheapest first -
+        "cocitation": _q_cocitation,
+        "bib_coupling": _q_bib_coupling,
+        "cms_tokens": _q_cms_tokens,
+        "semantic_dedup": _q_semantic_dedup,
+        "salsa": _q_salsa,
+        "bloom_contamination": _q_bloom_contamination,
         "inverted_index": _q_inverted_index,
         "crawl_delta": _q_crawl_delta,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -4951,7 +5087,84 @@ def oracle_sql() -> dict[str, str]:
 
     _c, _s = specs.CHUNK_TOKENS, specs.CHUNK_TOKENS - specs.CHUNK_OVERLAP
 
+    from graphscope_spark.functions.sketch import bloom_oracle_sql, cms_oracle_sql
+
     d = {
+        "salsa": _salsa_sql(),
+        "cocitation": f"""
+          with edges as materialized ({SQL_EDGES}),
+          d as (select src, count(*) as od from edges group by 1),
+          b as (select e.src, e.dst from edges e join d using(src)
+                where d.od <= {COCIT_CAP}),
+          pairs as (
+            select l.dst as a, r.dst as b, cast(count(*) as bigint) as common
+            from b l join b r using(src)
+            where l.dst < r.dst
+            group by 1, 2
+          )
+          select a, b, common from pairs
+          order by common desc, a asc, b asc limit {COCIT_K}
+        """,
+        "bib_coupling": f"""
+          with edges as materialized (
+            select distinct l_orderkey as src, l_partkey as dst from lineitem
+          ),
+          d as (select dst, count(*) as idg from edges group by 1),
+          b as (select e.src, e.dst from edges e join d using(dst)
+                where d.idg <= {COCIT_CAP}),
+          pairs as (
+            select l.src as a, r.src as b, cast(count(*) as bigint) as common
+            from b l join b r using(dst)
+            where l.src < r.src
+            group by 1, 2
+          )
+          select a, b, common from pairs
+          order by common desc, a asc, b asc limit {COCIT_K}
+        """,
+        "semantic_dedup": f"""
+          with c as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+          cent as (select vec_id as cid, v as cv from c
+                   where vec_id % {IVF_STRIDE} = 0),
+          assign as (
+            select vec_id, v, cid as cluster from (
+              select c.vec_id, c.v, cent.cid,
+                     row_number() over (
+                       partition by c.vec_id
+                       order by list_dot_product(c.v, cent.cv)
+                                / (sqrt(list_dot_product(c.v, c.v))
+                                   * sqrt(list_dot_product(cent.cv, cent.cv))) desc,
+                                cent.cid asc) as rk
+              from c cross join cent
+            ) where rk = 1
+          ),
+          dups as (
+            select distinct b.vec_id as dup_id
+            from assign a join assign b using(cluster)
+            where a.vec_id < b.vec_id
+              and list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
+          )
+          select a.vec_id, a.cluster,
+                 (d.dup_id is not null) as is_duplicate
+          from assign a left join dups d on a.vec_id = d.dup_id
+        """,
+        "cms_tokens": cms_oracle_sql(
+            r"""select unnest(regexp_split_to_array(trim(text), '\s+')) as token
+                from documents where length(trim(text)) > 0""",
+            "token",
+            CMS_THRESHOLD,
+            d=CMS_D,
+            w=CMS_W,
+        ),
+        "bloom_contamination": bloom_oracle_sql(
+            f"with {SQL_SHINGLES.strip()} select doc_id, shingle from sh "
+            f"where doc_id % {CONTAM_MOD} <> 0",
+            f"with {SQL_SHINGLES.strip()} select doc_id, shingle from sh "
+            f"where doc_id % {CONTAM_MOD} = 0",
+            k=BLOOM_K,
+            m=BLOOM_M,
+        ),
         "inverted_index": r"""
           with tok as (
             select doc_id as doc, x as term

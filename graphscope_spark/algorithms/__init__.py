@@ -6,7 +6,7 @@ from graphscope_spark.algorithms.lcc import lcc
 from graphscope_spark.algorithms.bfs import bfs
 from graphscope_spark.algorithms.sssp import sssp
 from graphscope_spark.algorithms.degrees import degree_centrality
-from graphscope_spark.algorithms.hits import hits
+from graphscope_spark.algorithms.hits import hits, salsa
 from graphscope_spark.algorithms.kcore import kcore
 from graphscope_spark.algorithms.centrality import (
     closeness_centrality,
@@ -44,7 +44,7 @@ from graphscope_spark.algorithms.distances import (
 )
 from graphscope_spark.algorithms.boundary import edge_boundary, node_boundary
 from graphscope_spark.algorithms.mis import maximal_independent_set
-from graphscope_spark.algorithms.linkpred import link_prediction
+from graphscope_spark.algorithms.linkpred import bib_coupling, cocitation, link_prediction
 from graphscope_spark.algorithms.scc import strongly_connected_components
 from graphscope_spark.algorithms.kclique import four_clique_count
 from graphscope_spark.algorithms.msf import minimum_spanning_forest
@@ -127,6 +127,8 @@ __all__ = [
     "node_boundary",
     "maximal_independent_set",
     "link_prediction",
+    "cocitation",
+    "bib_coupling",
     "strongly_connected_components",
     "four_clique_count",
     "pagerank",
@@ -139,6 +141,7 @@ __all__ = [
     "sssp",
     "degree_centrality",
     "hits",
+    "salsa",
     "kcore",
     "eigenvector_centrality",
     "katz_centrality",

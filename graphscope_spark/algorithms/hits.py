@@ -115,3 +115,95 @@ def hits(
     edges_out.unpersist()
     edges_in.unpersist()
     return final.select(VID, "hub", "auth")
+
+
+def salsa(
+    g: Graph,
+    rounds: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2000): the stochastic cousin of HITS —
+    hub/authority weights propagated by RANDOM-WALK (degree-normalized)
+    steps instead of raw sums, so no per-round renormalization is
+    needed: both vectors stay L1 = 1 by construction.
+
+    Returns (vid long, hub double, auth double) after ``rounds``
+    alternations from the uniform hub start (hubs = pages with
+    outdegree > 0).  Fixed-round and deterministic, so a DuckDB oracle
+    replays it exactly.
+
+    Reference analog: apps/hits/hits.h is the unnormalized-sum variant;
+    SALSA is its named degree-normalized form on the same bipartite
+    hub/authority support (registry has no salsa entry — this extends
+    the link-analysis family alongside hits/articlerank).
+
+    Spark plan: identical shuffle shape to :func:`hits` — two join-aggs
+    per round over the doubly-partitioned edge cache; the degree
+    normalizations ride the SAME joins (out/in degree folded onto the
+    edge table once, up front), and there is NO normalization aggregate
+    at all, so a round is exactly two shuffles."""
+    spark = g.edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = g.distinct_edges().select(SRC, DST)
+    odeg = base.groupBy(SRC).agg(F.count(F.lit(1)).alias("od"))
+    ideg = base.groupBy(DST).agg(F.count(F.lit(1)).alias("id_"))
+    # fold both degrees onto the edge table once; cache both layouts
+    e = base.join(odeg, SRC).join(ideg, DST).select(SRC, DST, "od", "id_")
+    edges_out = e.repartition(p, SRC).cache()
+    edges_in = e.repartition(p, DST).cache()
+    n_hubs = odeg.count()
+
+    def init() -> DataFrame:
+        return (
+            g.vertices.join(odeg, g.vertices[VID] == odeg[SRC], "left")
+            .select(
+                VID,
+                F.when(F.col("od").isNotNull(), F.lit(1.0 / n_hubs))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+                F.lit(0.0).alias("auth"),
+            )
+            .repartition(p, VID)
+        )
+
+    cached: list[DataFrame] = []
+
+    def step(state: DataFrame, k: int) -> StepResult:
+        hubs = state.select(VID, "hub").hint("shuffle_hash")
+        auth = (
+            edges_out.join(hubs, edges_out[SRC] == hubs[VID])
+            .select(F.col(DST).alias(VID), (F.col("hub") / F.col("od")).alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("new_auth"))
+        ).cache()  # reused by both the hub pass and the state join
+        cached.append(auth)
+        hub = (
+            edges_in.join(
+                auth.hint("shuffle_hash"), edges_in[DST] == auth[VID]
+            )
+            .select(F.col(SRC).alias(VID), (F.col("new_auth") / F.col("id_")).alias("m"))
+            .groupBy(VID)
+            .agg(F.sum("m").alias("new_hub"))
+        )
+        nxt = (
+            state.select(VID)
+            .hint("shuffle_hash")
+            .join(auth.hint("shuffle_hash"), VID, "left")
+            .join(hub.hint("shuffle_hash"), VID, "left")
+            .select(
+                VID,
+                F.coalesce("new_hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("new_auth", F.lit(0.0)).alias("auth"),
+            )
+        )
+        return StepResult(nxt)
+
+    run = SuperstepRunner(spark, "salsa", checkpoint_dir=checkpoint_dir)
+    with one_shuffle_mode(spark):
+        final = run.run(init, step, max_iterations=rounds, sync_every=rounds)
+        final = final.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    edges_out.unpersist()
+    edges_in.unpersist()
+    return final.select(VID, "hub", "auth")

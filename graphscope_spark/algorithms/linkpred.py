@@ -71,3 +71,58 @@ def link_prediction(
         )
     )
     return out
+
+
+def cocitation(
+    g: Graph,
+    max_citing_outdeg: int = 64,
+    top_k: int = 100,
+) -> DataFrame:
+    """(a, b, common) — top-k page pairs by CO-CITATION count: the
+    number of distinct pages citing both (Small 1973, the classic
+    link-graph relatedness signal; reference analog: the NX-facade
+    wedge family, same enumeration as clustering.h).
+
+    Scale guard: a citing page with outdegree o contributes o² pairs,
+    so pages above ``max_citing_outdeg`` are excluded from the middle —
+    the standard frequency cap (a directory page citing 10⁵ urls says
+    nothing about relatedness anyway; same reasoning as dropping
+    boilerplate shingles).  The join shuffles on the citing page; the
+    final top-k is a distributed TakeOrderedAndProject, never a global
+    sort."""
+    e = g.distinct_edges().select(SRC, DST)
+    odeg = e.groupBy(SRC).agg(F.count(F.lit(1)).alias("od"))
+    bounded = e.join(odeg.where(F.col("od") <= max_citing_outdeg), SRC)
+    l = bounded.select(F.col(SRC).alias("m"), F.col(DST).alias("a"))
+    r = bounded.select(F.col(SRC).alias("m"), F.col(DST).alias("b"))
+    pairs = (
+        l.join(r, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs.orderBy(F.desc("common"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def bib_coupling(
+    g: Graph,
+    max_cited_indeg: int = 64,
+    top_k: int = 100,
+) -> DataFrame:
+    """(a, b, common) — top-k page pairs by BIBLIOGRAPHIC COUPLING:
+    the number of distinct pages both cite (Kessler 1963).  Mirror of
+    :func:`cocitation` with the indegree cap on the shared CITED page
+    (a page cited by everyone — a home page — carries no signal and
+    contributes indeg² pairs)."""
+    e = g.distinct_edges().select(SRC, DST)
+    ideg = e.groupBy(DST).agg(F.count(F.lit(1)).alias("id_"))
+    bounded = e.join(ideg.where(F.col("id_") <= max_cited_indeg), DST)
+    l = bounded.select(F.col(DST).alias("m"), F.col(SRC).alias("a"))
+    r = bounded.select(F.col(DST).alias("m"), F.col(SRC).alias("b"))
+    pairs = (
+        l.join(r, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs.orderBy(F.desc("common"), F.asc("a"), F.asc("b")).limit(top_k)

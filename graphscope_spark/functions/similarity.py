@@ -266,3 +266,48 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    stride: int = 37,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus (here the
+    deterministic IVF quantizer — a trained k-means drops in), then
+    within each cluster mark a vector a duplicate iff some LOWER-id
+    cluster-mate has cosine ≥ tau.  Returns every corpus row as
+    (vec_id, cluster, is_duplicate) — filter !is_duplicate to keep one
+    representative per ε-ball.
+
+    Scale shape: the all-pairs comparison is confined to clusters, so
+    per-cluster cost is (|cluster|)², bounded by the quantizer fanout
+    (clusters = |corpus|/stride grows WITH the corpus — unlike a fixed
+    bucket count, mean cluster population stays ~stride); the pair join
+    shuffles on the cluster key and AQE splits skewed cells.  No UDF,
+    no driver collect."""
+    cent = ivf_centroids(corpus, stride, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("av"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv"), "cluster"
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cosine(F.col("av"), F.col("bv")) >= tau)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dup_ids, assigned[id_col] == dup_ids["dup_id"], "left"
+    ).select(
+        id_col,
+        "cluster",
+        F.col("dup_id").isNotNull().alias("is_duplicate"),
+    )

@@ -170,3 +170,238 @@ def hll_oracle_sql(
              cast(n_registers as bigint) as n_registers
       from folded
     """
+
+# -- Count-min sketch -------------------------------------------------
+#
+# Same portability trick as the HLL above: every hash is md5 (bit-equal
+# in Spark and DuckDB), so the full register matrix — and therefore
+# every estimate — is reproducible in plain SQL and the driver check is
+# exact.  Reference analog: GraphScope's builtin registry has no sketch
+# family; this is part of the training-data-pipeline surface (heavy-
+# hitter tokens / hosts without an exact full-vocabulary count).
+
+
+def _hex5_to_int(hx: Column) -> Column:
+    """First 5 hex chars of a digest as an int (20 bits)."""
+    return F.conv(F.substring(hx, 1, 5), 16, 10).cast("long")
+
+
+def cms_registers(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(row, col, cnt): the d×w count-min register matrix.  Row r's
+    hash of value v is md5('r|v'); the column is its first 20 bits
+    mod w.  ONE hash aggregate whose map-side partial bounds the
+    shuffle at d·w rows per input partition regardless of input size —
+    the sketch build never materializes per-token counts."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                (
+                    _hex5_to_int(
+                        F.md5(F.concat(F.lit(f"{r}|"), F.col(col).cast("string")))
+                    )
+                    % w
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(value, est): every distinct value whose count-min estimate
+    (min over the d rows) reaches ``threshold``.  The register matrix
+    is ≤ d·w rows and is broadcast back onto the distinct-value stream,
+    so the only unbounded shuffle is the distinct itself — at 100 TB
+    you'd probe a candidate list instead; the sketch side is O(d·w)
+    either way.  Estimates over-count (classic CMS one-sided error) —
+    deterministically, so the oracle reproduces them bit-for-bit."""
+    regs = cms_registers(df, col, d, w)
+    probes = df.where(F.col(col).isNotNull()).select(F.col(col).alias("value")).distinct()
+    probed = probes.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        (
+                            _hex5_to_int(
+                                F.md5(F.concat(F.lit(f"{r}|"), F.col("value").cast("string")))
+                            )
+                            % w
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("value", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        probed.join(F.broadcast(regs), ["row", "col"])
+        .groupBy("value")
+        .agg(F.min("cnt").alias("est"))
+        .where(F.col("est") >= threshold)
+    )
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    col: str,
+    threshold: int,
+    d: int = 4,
+    w: int = 1024,
+) -> str:
+    """DuckDB twin of cms_heavy_hitters, generated from the same
+    constants (md5 register placement replayed digit-by-digit)."""
+    hex5 = (
+        "((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 65536"
+        " + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 4096"
+        " + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1))"
+    )
+    rows = ", ".join(str(r) for r in range(d))
+    return f"""
+      with src as ({source_sql}),
+      cells as (
+        select r.r as row, hx, {hex5} % {w} as col
+        from (
+          select unnest([{rows}]) as r
+        ) r
+        cross join (select cast({col} as varchar) as v from src where {col} is not null) s
+        cross join lateral (select md5(cast(r.r as varchar) || '|' || s.v) as hx) hh
+      ),
+      regs as (select row, col, count(*) as cnt from cells group by 1, 2),
+      probes as (select distinct cast({col} as varchar) as value
+                 from src where {col} is not null),
+      probed as (
+        select p.value, r.r as row,
+               {{hex5p}} % {w} as col
+        from probes p
+        cross join (select unnest([{rows}]) as r) r
+        cross join lateral (
+          select md5(cast(r.r as varchar) || '|' || p.value) as hx
+        ) hh
+      ),
+      est as (
+        select p.value, min(g.cnt) as est
+        from probed p join regs g using(row, col)
+        group by 1
+      )
+      select value, cast(est as bigint) as est
+      from est where est >= {threshold}
+    """.replace("{hex5p}", hex5)
+
+
+# -- Bloom filter -----------------------------------------------------
+
+
+def bloom_positions(value: Column, k: int = 3, m: int = 8192) -> Column:
+    """Array of k bit positions for ``value``: position i is the first
+    20 bits of md5('i|value') mod m.  md5-based so both engines place
+    every bit identically."""
+    return F.array(
+        *[
+            (
+                _hex5_to_int(F.md5(F.concat(F.lit(f"{i}|"), value.cast("string"))))
+                % m
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    m: int = 8192,
+    n: int | None = None,
+) -> DataFrame:
+    """(doc_id, bloom_hits): eval-set decontamination via a Bloom
+    filter of the benchmark's n-word shingles — the 100 TB form of
+    ``sampling.contamination``: instead of broadcasting the benchmark
+    shingle STRINGS, broadcast an m-bit filter (one sorted int array ≤
+    m entries, constant size however large the benchmark grows).  A
+    corpus shingle "hits" iff all k of its positions are set; Bloom
+    false positives are deterministic (same md5 placement both
+    engines), so the oracle reproduces the exact same hit counts.
+    Corpus side is shuffle-free until the per-doc count."""
+    from graphscope_spark.functions.dedup import shingles
+
+    bench_bits = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select(F.explode(bloom_positions(F.col("shingle"), k, m)).alias("bit"))
+        .distinct()
+        .agg(F.array_sort(F.collect_set("bit")).alias("bloom"))
+    )
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).select(
+        id_col, bloom_positions(F.col("shingle"), k, m).alias("pos")
+    )
+    return (
+        doc_sh.crossJoin(F.broadcast(bench_bits))
+        .where(F.size(F.array_except("pos", "bloom")) == 0)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+
+
+def bloom_oracle_sql(
+    docs_sql: str,
+    bench_sql: str,
+    k: int = 3,
+    m: int = 8192,
+    shingle_expr: str = "shingle",
+) -> str:
+    """DuckDB twin of bloom_contamination.  ``docs_sql`` / ``bench_sql``
+    must each produce (doc_id, shingle) rows (distinct shingles per
+    doc, matching dedup.shingles)."""
+
+    def pos(i: int, v: str) -> str:
+        return (
+            f"((instr('0123456789abcdef', substr(md5('{i}|' || {v}), 1, 1)) - 1) * 65536"
+            f" + (instr('0123456789abcdef', substr(md5('{i}|' || {v}), 2, 1)) - 1) * 4096"
+            f" + (instr('0123456789abcdef', substr(md5('{i}|' || {v}), 3, 1)) - 1) * 256"
+            f" + (instr('0123456789abcdef', substr(md5('{i}|' || {v}), 4, 1)) - 1) * 16"
+            f" + (instr('0123456789abcdef', substr(md5('{i}|' || {v}), 5, 1)) - 1)) % {m}"
+        )
+
+    bloom_union = " union ".join(
+        f"select {pos(i, shingle_expr)} as bit from bench" for i in range(k)
+    )
+    hit_cond = " and ".join(
+        f"{pos(i, 'd.shingle')} in (select bit from bloom)" for i in range(k)
+    )
+    return f"""
+      with bench as ({bench_sql}),
+      bloom as ({bloom_union}),
+      docs as ({docs_sql})
+      select d.doc_id, cast(count(*) as bigint) as bloom_hits
+      from docs d
+      where {hit_cond}
+      group by 1
+    """
