@@ -161,12 +161,17 @@ def main() -> None:
             k: (int(round(v)) if v >= 0 else v) for k, v in out["queries"].items()
         }
         line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:  # beyond last resort: these headlines also live
-        out.pop("scaling", None)  # in BENCH.md + scripts/scaling_results.json
-        line = json.dumps(out, separators=(",", ":"))
+    # If the sweep still doesn't fit, it's the QUERY LIST that gives way
+    # (per-query times also live in BENCH.md), never the scaling/synth
+    # headline evidence: keep failures + the slowest entries that fit.
     if len(line) > 1950:
-        out.pop("synth", None)
-        line = json.dumps(out, separators=(",", ":"))
+        ranked = sorted(qtimes.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+        while len(line) > 1950 and len(ranked) > 10:
+            ranked = ranked[:-10]
+            out["queries"] = dict(sorted(ranked))
+            out["q_total"] = len(qtimes)
+            out["q_sweep_sec"] = int(round(sum(v for v in qtimes.values() if v > 0)))
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
     spark.stop()
 

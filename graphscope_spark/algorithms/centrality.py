@@ -172,9 +172,15 @@ def closeness_centrality(
     g: Graph,
     roots: DataFrame | None = None,
     max_depth: int = 64,
+    directed: bool = False,
 ) -> DataFrame:
     """Returns (vid long, centrality double) — WF-improved closeness over
     the undirected (symmetrized) graph, BFS hop distances.
+
+    ``directed=True`` switches to NetworkX's DiGraph convention:
+    INCOMING hop distances d(u, v) — implemented as the same
+    multi-source sweep on the reversed-arc view, so the plan shape
+    (and scale behavior) is identical.
 
     ``roots``: optional (vid) DataFrame restricting which vertices get a
     score (landmark closeness — the 100TB-scale form; all-vertex exact
@@ -192,7 +198,11 @@ def closeness_centrality(
     root_df = (roots or g.vertices).select(F.col(VID).alias("root"))
 
     pairs = multi_source_distances(
-        g, root_df, weight=None, directed=False, max_rounds=max_depth
+        g.reverse() if directed else g,
+        root_df,
+        weight=None,
+        directed=directed,
+        max_rounds=max_depth,
     )
     stats = pairs.groupBy("root").agg(
         F.count(F.lit(1)).alias("r"), F.sum("dist").alias("sd")

@@ -59,10 +59,16 @@ def diameter_approx(
 def harmonic_centrality(
     g: Graph,
     roots: DataFrame | list[int] | None = None,
+    directed: bool = False,
 ) -> DataFrame:
     """NX harmonic centrality restricted to ``roots`` (undirected BFS
-    distances): (vid long, centrality double) = Σ_{u≠v} 1/d(v,u)."""
-    pairs = multi_source_distances(g, roots, weight=None, directed=False)
+    distances): (vid long, centrality double) = Σ_{u≠v} 1/d(v,u).
+
+    ``directed=True`` = NX DiGraph convention (incoming distances),
+    run as the same sweep on the reversed-arc view."""
+    pairs = multi_source_distances(
+        g.reverse() if directed else g, roots, weight=None, directed=directed
+    )
     root_df = (
         (roots if isinstance(roots, DataFrame) else g.vertices)
         .select(F.col(VID).alias("root"))

@@ -235,6 +235,18 @@ class Graph:
 
         return replace(self, directed=True)
 
+    def reverse(self) -> "Graph":
+        """Reversed-arc view (NX ``DiGraph.reverse`` analog): swap
+        src/dst, repartition on the new src so out-edge co-location
+        holds for the reversed graph too."""
+        from dataclasses import replace
+
+        extras = [c for c in self.edges.columns if c not in (SRC, DST)]
+        rev = self.edges.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), *extras
+        ).repartition(self.num_partitions, SRC)
+        return replace(self, edges=rev)
+
     def induce_subgraph(self, vertex_set: DataFrame) -> "Graph":
         """INDUCE_SUBGRAPH (dag_utils.py:709-737): restrict to the
         given (vid) set — semi-joins on both edge endpoints, so the

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark import algorithms as A
-from graphscope_spark.graph import VID, Graph
+from graphscope_spark.graph import SRC, VID, Graph
 
 
 def _to_dict(df: DataFrame, key: str = VID) -> dict:
@@ -75,7 +75,8 @@ def katz_centrality(
 
 
 def closeness_centrality(g: Graph) -> dict:
-    return _to_dict(A.closeness_centrality(g))
+    # NX convention follows the graph type: DiGraph -> incoming paths
+    return _to_dict(A.closeness_centrality(g, directed=g.directed))
 
 
 def betweenness_centrality(g: Graph, normalized: bool = True) -> dict:
@@ -83,7 +84,8 @@ def betweenness_centrality(g: Graph, normalized: bool = True) -> dict:
 
 
 def harmonic_centrality(g: Graph) -> dict:
-    return _to_dict(A.harmonic_centrality(g))
+    # NX convention follows the graph type: DiGraph -> incoming distances
+    return _to_dict(A.harmonic_centrality(g, directed=g.directed))
 
 
 # -- clustering / cohesion -------------------------------------------
@@ -245,7 +247,13 @@ def numeric_assortativity_coefficient(g: Graph, attrs: DataFrame) -> float:
 
 
 def average_degree_connectivity(g: Graph) -> dict:
-    return {r["degree"]: r["knn"] for r in A.average_degree_connectivity(g).collect()}
+    out = {r["degree"]: r["knn"] for r in A.average_degree_connectivity(g).collect()}
+    # NX includes the degree-0 class (isolated vertices) as {0: 0}; the
+    # core op's domain is vertices with edges (LDBC convention)
+    endpoints = g.symmetrized().select(F.col(SRC).alias(VID))
+    if g.vertices.join(endpoints, VID, "left_anti").limit(1).count():
+        out[0] = 0
+    return out
 
 
 # -- boundary ---------------------------------------------------------
