@@ -64,6 +64,9 @@ NEARDUP_T = 0.6        # n-gram Jaccard near-dup verification threshold
 NEARDUP_CC_UNROLL = 6  # component depth over the tiny verified-pair graph
 EMB_NEARDUP_T = 0.4    # synthetic embeddings are near-orthogonal (max
                        # bucketed cosine 0.513 at sf0.01); real corpora ~0.9
+KMEANS_ITERS = 2       # Lloyd rounds for the trained-quantizer query
+EMB_DIM = 64           # embeddings table vector width (TESTDATA.md)
+LM_K = 0.5             # add-k smoothing for the bigram LM filter
 SALSA_ROUNDS = 4       # salsa: fixed alternations (no normalization agg)
 COCIT_CAP = 64         # co-citation/coupling frequency cap on the shared page
 COCIT_K = 100          # top-k relatedness pairs returned
@@ -711,6 +714,51 @@ def _hits_sql() -> str:
     return (
         ",\n".join(parts)
         + f"\nselect vid, round(hub, 8) as hub, round(auth, 8) as auth from h{HITS_ROUNDS}"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd k-means replay, KMEANS_ITERS rounds: squared-L2
+    argmin assignment (ties → min cid, same index-by-index fold order
+    as the Spark zip_with aggregate) + per-dim mean update."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        expr = d2.format(dim=EMB_DIM, a="c.v", b=f"{cent}.cv")
+        return f"""{name} as (
+          select vec_id, v, cluster, d2 from (
+            select c.vec_id, c.v, {cent}.cid as cluster, {expr} as d2,
+                   row_number() over (
+                     partition by c.vec_id
+                     order by {expr} asc, {cent}.cid asc) as rk
+            from c cross join {cent}
+          ) where rk = 1
+        )"""
+
+    parts = [
+        "with c as (select vec_id, embedding::DOUBLE[] as v from embeddings)",
+        f"cent0 as (select vec_id as cid, v as cv from c where vec_id % {IVF_STRIDE} = 0)",
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(assign(f"a{it}", f"cent{it}"))
+        parts.append(
+            f"""m{it} as (
+              select cluster, i, avg(v[i]) as cval
+              from a{it}, unnest(generate_series(1, {EMB_DIM})) as g(i)
+              group by 1, 2
+            )"""
+        )
+        parts.append(
+            f"cent{it + 1} as (select cluster as cid, list(cval order by i) as cv "
+            f"from m{it} group by 1)"
+        )
+    parts.append(assign("afinal", f"cent{KMEANS_ITERS}"))
+    return (
+        ",\n".join(parts)
+        + "\nselect vec_id, cluster, round(d2, 6) as dist from afinal"
     )
 
 
@@ -4711,6 +4759,27 @@ def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(rest, bench, k=BLOOM_K, m=BLOOM_M)
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (the trained coarse quantizer behind
+    IVF ANN / SemDeDup): 2 assign→update rounds from the seeded init,
+    final assignment checked point-for-point against the unrolled
+    DuckDB replay."""
+    from graphscope_spark.functions.similarity import kmeans_fit
+
+    return kmeans_fit(_emb(spark, sf_dir), iters=KMEANS_ITERS, stride=IVF_STRIDE).select(
+        "vec_id", "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM cross-entropy quality score per document."""
+    from graphscope_spark.functions.classify import ngram_lm_perplexity
+
+    return ngram_lm_perplexity(_docs(spark, sf_dir), k=LM_K).select(
+        "doc_id", "n_bigrams", F.round("xent", 8).alias("xent")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (round 3): the driver's correctness gate verified
     exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
@@ -4724,6 +4793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- newest (added after the round-3 sweep began), cheapest first -
         "cocitation": _q_cocitation,
+        "lm_perplexity": _q_lm_perplexity,
+        "kmeans_embeddings": _q_kmeans,
         "bib_coupling": _q_bib_coupling,
         "cms_tokens": _q_cms_tokens,
         "semantic_dedup": _q_semantic_dedup,
@@ -5089,7 +5160,11 @@ def oracle_sql() -> dict[str, str]:
 
     from graphscope_spark.functions.sketch import bloom_oracle_sql, cms_oracle_sql
 
+    from graphscope_spark.functions.classify import ngram_lm_oracle_sql
+
     d = {
+        "kmeans_embeddings": _kmeans_sql(),
+        "lm_perplexity": ngram_lm_oracle_sql(LM_K),
         "salsa": _salsa_sql(),
         "cocitation": f"""
           with edges as materialized ({SQL_EDGES}),

@@ -103,3 +103,98 @@ def weight_sql(bucket_expr: str, seed: int) -> str:
         f"(((cast(({digits}) as double) + 0.5) / cast({float(1 << 48)!r} as double))"
         f" * 2.0 - 1.0)"
     )
+
+
+def ngram_lm_perplexity(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020
+    shape): score every document by the per-token cross-entropy of an
+    add-k-smoothed BIGRAM model trained on the corpus itself —
+    boilerplate-ish text (frequent bigrams) scores low, gibberish
+    scores high; filter on a quantile of ``xent``.  Returns
+    (doc_id, n_bigrams, xent) for docs with >= 2 tokens, where
+    xent = -(1/n)·Σ log((c(w1,w2)+k) / (c(w1)+k·V)).
+
+    A KenLM trained on a reference corpus drops in by swapping the
+    count tables for its broadcast model; the plan shape is unchanged.
+
+    Scale shape: bigram extraction is a zero-shuffle array expression;
+    the count tables partial-aggregate map-side; scoring joins the doc
+    bigram stream against the counts on (w1, w2) — a plain shuffled
+    hash join on short keys (NOT a broadcast: a web-corpus bigram
+    vocabulary is large) — then one per-doc aggregate.  V and the
+    unigram table ride the same joins.  No UDF anywhere."""
+    t = tokens(text_col)
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.struct(
+                        F.element_at(t, i + 1).alias("w1"),
+                        F.element_at(t, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bigrams.join(big_c, ["w1", "w2"])
+        .join(uni_c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg("lp")).alias("xent"),
+    )
+
+
+def ngram_lm_oracle_sql(k: float = 0.5) -> str:
+    """DuckDB twin of ngram_lm_perplexity over the documents view."""
+    return rf"""
+      with toks as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as t
+        from documents
+      ),
+      bigrams as (
+        select doc_id, t[i] as w1, t[i+1] as w2
+        from toks, unnest(generate_series(1, len(t)-1)) as g(i)
+        where len(t) >= 2
+      ),
+      big_c as (select w1, w2, count(*) as c12 from bigrams group by 1, 2),
+      uni_c as (select w1, count(*) as c1 from bigrams group by 1),
+      vocab as (
+        select count(distinct x) as v
+        from (select unnest(t) as x from toks) where x <> ''
+      ),
+      scored as (
+        select b.doc_id,
+               ln((bc.c12 + {k}) / (uc.c1 + {k} * (select v from vocab))) as lp
+        from bigrams b
+        join big_c bc using(w1, w2)
+        join uni_c uc using(w1)
+      )
+      select doc_id, cast(count(*) as bigint) as n_bigrams,
+             round(-avg(lp), 8) as xent
+      from scored group by 1
+    """

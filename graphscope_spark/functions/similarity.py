@@ -311,3 +311,77 @@ def semantic_dedup(
         "cluster",
         F.col("dup_id").isNotNull().alias("is_duplicate"),
     )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_l2(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cluster, dist): nearest centroid by squared L2 (ties →
+    min cid).  Broadcast join over the un-shuffled corpus."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        _sq_l2(F.col(vec_col), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("cluster"), F.col("d2").alias("dist"))
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    iters: int = 2,
+    stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column: returns the
+    final assignment (vec_id, cluster, dist) after ``iters`` full
+    assign→update rounds from the deterministic seeded init (every
+    ``stride``-th vector, the same init ivf_centroids uses — so this IS
+    the "trained coarse quantizer" that drops into ivf_topk /
+    semantic_dedup: feed its final centroids as their ``centroids``).
+
+    Scale shape per round: the corpus is NEVER shuffled — assignment is
+    a broadcast join (k centroids × dim doubles), and the centroid
+    update is posexplode → groupBy(cluster, pos) mean, which partial-
+    aggregates map-side down to k·dim rows before the (tiny) shuffle;
+    the new centroid table is rebuilt from those k·dim rows.  Clusters
+    that lose all members drop out (deterministic; the replayed oracle
+    does the same).  No UDF, no driver-side loop over data — only the
+    ``iters`` plan-building loop.
+
+    Reference analog: GraphScope's registry has no clustering-model op;
+    this is training-pipeline surface (the quantizer behind SemDeDup /
+    IVF ANN at 100 TB)."""
+    cent = corpus.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_l2(corpus, cent, id_col, vec_col)
+        cent = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+    return _assign_l2(corpus, cent, id_col, vec_col).select(
+        id_col, "cluster", "dist"
+    )

@@ -198,3 +198,87 @@ def test_bloom_contamination_matches_python_replica(spark):
     got = {r["doc_id"]: r["bloom_hits"] for r in bloom_contamination(docs, bench, k=k, m=m).collect()}
     assert got == exp
     assert 0 in got and 1 in got  # genuinely contaminated docs are caught
+
+
+# -- k-means ------------------------------------------------------------
+
+
+def test_kmeans_matches_lloyd_replica(spark):
+    from graphscope_spark.functions.similarity import kmeans_fit
+
+    vecs = [
+        (0, [0.0, 0.0]), (1, [0.2, 0.1]), (2, [0.1, 0.3]),
+        (3, [5.0, 5.0]), (4, [5.2, 4.9]), (5, [4.8, 5.1]),
+        (6, [0.0, 5.0]), (7, [0.3, 4.7]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    stride, iters = 3, 2
+
+    cent = {i: list(v) for i, v in vecs if i % stride == 0}
+
+    def _assign(c):
+        out = {}
+        for i, v in vecs:
+            best = min(
+                c.items(),
+                key=lambda kv: (sum((a - b) ** 2 for a, b in zip(v, kv[1])), kv[0]),
+            )
+            out[i] = (best[0], sum((a - b) ** 2 for a, b in zip(v, best[1])))
+        return out
+
+    for _ in range(iters):
+        a = _assign(cent)
+        new = {}
+        for cid in {c for c, _ in a.values()}:
+            members = [v for i, v in vecs if a[i][0] == cid]
+            new[cid] = [sum(col) / len(members) for col in zip(*members)]
+        cent = new
+    exp = _assign(cent)
+
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_fit(df, iters=iters, stride=stride).collect()}
+    assert set(got) == set(exp)
+    for i, (c, d) in exp.items():
+        assert got[i][0] == c
+        assert got[i][1] == pytest.approx(d, abs=1e-12)
+    # the three planted blobs separate
+    assert len({c for c, _ in got.values()}) == 3
+
+
+# -- bigram LM perplexity -------------------------------------------------
+
+
+def test_lm_perplexity_matches_replica(spark):
+    from graphscope_spark.functions.classify import ngram_lm_perplexity
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zq xv"),          # rare bigram -> high xent
+        (3, "one"),            # too short: excluded
+        (4, ""),               # empty: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 0.5
+
+    toks = {i: t.strip().split() for i, t in docs}
+    bigrams = {i: list(zip(t, t[1:])) for i, t in toks.items() if len(t) >= 2}
+    c12, c1 = {}, {}
+    for bs in bigrams.values():
+        for b in bs:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    vocab = len({w for t in toks.values() for w in t if w})
+    exp = {}
+    for i, bs in bigrams.items():
+        lps = [math.log((c12[b] + k) / (c1[b[0]] + k * vocab)) for b in bs]
+        exp[i] = (len(bs), -sum(lps) / len(lps))
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["xent"])
+           for r in ngram_lm_perplexity(df, k=k).collect()}
+    assert set(got) == set(exp)
+    for i, (n, x) in exp.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(x, abs=1e-12)
+    # boilerplate scores lower than gibberish
+    assert got[0][1] < got[2][1]
