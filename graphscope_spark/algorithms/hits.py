@@ -154,17 +154,12 @@ def salsa(
     n_hubs = odeg.count()
 
     def init() -> DataFrame:
-        return (
-            g.vertices.join(odeg, g.vertices[VID] == odeg[SRC], "left")
-            .select(
-                VID,
-                F.when(F.col("od").isNotNull(), F.lit(1.0 / n_hubs))
-                .otherwise(F.lit(0.0))
-                .alias("hub"),
-                F.lit(0.0).alias("auth"),
-            )
-            .repartition(p, VID)
-        )
+        # SPARSE state: hub rows only over the hub support (od > 0) —
+        # a vertex absent from the state contributes exactly 0 to the
+        # next message pass, so no dense per-round vertex join is needed
+        return odeg.select(
+            F.col(SRC).alias(VID), F.lit(1.0 / n_hubs).alias("hub")
+        ).repartition(p, VID)
 
     cached: list[DataFrame] = []
 
@@ -174,34 +169,33 @@ def salsa(
             edges_out.join(hubs, edges_out[SRC] == hubs[VID])
             .select(F.col(DST).alias(VID), (F.col("hub") / F.col("od")).alias("m"))
             .groupBy(VID)
-            .agg(F.sum("m").alias("new_auth"))
-        ).cache()  # reused by both the hub pass and the state join
+            .agg(F.sum("m").alias("auth"))
+        ).cache()  # round k's auth — the last one is joined into the result
         cached.append(auth)
         hub = (
             edges_in.join(
                 auth.hint("shuffle_hash"), edges_in[DST] == auth[VID]
             )
-            .select(F.col(SRC).alias(VID), (F.col("new_auth") / F.col("id_")).alias("m"))
+            .select(F.col(SRC).alias(VID), (F.col("auth") / F.col("id_")).alias("m"))
             .groupBy(VID)
-            .agg(F.sum("m").alias("new_hub"))
+            .agg(F.sum("m").alias("hub"))
         )
-        nxt = (
-            state.select(VID)
-            .hint("shuffle_hash")
-            .join(auth.hint("shuffle_hash"), VID, "left")
-            .join(hub.hint("shuffle_hash"), VID, "left")
-            .select(
-                VID,
-                F.coalesce("new_hub", F.lit(0.0)).alias("hub"),
-                F.coalesce("new_auth", F.lit(0.0)).alias("auth"),
-            )
-        )
-        return StepResult(nxt)
+        return StepResult(hub)
 
     run = SuperstepRunner(spark, "salsa", checkpoint_dir=checkpoint_dir)
     with one_shuffle_mode(spark):
-        final = run.run(init, step, max_iterations=rounds, sync_every=rounds)
-        final = final.localCheckpoint(eager=True)
+        hub_final = run.run(init, step, max_iterations=rounds, sync_every=rounds)
+        final = (
+            g.vertices.select(VID)
+            .join(hub_final, VID, "left")
+            .join(cached[-1].withColumnRenamed("auth", "auth_"), VID, "left")
+            .select(
+                VID,
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("auth_", F.lit(0.0)).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
     for c in cached:
         c.unpersist()
     edges_out.unpersist()
