@@ -369,6 +369,10 @@ def kmeans_fit(
     )
     for _ in range(iters):
         assigned = _assign_l2(corpus, cent, id_col, vec_col)
+        # materialize the k-row centroid table each round: it is tiny,
+        # and leaving it lazy makes round r's plan re-derive every
+        # earlier round (nested window+broadcast plans — measured ~12 s
+        # for 500 vectors without this, ~3 s with)
         cent = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -381,6 +385,7 @@ def kmeans_fit(
                 ).alias("cv")
             )
             .select(F.col("cluster").alias("cid"), "cv")
+            .localCheckpoint(eager=True)
         )
     return _assign_l2(corpus, cent, id_col, vec_col).select(
         id_col, "cluster", "dist"
