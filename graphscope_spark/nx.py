@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphscope_spark import algorithms as A
-from graphscope_spark.graph import SRC, VID, Graph
+from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
 def _to_dict(df: DataFrame, key: str = VID) -> dict:
@@ -490,3 +490,113 @@ def bipartite_projected_graph(g: Graph, nodes: list[int]) -> Graph:
         .distinct()
     )
     return Graph(edges, nodes_df, directed=False, num_partitions=g.num_partitions)
+
+
+# -- DAG family (round 3c: NX long tail) -------------------------------
+def descendants(g: Graph, source: int) -> set:
+    """All vertices reachable from ``source`` along directed edges
+    (nx.descendants): one directed BFS."""
+    rows = A.bfs(g, source=source, directed=True).collect()
+    return {r[VID] for r in rows if r["depth"] >= 0 and r[VID] != source}
+
+
+def ancestors(g: Graph, source: int) -> set:
+    """All vertices that reach ``source`` (nx.ancestors): the same BFS
+    on the reversed-arc view."""
+    rows = A.bfs(g.reverse(), source=source, directed=True).collect()
+    return {r[VID] for r in rows if r["depth"] >= 0 and r[VID] != source}
+
+
+def _kahn_generations(g: Graph) -> tuple[DataFrame, int]:
+    """(vid, gen) Kahn layering: gen r = vertices whose in-neighbors
+    all sit in generations < r.  Returns (assigned, n_unassigned);
+    n_unassigned > 0 ⟺ a directed cycle survives every peel.
+
+    One join + anti-join per layer, assigned set checkpointed per
+    round — O(DAG depth) rounds, each a single shuffle over the
+    remaining edges (the standard iterative-peel shape, cf. kcore)."""
+    e = g.distinct_edges().cache()
+    verts = g.vertices.select(VID)
+    assigned = (
+        verts.join(e.select(F.col(DST).alias(VID)), VID, "left_anti")
+        .select(VID, F.lit(0).alias("gen"))
+        .localCheckpoint(eager=True)
+    )
+    gen = 0
+    while True:
+        unassigned = verts.join(assigned.select(VID), VID, "left_anti")
+        if unassigned.limit(1).count() == 0:
+            e.unpersist()
+            return assigned, 0
+        gen += 1
+        # dsts still blocked: an in-edge from an unassigned src
+        blocked = (
+            e.join(unassigned.select(F.col(VID).alias(SRC)), SRC)
+            .select(F.col(DST).alias(VID))
+            .distinct()
+        )
+        newly = unassigned.join(blocked, VID, "left_anti").select(
+            VID, F.lit(gen).alias("gen")
+        )
+        if newly.limit(1).count() == 0:
+            n_left = unassigned.count()
+            e.unpersist()
+            return assigned, n_left
+        assigned = assigned.unionByName(newly).localCheckpoint(eager=True)
+
+
+def is_directed_acyclic_graph(g: Graph) -> bool:
+    """nx.is_directed_acyclic_graph: the zero-indegree peel consumes
+    every vertex ⟺ no directed cycle."""
+    _, left = _kahn_generations(g)
+    return left == 0
+
+
+def topological_generations(g: Graph) -> list[set]:
+    """nx.topological_generations: antichain layers of the DAG.
+    Raises on a cyclic graph, like NX's NetworkXUnfeasible."""
+    assigned, left = _kahn_generations(g)
+    if left:
+        raise ValueError("graph contains a cycle")
+    layers: dict[int, set] = {}
+    for r in assigned.collect():
+        layers.setdefault(r["gen"], set()).add(r[VID])
+    return [layers[i] for i in sorted(layers)]
+
+
+def topological_sort(g: Graph) -> list:
+    """A valid topological order (layer-major, vid within layer —
+    deterministic, one of NX's admissible orders)."""
+    return [v for layer in topological_generations(g) for v in sorted(layer)]
+
+
+def condensation(g: Graph) -> tuple[Graph, dict]:
+    """nx.condensation: the SCC quotient DAG.  Returns (quotient graph,
+    vid → component-id mapping); component ids are the MIN member vid
+    (deterministic, unlike NX's discovery order)."""
+    comp = A.strongly_connected_components(g)
+    m = comp.groupBy("scc").agg(F.min(VID).alias("cid"))
+    lab = comp.join(m, "scc").select(VID, "cid")
+    e = (
+        g.distinct_edges()
+        .join(lab.select(F.col(VID).alias(SRC), F.col("cid").alias("cs")), SRC)
+        .join(lab.select(F.col(VID).alias(DST), F.col("cid").alias("cd")), DST)
+        .where(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias(SRC), F.col("cd").alias(DST))
+        .distinct()
+    )
+    qg = Graph.from_edges(
+        e,
+        lab.select(F.col("cid").alias(VID)).distinct(),
+        directed=True,
+        num_partitions=g.num_partitions,
+    )
+    return qg, {r[VID]: r["cid"] for r in lab.collect()}
+
+
+def common_neighbors(g: Graph, u: int, v: int) -> set:
+    """nx.common_neighbors on the undirected view."""
+    sym = g.symmetrized()
+    nu = sym.where(F.col(SRC) == u).select(F.col(DST).alias(VID))
+    nv = sym.where(F.col(SRC) == v).select(F.col(DST).alias(VID))
+    return {r[VID] for r in nu.join(nv, VID, "semi").collect()}

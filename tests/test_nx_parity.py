@@ -331,3 +331,83 @@ def test_greedy_color_is_proper(rand_graph, nxu):
     for a, b in nxu.edges:
         if a != b:
             assert colors[a] != colors[b]
+
+
+# -- DAG family --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dag_pair(spark, rand_graph_data):
+    # DAG-ify the random digraph: keep only src < dst edges
+    from graphscope_spark.graph import Graph
+
+    vertices, edges = rand_graph_data
+    dag_edges = sorted({(a, b) for a, b in edges if a < b})
+    e = spark.createDataFrame(dag_edges, "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in vertices], "vid long")
+    g = Graph.from_edges(e, v, directed=True, num_partitions=8)
+    nd = nx.DiGraph()
+    nd.add_nodes_from(vertices)
+    nd.add_edges_from(dag_edges)
+    return g, nd
+
+
+def test_descendants_ancestors(rand_graph, nxd, rand_graph_data):
+    vertices, _ = rand_graph_data
+    for v in (vertices[1], vertices[42]):
+        assert gnx.descendants(rand_graph, v) == nx.descendants(nxd, v)
+        assert gnx.ancestors(rand_graph, v) == nx.ancestors(nxd, v)
+
+
+def test_is_dag(rand_graph, nxd, dag_pair):
+    g, nd = dag_pair
+    assert gnx.is_directed_acyclic_graph(g) == nx.is_directed_acyclic_graph(nd)
+    assert gnx.is_directed_acyclic_graph(rand_graph) == nx.is_directed_acyclic_graph(nxd)
+
+
+def test_topological_generations_and_sort(dag_pair):
+    g, nd = dag_pair
+    got = gnx.topological_generations(g)
+    exp = [set(layer) for layer in nx.topological_generations(nd)]
+    assert got == exp
+    order = gnx.topological_sort(g)
+    pos = {v: i for i, v in enumerate(order)}
+    assert len(order) == nd.number_of_nodes()
+    for a, b in nd.edges:
+        assert pos[a] < pos[b]
+
+
+def test_topological_generations_raises_on_cycle(rand_graph, nxd):
+    if not nx.is_directed_acyclic_graph(nxd):
+        with pytest.raises(ValueError):
+            gnx.topological_generations(rand_graph)
+
+
+def test_condensation(rand_graph, nxd):
+    qg, mapping = gnx.condensation(rand_graph)
+    exp = nx.condensation(nxd)
+    exp_members = {frozenset(exp.nodes[c]["members"]) for c in exp.nodes}
+    got_members: dict[int, set] = {}
+    for v, c in mapping.items():
+        got_members.setdefault(c, set()).add(v)
+    assert {frozenset(s) for s in got_members.values()} == exp_members
+    # quotient edges match under the member-set relabeling
+    exp_edges = {
+        (frozenset(exp.nodes[a]["members"]), frozenset(exp.nodes[b]["members"]))
+        for a, b in exp.edges
+    }
+    got_edges = {
+        (frozenset(got_members[r["src"]]), frozenset(got_members[r["dst"]]))
+        for r in qg.edges.collect()
+    }
+    assert got_edges == exp_edges
+    # and the condensation is a DAG
+    assert gnx.is_directed_acyclic_graph(qg)
+
+
+def test_common_neighbors(rand_graph, nxu, rand_graph_data):
+    vertices, _ = rand_graph_data
+    pairs = [(vertices[0], vertices[1]), (vertices[3], vertices[7])]
+    for u, v in pairs:
+        assert gnx.common_neighbors(rand_graph, u, v) == set(
+            nx.common_neighbors(nxu, u, v))
