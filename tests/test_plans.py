@@ -134,3 +134,80 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_is_broadcast_hash_join(spark):
+    """bloom_contamination probes the filter by BROADCAST HASH join on
+    the bit — never a per-row scan of the filter array and never a
+    nested-loop join; at 10^12 shingles the corpus side must stay a
+    streamed hash probe."""
+    from graphscope_spark.functions.sketch import bloom_contamination
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "c d e f g")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    plan = (
+        bloom_contamination(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "array_except" not in plan, plan
+
+
+def test_cms_registers_partial_aggregation(spark):
+    """The count-min build must partial-aggregate map-side: at most d*w
+    rows per input partition survive to the shuffle regardless of input
+    size."""
+    from graphscope_spark.functions.sketch import cms_registers
+
+    df = spark.createDataFrame([("x",), ("y",)], "value string")
+    plan = cms_registers(df, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+
+
+def test_lm_perplexity_shuffled_join_no_udf(spark):
+    """Bigram scoring joins count tables on (w1, w2) — a SHUFFLED hash
+    join (a web-corpus bigram vocabulary must not be broadcast), with
+    zero Python UDFs and no cartesian product."""
+    from graphscope_spark.functions.classify import ngram_lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "b c d")], "doc_id long, text string"
+    )
+    plan = ngram_lm_perplexity(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # at least one non-broadcast (shuffled) join carries the bigram keys
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_cocitation_distributed_topk(spark, tiny_graph):
+    """The final top-k must be a TakeOrderedAndProject (distributed
+    partial top-k), never a global Sort + Limit over all pairs."""
+    from graphscope_spark.algorithms import cocitation
+
+    plan = (
+        cocitation(tiny_graph, top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Lloyd assignment must broadcast the centroid table; the corpus
+    side must carry no exchange before the scoring join (the corpus is
+    never shuffled by assignment)."""
+    from graphscope_spark.functions.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        kmeans_fit(df, iters=1, stride=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
