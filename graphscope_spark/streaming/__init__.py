@@ -1,4 +1,15 @@
 from graphscope_spark.streaming.dedup import dedup_stream, stream_docs
 from graphscope_spark.streaming.events import stream_events, windowed_event_counts
+from graphscope_spark.streaming.trending import (
+    trending_from_registers,
+    windowed_cms_registers,
+)
 
-__all__ = ["dedup_stream", "stream_docs", "stream_events", "windowed_event_counts"]
+__all__ = [
+    "dedup_stream",
+    "stream_docs",
+    "stream_events",
+    "windowed_event_counts",
+    "trending_from_registers",
+    "windowed_cms_registers",
+]
