@@ -64,6 +64,8 @@ NEARDUP_T = 0.6        # n-gram Jaccard near-dup verification threshold
 NEARDUP_CC_UNROLL = 6  # component depth over the tiny verified-pair graph
 EMB_NEARDUP_T = 0.4    # synthetic embeddings are near-orthogonal (max
                        # bucketed cosine 0.513 at sf0.01); real corpora ~0.9
+KHOP_FANOUTS = (3, 2)  # GNN sampler: per-layer neighbor fanouts
+KHOP_SEED_MOD = 100    # seeds: customer vids % 100 == 0
 KMEANS_ITERS = 2       # Lloyd rounds for the trained-quantizer query
 EMB_DIM = 64           # embeddings table vector width (TESTDATA.md)
 LM_K = 0.5             # add-k smoothing for the bigram LM filter
@@ -715,6 +717,36 @@ def _hits_sql() -> str:
         ",\n".join(parts)
         + f"\nselect vid, round(hub, 8) as hub, round(auth, 8) as auth from h{HITS_ROUNDS}"
     )
+
+
+def _khop_sql() -> str:
+    """Unrolled k-hop sample replay: identical md5 neighbor ranking."""
+    rk = (
+        "row_number() over (partition by e.src order by "
+        "md5(cast(e.src as varchar) || ':' || cast(e.dst as varchar)), e.dst)"
+    )
+    parts = [
+        f"with edges as materialized ({SQL_EDGES})",
+        f"""f0 as materialized (
+          select distinct src from edges
+          where src < 1000000 and src % {KHOP_SEED_MOD} = 0
+        )""",
+    ]
+    layers = []
+    for i, f in enumerate(KHOP_FANOUTS):
+        parts.append(
+            f"""l{i} as materialized (
+              select cast({i} as int) as layer, src, dst from (
+                select e.src, e.dst, {rk} as rk
+                from edges e join f{i} using(src)
+              ) where rk <= {f}
+            )"""
+        )
+        parts.append(
+            f"f{i + 1} as materialized (select distinct dst as src from l{i})"
+        )
+        layers.append(f"select layer, src, dst from l{i}")
+    return ",\n".join(parts) + "\n" + " union all ".join(layers)
 
 
 def _kmeans_sql() -> str:
@@ -4759,6 +4791,20 @@ def _q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contamination(rest, bench, k=BLOOM_K, m=BLOOM_M)
 
 
+def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GNN k-hop neighbor sampling (GLE NeighborSampler
+    analog) from the customer seed set — md5-ranked per-vertex choice,
+    replayed exactly by the oracle."""
+    from graphscope_spark.algorithms import khop_neighbor_sample
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    seeds = g.vertices.where(
+        (F.col("vid") < 1000000) & (F.col("vid") % KHOP_SEED_MOD == 0)
+    )
+    return khop_neighbor_sample(g, seeds, fanouts=KHOP_FANOUTS)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (the trained coarse quantizer behind
     IVF ANN / SemDeDup): 2 assign→update rounds from the seeded init,
@@ -4795,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": _q_cocitation,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans,
+        "khop_sample": _q_khop_sample,
         "bib_coupling": _q_bib_coupling,
         "cms_tokens": _q_cms_tokens,
         "semantic_dedup": _q_semantic_dedup,
@@ -5164,6 +5211,7 @@ def oracle_sql() -> dict[str, str]:
 
     d = {
         "kmeans_embeddings": _kmeans_sql(),
+        "khop_sample": _khop_sql(),
         "lm_perplexity": ngram_lm_oracle_sql(LM_K),
         "salsa": _salsa_sql(),
         "cocitation": f"""

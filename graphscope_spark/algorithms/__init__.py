@@ -61,7 +61,7 @@ from graphscope_spark.algorithms.paths import (
     is_simple_path,
     sampling_path,
 )
-from graphscope_spark.algorithms.walks import node2vec_walks, random_walks
+from graphscope_spark.algorithms.walks import khop_neighbor_sample, node2vec_walks, random_walks
 from graphscope_spark.algorithms.peeling import (
     degeneracy,
     degeneracy_ordering,
@@ -95,6 +95,7 @@ __all__ = [
     "is_simple_path",
     "sampling_path",
     "random_walks",
+    "khop_neighbor_sample",
     "node2vec_walks",
     "k_center",
     "maximal_matching",

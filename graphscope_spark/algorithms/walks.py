@@ -223,3 +223,49 @@ def _walks_edges(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def khop_neighbor_sample(
+    g: Graph,
+    seeds: DataFrame,
+    fanouts: tuple[int, ...] = (3, 2),
+) -> DataFrame:
+    """GNN-style k-hop neighbor sampling (the GLE `NeighborSampler`
+    analog — graphlearn's per-layer fanout sampling, re-expressed as
+    DataFrame ops): for each frontier vertex sample up to ``fanouts[i]``
+    out-neighbors at layer i, the next frontier being the sampled
+    neighbors.  Returns (layer int, src long, dst long) — the sampled
+    block structure a GNN mini-batch trainer consumes.
+
+    Deterministic: the per-vertex neighbor choice ranks by
+    md5(src ':' dst) (ties impossible — edges are distinct), so the
+    same seeds always yield the same blocks and a DuckDB oracle
+    replays the sample exactly; swap the hash for a salted one to get
+    fresh epochs, same plan.
+
+    Scale shape per layer: one join of the (shrinking or bounded)
+    frontier against the src-partitioned edge table + one per-src
+    window over candidate neighbors — the window rides the join's
+    hash(src) partitioning, so a layer is ONE shuffle of the frontier's
+    adjacency, never the full edge table; total sampled rows are
+    bounded by Π fanouts · |seeds| regardless of graph size."""
+    e = g.distinct_edges().select(SRC, DST)
+    frontier = seeds.select(F.col(seeds.columns[0]).alias(SRC)).distinct()
+    outs: list[DataFrame] = []
+    for layer, f in enumerate(fanouts):
+        cand = e.join(frontier, SRC)
+        w = Window.partitionBy(SRC).orderBy(
+            F.md5(F.concat_ws(":", F.col(SRC).cast("string"), F.col(DST).cast("string"))),
+            F.col(DST),
+        )
+        pick = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= f)
+            .select(F.lit(layer).cast("int").alias("layer"), SRC, DST)
+        )
+        outs.append(pick)
+        frontier = pick.select(F.col(DST).alias(SRC)).distinct()
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -133,3 +133,45 @@ def test_node2vec_walks_rand(rand_graph, rand_graph_data):
         ).collect()
     )
     assert got == exp
+
+
+def test_khop_neighbor_sample_matches_replica(spark, rand_graph, rand_graph_data):
+    """md5-ranked k-hop sampler vs a pure-Python replay; fanout and
+    frontier-expansion invariants."""
+    import hashlib
+
+    from graphscope_spark.algorithms import khop_neighbor_sample
+
+    vertices, edges = rand_graph_data
+    fanouts = (3, 2)
+    seeds = sorted(v for v in vertices if v % 25 == 0)
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+
+    exp = set()
+    frontier = set(seeds)
+    for layer, f in enumerate(fanouts):
+        nxt = set()
+        for s in sorted(frontier):
+            picks = sorted(
+                adj.get(s, []),
+                key=lambda d: (hashlib.md5(f"{s}:{d}".encode()).hexdigest(), d),
+            )[:f]
+            for d in picks:
+                exp.add((layer, s, d))
+                nxt.add(d)
+        frontier = nxt
+
+    seed_df = spark.createDataFrame([(v,) for v in seeds], "vid long")
+    got = {
+        (r["layer"], r["src"], r["dst"])
+        for r in khop_neighbor_sample(rand_graph, seed_df, fanouts=fanouts).collect()
+    }
+    assert got == exp
+    # fanout bound holds per (layer, src)
+    from collections import Counter
+
+    c = Counter((l, s) for l, s, _ in got)
+    for (l, _), n in c.items():
+        assert n <= fanouts[l]
