@@ -116,6 +116,8 @@ RMB_UNROLL = 7         # md5-root BFS quiesce, probed 5 at sf0.01
 SPLIT_SEED = 11        # corpus_split md5 bucket seed
 RESAMPLE_SEED = 13     # quality_resample md5 bucket seed
 CONTAM_MOD = 23        # benchmark set for contamination: doc_id % 23 == 0
+MIX_SEED = 29          # domain_mix md5 bucket seed
+MIX_ALPHA = 0.7        # domain_mix temperature (count^alpha target share)
 PACK_BUDGET = 256      # pack_sequences tokens per bin
 PACK_SHARDS = 8        # pack_sequences deterministic shard count
 
@@ -4488,6 +4490,18 @@ def _q_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture sampling (sampling.domain_mix):
+    re-weight per-language shares toward count^MIX_ALPHA; the dominant
+    language is downsampled by (c_min/c_d)^(1-alpha), decided per-doc
+    by the deterministic md5 bucket."""
+    from graphscope_spark.functions.sampling import domain_mix
+
+    return domain_mix(
+        _docs(spark, sf_dir), alpha=MIX_ALPHA, domain_col="lang", seed=MIX_SEED
+    ).select("doc_id", "lang", "domain_rate")
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination scan (sampling.contamination): corpus
     docs sharing a 3-word shingle with the benchmark slice
@@ -4838,6 +4852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entry."""
     return {
         # -- newest (added after the round-3 sweep began), cheapest first -
+        "domain_mix": _q_domain_mix,
         "cocitation": _q_cocitation,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans,
@@ -5130,6 +5145,24 @@ def _corpus_split_sql() -> str:
                   when bkt < {thr_val} then 'val'
                   else 'test' end as split
       from b
+    """
+
+
+def _domain_mix_sql() -> str:
+    # exponent written via repr so the SQL literal parses to the exact
+    # double Spark's F.lit(1.0 - MIX_ALPHA) uses
+    exp = repr(1.0 - MIX_ALPHA)
+    return f"""
+      with c as (select lang, count(*) as dcount from documents group by lang),
+      m as (select min(dcount) as cmin from c),
+      r as (select lang,
+                   round(power(cast(cmin as double) / cast(dcount as double),
+                               {exp}), 8) as domain_rate
+            from c cross join m)
+      select d.doc_id, d.lang, r.domain_rate
+      from documents d join r using(lang)
+      where {_bucket_sql('d.doc_id', MIX_SEED)}
+            < cast(floor(domain_rate * 65536) as bigint)
     """
 
 
@@ -5602,6 +5635,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_split": _corpus_split_sql(),
         "quality_resample": _quality_resample_sql(stop_list),
+        "domain_mix": _domain_mix_sql(),
         "contamination": _contamination_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "graph_degree": f"""

@@ -99,6 +99,56 @@ def quality_resample(
     return scored.where(keep)
 
 
+def domain_mix(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 29,
+) -> DataFrame:
+    """Temperature-based domain mixture sampling (the Pile / LLaMA
+    corpus-mixing step): re-weight the corpus so the per-domain share
+    follows count^alpha instead of raw count.  alpha=1 keeps the
+    natural distribution, alpha=0 equalizes all domains, alpha in
+    (0, 1) downsamples dominant domains toward balance.
+
+    Realized as a per-row Bernoulli with domain acceptance rate
+    ``(c_min / c_d) ** (1 - alpha)`` (the smallest domain keeps
+    everything, a domain k-times larger keeps ``k^(alpha-1)`` of its
+    rows), decided by the deterministic md5 bucket — bit-replayable in
+    any engine.  The only float op is one ``pow``, rounded to 8
+    decimals before the 1/65536-granular floor, so the keep decision is
+    engine-stable (same argument as ``quality_resample``).
+
+    Scale shape: one partial-agg groupBy on the domain key (output =
+    #domains rows — safe however skewed the corpus), a 1-row min
+    broadcast, a broadcast join of the rate table back onto the corpus
+    (the corpus itself is never shuffled), and a scan-level filter.
+
+    Returns the kept rows as (id, domain, domain_rate).
+    """
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("dcount"))
+    cmin = counts.agg(F.min("dcount").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        domain_col,
+        F.round(
+            F.pow(
+                F.col("cmin").cast("double") / F.col("dcount").cast("double"),
+                F.lit(1.0 - alpha),
+            ),
+            8,
+        ).alias("domain_rate"),
+    )
+    keep = hash_bucket(id_col, seed) < F.floor(
+        F.col("domain_rate") * F.lit(BUCKETS)
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .where(keep)
+        .select(id_col, domain_col, "domain_rate")
+    )
+
+
 def contamination(
     docs: DataFrame,
     benchmark: DataFrame,

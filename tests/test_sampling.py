@@ -131,3 +131,29 @@ def test_pack_sequences_matches_python(spark, docs_df):
         streams[shard] += nt
     # every bin's first doc starts within the chunk it is assigned to
     assert all(b >= 0 for _, b, _ in got.values())
+
+
+def test_domain_mix_matches_python(spark):
+    from graphscope_spark.functions.sampling import domain_mix
+
+    # skewed domains: 8 'en', 3 'de', 1 'fr'
+    rows = [(i, "en") for i in range(8)] + [(8, "de"), (9, "de"), (10, "de"), (11, "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    alpha, seed = 0.5, 29
+    got = {
+        r["doc_id"]: (r["lang"], r["domain_rate"])
+        for r in domain_mix(df, alpha=alpha, domain_col="lang", seed=seed).collect()
+    }
+    counts = {"en": 8, "de": 3, "fr": 1}
+    cmin = min(counts.values())
+    exp = {}
+    for i, lang in rows:
+        rate = round((cmin / counts[lang]) ** (1.0 - alpha), 8)
+        if _py_bucket(i, seed) < int(rate * BUCKETS):
+            exp[i] = (lang, rate)
+    assert got == exp
+    # the smallest domain is never downsampled
+    assert got[11] == ("fr", 1.0)
+    # dominant domain's rate is (1/8)^0.5
+    rates = {lang: r for (lang, r) in exp.values()}
+    assert rates["en"] == round((1 / 8) ** 0.5, 8)
