@@ -101,3 +101,52 @@ def test_incremental_wcc_via_stream(spark, tmp_path):
     )
     exp = {r["vid"]: r["comp"] for r in wcc(g).collect()}
     assert got == exp
+
+
+def test_incremental_triangles_matches_batch(spark, tmp_path):
+    from graphscope_spark.algorithms import triangles
+    from graphscope_spark.streaming.incremental import IncrementalTriangles
+
+    batches = _edge_batches(n=120, seed=3, k=3)
+    inc = IncrementalTriangles(spark, str(tmp_path / "tri_state"))
+    seen: list = []
+    for i, b in enumerate(batches):
+        inc.process_batch(spark.createDataFrame(b, "src long, dst long"), i)
+        seen.extend(b)
+        # exact per-vertex parity with a cold run after EVERY batch
+        g = Graph.from_edges(
+            spark.createDataFrame(seen, "src long, dst long"), directed=True
+        )
+        exp = {r["vid"]: r["tri"] for r in triangles(g).collect()}
+        got = {r["vid"]: r["tri"] for r in inc.current_counts().collect()}
+        for v, t in exp.items():
+            assert got.get(v, 0) == t, (i, v, t, got.get(v, 0))
+        # no spurious nonzero counts outside the vertex set
+        assert all(t == 0 for v, t in got.items() if v not in exp)
+
+
+def test_incremental_triangles_via_stream(spark, tmp_path):
+    from graphscope_spark.algorithms import triangles
+    from graphscope_spark.streaming.incremental import (
+        IncrementalTriangles,
+        stream_edges,
+    )
+
+    batches = _edge_batches(n=100, seed=19, k=2)
+    in_dir = tmp_path / "tri_incoming"
+    in_dir.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.parquet(
+            str(in_dir / f"batch_{i}")
+        )
+    inc = IncrementalTriangles(spark, str(tmp_path / "tri_state2"))
+    q = inc.attach(stream_edges(spark, str(in_dir / "batch_*")))
+    q.awaitTermination(120)
+    all_edges = [e for b in batches for e in b]
+    g = Graph.from_edges(
+        spark.createDataFrame(all_edges, "src long, dst long"), directed=True
+    )
+    exp = {r["vid"]: r["tri"] for r in triangles(g).collect()}
+    got = {r["vid"]: r["tri"] for r in inc.current_counts().collect()}
+    for v, t in exp.items():
+        assert got.get(v, 0) == t
