@@ -122,12 +122,15 @@ def ngram_lm_perplexity(
     A KenLM trained on a reference corpus drops in by swapping the
     count tables for its broadcast model; the plan shape is unchanged.
 
-    Scale shape: bigram extraction is a zero-shuffle array expression;
-    the count tables partial-aggregate map-side; scoring joins the doc
-    bigram stream against the counts on (w1, w2) — a plain shuffled
-    hash join on short keys (NOT a broadcast: a web-corpus bigram
-    vocabulary is large) — then one per-doc aggregate.  V and the
-    unigram table ride the same joins.  No UDF anywhere."""
+    Scale shape: bigram extraction is a zero-shuffle array expression,
+    immediately collapsed to per-(doc, bigram) COUNTS — one shuffle on
+    (doc, w1, w2) that every later stage rides: the corpus bigram and
+    unigram tables are second-level aggregates of it (map-side
+    partial), the per-bigram log-prob table is a bigram-vocab-sized
+    join (NOT broadcast: a web-corpus bigram vocabulary is large), and
+    scoring joins doc-bigram COUNTS — the distinct-bigram stream, a
+    strict subset of the raw token stream — then one per-doc weighted
+    aggregate.  V rides as a 1-row broadcast.  No UDF anywhere."""
     t = tokens(text_col)
     bigrams = docs.select(
         F.col(id_col),
@@ -145,27 +148,32 @@ def ngram_lm_perplexity(
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    big_c = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uni_c = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    doc_bg = (
+        bigrams.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    big_c = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    uni_c = doc_bg.groupBy("w1").agg(F.sum("n").alias("c1"))
     vocab = (
         docs.select(F.explode(tokens(text_col)).alias("w"))
         .where(F.col("w") != "")
         .agg(F.countDistinct("w").alias("v"))
     )
-    scored = (
-        bigrams.join(big_c, ["w1", "w2"])
-        .join(uni_c, "w1")
+    lp = (
+        big_c.join(uni_c, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            id_col,
-            (
-                F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (-F.avg("lp")).alias("xent"),
+    return doc_bg.join(lp, ["w1", "w2"]).groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        (-(F.sum(F.col("n") * F.col("lp")) / F.sum("n"))).alias("xent"),
     )
 
 
@@ -181,20 +189,23 @@ def ngram_lm_oracle_sql(k: float = 0.5) -> str:
         from toks, unnest(generate_series(1, len(t)-1)) as g(i)
         where len(t) >= 2
       ),
-      big_c as (select w1, w2, count(*) as c12 from bigrams group by 1, 2),
-      uni_c as (select w1, count(*) as c1 from bigrams group by 1),
+      doc_bg as (
+        select doc_id, w1, w2, count(*) as n from bigrams group by 1, 2, 3
+      ),
+      big_c as (select w1, w2, sum(n) as c12 from doc_bg group by 1, 2),
+      uni_c as (select w1, sum(n) as c1 from doc_bg group by 1),
       vocab as (
         select count(distinct x) as v
         from (select unnest(t) as x from toks) where x <> ''
       ),
       scored as (
-        select b.doc_id,
+        select b.doc_id, b.n,
                ln((bc.c12 + {k}) / (uc.c1 + {k} * (select v from vocab))) as lp
-        from bigrams b
+        from doc_bg b
         join big_c bc using(w1, w2)
         join uni_c uc using(w1)
       )
-      select doc_id, cast(count(*) as bigint) as n_bigrams,
-             round(-avg(lp), 8) as xent
+      select doc_id, cast(sum(n) as bigint) as n_bigrams,
+             round(-(sum(n * lp) / sum(n)), 8) as xent
       from scored group by 1
     """
