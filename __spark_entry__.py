@@ -118,6 +118,7 @@ RESAMPLE_SEED = 13     # quality_resample md5 bucket seed
 CONTAM_MOD = 23        # benchmark set for contamination: doc_id % 23 == 0
 MIX_SEED = 29          # domain_mix md5 bucket seed
 MIX_ALPHA = 0.7        # domain_mix temperature (count^alpha target share)
+PART_P = 8             # partition_report modulo partition count
 PACK_BUDGET = 256      # pack_sequences tokens per bin
 PACK_SHARDS = 8        # pack_sequences deterministic shard count
 
@@ -2982,6 +2983,16 @@ def _lang_markers_values() -> str:
 # ---------------------------------------------------------------------
 
 
+def _q_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash edge-cut quality report (graph.partition_report): per
+    modulo-partition vertex/edge balance + cut fraction — the shuffle
+    price and skew exposure of the engine's own partitioning."""
+    from graphscope_spark.graph import partition_report
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    return partition_report(order_graph(spark, sf_dir), p=PART_P)
+
+
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
@@ -4857,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- newest (added after the round-3 sweep began), cheapest first -
         "domain_mix": _q_domain_mix,
+        "partition_report": _q_partition_report,
         "cocitation": _q_cocitation,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans,
@@ -5640,6 +5652,29 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _corpus_split_sql(),
         "quality_resample": _quality_resample_sql(stop_list),
         "domain_mix": _domain_mix_sql(),
+        "partition_report": f"""
+          with edges as ({SQL_EDGES}),
+          verts as ({SQL_VERTS}),
+          es as (
+            select src % {PART_P} as part,
+                   cast(count(*) as bigint) as owned_edges,
+                   cast(sum(case when src % {PART_P} <> dst % {PART_P}
+                            then 1 else 0 end) as bigint) as cut_edges
+            from edges group by 1
+          ),
+          vs as (
+            select vid % {PART_P} as part,
+                   cast(count(*) as bigint) as vertices
+            from verts group by 1
+          )
+          select part,
+                 coalesce(vertices, 0) as vertices,
+                 coalesce(owned_edges, 0) as owned_edges,
+                 coalesce(cut_edges, 0) as cut_edges,
+                 round(coalesce(cut_edges, 0)
+                       / greatest(coalesce(owned_edges, 0), 1), 8) as cut_frac
+          from vs full join es using(part)
+        """,
         "contamination": _contamination_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "graph_degree": f"""

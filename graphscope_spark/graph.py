@@ -396,3 +396,47 @@ class Graph:
 def report_graph(g: Graph) -> dict:
     """REPORT_GRAPH analog (dag_utils.py:413-489): node/edge counts."""
     return {"num_vertices": g.num_vertices(), "num_edges": g.num_edges()}
+
+
+def partition_report(g: Graph, p: int | None = None) -> DataFrame:
+    """Per-partition quality report for the modulo hash edge-cut the
+    engine runs on: (part, vertices, owned_edges, cut_edges,
+    cut_frac) with owner(v) = v % p — the dense-vid analog of the
+    reference's hash partitioner (grape fragment loaders assign
+    gid % fnum; analytical_engine/core/fragment/* fragment ownership).
+    An edge is OWNED by its source's partition and CUT when its
+    endpoints land on different partitions; at 10^12-document scale
+    the cut fraction is what prices every superstep's shuffle and the
+    balance columns expose hub-induced skew before it burns a run.
+
+    One groupBy on the owner key — the same single shuffle the engine's
+    own repartition(src) performs; no joins, no collect.
+    """
+    p = p or g.num_partitions
+    e = g.edges.select(
+        (F.col(SRC) % p).alias("part"),
+        (F.col(SRC) % p != F.col(DST) % p).cast("long").alias("is_cut"),
+    )
+    edge_stats = e.groupBy("part").agg(
+        F.count(F.lit(1)).alias("owned_edges"),
+        F.sum("is_cut").alias("cut_edges"),
+    )
+    vert_stats = (
+        g.vertices.select((F.col(VID) % p).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("vertices"))
+    )
+    return (
+        vert_stats.join(edge_stats, "part", "full")
+        .select(
+            "part",
+            F.coalesce("vertices", F.lit(0)).cast("long").alias("vertices"),
+            F.coalesce("owned_edges", F.lit(0)).cast("long").alias("owned_edges"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.round(
+                F.coalesce("cut_edges", F.lit(0))
+                / F.greatest(F.coalesce("owned_edges", F.lit(0)), F.lit(1)),
+                8,
+            ).alias("cut_frac"),
+        )
+    )

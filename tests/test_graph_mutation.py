@@ -48,3 +48,31 @@ def test_algorithms_run_on_mutated_graph(spark):
     g = _g(spark).add_edges(spark.createDataFrame([(7, 8)], "src long, dst long"))
     comp = {r["vid"]: r["comp"] for r in wcc(g).collect()}
     assert comp[8] == 7 and comp[2] == 0
+
+
+def test_partition_report_matches_python(spark):
+    from graphscope_spark.graph import Graph, partition_report
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 1), (5, 5), (6, 2), (7, 0)]
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), directed=True
+    )
+    p = 3
+    got = {
+        r["part"]: (r["vertices"], r["owned_edges"], r["cut_edges"], r["cut_frac"])
+        for r in partition_report(g, p=p).collect()
+    }
+    verts = sorted({v for e in edges for v in e})
+    exp = {}
+    for part in range(p):
+        vs = [v for v in verts if v % p == part]
+        owned = [(s, d) for s, d in edges if s % p == part]
+        cut = [(s, d) for s, d in owned if s % p != d % p]
+        if vs or owned:
+            exp[part] = (
+                len(vs),
+                len(owned),
+                len(cut),
+                round(len(cut) / max(len(owned), 1), 8),
+            )
+    assert got == exp
