@@ -131,8 +131,11 @@ def ngram_lm_perplexity(
     scoring joins doc-bigram COUNTS — the distinct-bigram stream, a
     strict subset of the raw token stream — then one per-doc weighted
     aggregate.  V rides as a 1-row broadcast.  No UDF anywhere."""
-    t = tokens(text_col)
-    bigrams = docs.select(
+    # token array materialized first (dedup.shingles has the why: an
+    # inline split() expression re-evaluates per lambda element)
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    bigrams = base.select(
         F.col(id_col),
         F.explode(
             F.when(

@@ -47,7 +47,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     Documents shorter than n words yield their whole text as the
     single shingle."""
     n = n or specs.SHINGLE_N
-    t = tokens(text_col)
+    # materialize the token array in its own projection: referencing the
+    # split() EXPRESSION inside the per-element lambda makes codegen
+    # re-split the text for every element (O(len^2) per doc, measured
+    # ~3x on the sf0.1 corpus); a materialized column is read once
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
     sh = F.when(
         F.size(t) < n, F.array(F.concat_ws(" ", t))
     ).otherwise(
@@ -57,7 +62,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         )
     )
     return (
-        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        base.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -414,7 +419,9 @@ def duplicate_spans(
     """
     k = k or specs.DUP_SPAN_K
     min_docs = min_docs or specs.DUP_SPAN_MIN_DOCS
-    t = tokens(text_col)
+    # token array materialized first — see shingles() for why
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
     span_arr = F.when(
         F.size(t) >= k,
         F.transform(
@@ -422,7 +429,7 @@ def duplicate_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = docs.select(F.col(id_col), F.explode_outer(span_arr).alias("span"))
+    spans = base.select(F.col(id_col), F.explode_outer(span_arr).alias("span"))
     dup = (
         spans.where(F.col("span").isNotNull())
         .groupBy("span")

@@ -265,7 +265,10 @@ def chunk_text(
     stride = c - o
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    t = tokens(text_col)
+    # token array materialized first (dedup.shingles has the why: an
+    # inline split() expression re-evaluates per lambda element)
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    t = F.col("_t")
     n = F.size(t)
     # m = 1 + ceil(max(n - c, 0) / stride), integer arithmetic
     m = F.lit(1) + F.floor(
@@ -279,6 +282,6 @@ def chunk_text(
             F.least(F.lit(c), n - i * stride).cast("long").alias("n_chunk_tokens"),
         ),
     )
-    return docs.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+    return base.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
         id_col, "ch.chunk_id", "ch.chunk_text", "ch.n_chunk_tokens"
     )
