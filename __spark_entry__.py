@@ -2993,6 +2993,41 @@ def _q_partition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_report(order_graph(spark, sf_dir), p=PART_P)
 
 
+_URLF_HOSTS = ["site3.example.com", "site5.example.com"]
+
+
+def _q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl blocklist gate (urls.url_filter) over deterministically
+    synthesized URLs: blocked-host suffixes (incl. a www. subdomain
+    case), ad-path / utm / binary-extension patterns; per
+    (host, block_reason) counts."""
+    from graphscope_spark.functions.urls import url_filter
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("o_custkey") % 13 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (F.col("o_custkey") % 8).cast("string"),
+        F.lit(".example.com"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("/ads/x")).otherwise(
+            F.concat(F.lit("/p/"), F.col("o_orderkey").cast("string"))
+        ),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("?utm_source=1")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("/file.zip")).otherwise(
+            F.lit("")
+        ),
+    )
+    flagged = url_filter(
+        o.select(url.alias("url")), blocked_hosts=_URLF_HOSTS
+    )
+    return flagged.groupBy("host", "block_reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def _q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.sources.tpch_graph import order_graph
 
@@ -4869,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- newest (added after the round-3 sweep began), cheapest first -
         "domain_mix": _q_domain_mix,
         "partition_report": _q_partition_report,
+        "url_filter": _q_url_filter,
         "cocitation": _q_cocitation,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans,
@@ -5674,6 +5710,43 @@ def oracle_sql() -> dict[str, str]:
                  round(coalesce(cut_edges, 0)
                        / greatest(coalesce(owned_edges, 0), 1), 8) as cut_frac
           from vs full join es using(part)
+        """,
+        "url_filter": rf"""
+          with u as (
+            select 'http://'
+                   || case when o_custkey % 13 = 0 then 'WWW.' else '' end
+                   || 'Site' || cast(o_custkey % 8 as varchar) || '.example.com'
+                   || case when o_orderkey % 7 = 0 then '/ads/x'
+                           else '/p/' || cast(o_orderkey as varchar) end
+                   || case when o_orderkey % 11 = 0 then '?utm_source=1'
+                           else '' end
+                   || case when o_orderkey % 17 = 0 then '/file.zip'
+                           else '' end as url
+            from orders
+          ),
+          f as (
+            select url,
+                   lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) as host
+            from u
+          ),
+          r as (
+            select host,
+                   case
+                     when host = 'site3.example.com'
+                          or ends_with(host, '.site3.example.com')
+                          or host = 'site5.example.com'
+                          or ends_with(host, '.site5.example.com')
+                       then 'host'
+                     when regexp_matches(url,
+                          '(?:/ads?/)|(?:[?&]utm_)|(?:\.(exe|zip|dmg)$)')
+                       then 'pattern'
+                     else null
+                   end as block_reason
+            from f
+          )
+          select host, block_reason, cast(count(*) as bigint) as n
+          from r group by 1, 2
         """,
         "contamination": _contamination_sql(),
         "pack_sequences": _pack_sequences_sql(),

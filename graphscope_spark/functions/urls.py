@@ -121,3 +121,45 @@ def crawl_delta(old, new, key_col: str = "doc_id", text_col: str = "text"):
             .alias("status"),
         )
     )
+
+
+def url_filter(
+    df,
+    url_col: str = "url",
+    patterns: list[str] | None = None,
+    blocked_hosts: list[str] | None = None,
+):
+    """Crawl-side URL blocklist gate (the robots/spam-list filter a
+    Common-Crawl-style pipeline applies before fetch/extract): flags
+    each URL as blocked by HOST (exact match or subdomain of a blocked
+    suffix — the domain-blocklist convention) or by PATTERN (a combined
+    RE2-safe regex alternation: ad/tracker paths, binary extensions),
+    host precedence first.  Returns every row with (host,
+    block_reason); keep = ``block_reason IS NULL``.
+
+    Scale shape: both lists are broadcast-small by nature (blocklists
+    are KBs, corpora are TBs), and both gates are pure column
+    expressions compiled into the scan — zero shuffle, zero joins; the
+    host extraction reuses the canonicalization regex.  Regexes are
+    restricted to constructs Spark's Java regex and DuckDB's RE2
+    evaluate identically (module docstring), so the oracle mirrors the
+    gate verbatim.
+    """
+    patterns = patterns if patterns is not None else [
+        r"/ads?/", r"[?&]utm_", r"\.(exe|zip|dmg)$",
+    ]
+    blocked_hosts = blocked_hosts if blocked_hosts is not None else []
+    u = F.col(url_col)
+    host = url_host(u)
+    host_hit = F.lit(False)
+    for h in blocked_hosts:
+        host_hit = host_hit | (host == h.lower()) | host.endswith("." + h.lower())
+    pat = "|".join(f"(?:{p})" for p in patterns)
+    reason = (
+        F.when(host_hit, F.lit("host"))
+        .when(u.rlike(pat), F.lit("pattern"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "*", host.alias("host"), reason.alias("block_reason")
+    )

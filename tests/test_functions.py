@@ -565,3 +565,33 @@ def test_image_resize_exact(spark):
     # downscale back: pixel centers land on the original samples
     back = resize_nearest(got, 2, 2)
     assert (back == px).all()
+
+
+def test_url_filter(spark):
+    from graphscope_spark.functions.urls import url_filter
+
+    rows = [
+        (0, "http://spam.bad.com/p/1"),          # blocked host (exact)
+        (1, "http://www.bad.com/p/1"),           # blocked host (subdomain)
+        (2, "http://ok.com/ads/banner"),         # pattern: ad path
+        (3, "http://ok.com/p/2?utm_source=x"),   # pattern: utm
+        (4, "http://ok.com/get/file.zip"),       # pattern: extension
+        (5, "http://ok.com/p/3"),                # clean
+        (6, "http://bad.com/ads/x"),             # host wins over pattern
+        (7, "not-a-url"),                        # no host, no pattern
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r["i"]: (r["host"], r["block_reason"])
+        for r in url_filter(
+            df, blocked_hosts=["bad.com", "spam.bad.com"]
+        ).collect()
+    }
+    assert got[0] == ("spam.bad.com", "host")
+    assert got[1] == ("www.bad.com", "host")
+    assert got[2] == ("ok.com", "pattern")
+    assert got[3] == ("ok.com", "pattern")
+    assert got[4] == ("ok.com", "pattern")
+    assert got[5] == ("ok.com", None)
+    assert got[6] == ("bad.com", "host")
+    assert got[7] == ("", None)
