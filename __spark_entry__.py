@@ -119,6 +119,9 @@ CONTAM_MOD = 23        # benchmark set for contamination: doc_id % 23 == 0
 MIX_SEED = 29          # domain_mix md5 bucket seed
 MIX_ALPHA = 0.7        # domain_mix temperature (count^alpha target share)
 PART_P = 8             # partition_report modulo partition count
+NEG_K = 5              # negative_sample negatives per seed
+NEG_TRIALS = 32        # negative_sample rejection tape length
+NEG_SEED_MOD = 37      # seeds: customer vids % 37 == 0
 PACK_BUDGET = 256      # pack_sequences tokens per bin
 PACK_SHARDS = 8        # pack_sequences deterministic shard count
 
@@ -720,6 +723,58 @@ def _hits_sql() -> str:
         ",\n".join(parts)
         + f"\nselect vid, round(hub, 8) as hub, round(auth, 8) as auth from h{HITS_ROUNDS}"
     )
+
+
+def _negsample_sql() -> str:
+    """Negative-sample replay: same md5-uniform proposal tape, dense
+    vid index, rejection of real out-neighbors, trial-order windows."""
+    h = "md5(cast(t.src as varchar) || ':' || cast(t.t as varchar))"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return f"""
+      with edges as materialized ({SQL_EDGES}),
+      verts as materialized ({SQL_VERTS}),
+      nn as (select count(*) as n from verts),
+      ix as materialized (
+        select vid, row_number() over (order by vid) - 1 as _ix from verts
+      ),
+      s as (
+        select vid as src from verts
+        where vid < 1000000 and vid % {NEG_SEED_MOD} = 0
+      ),
+      t as (
+        select s.src, g.t
+        from s cross join unnest(generate_series(0, {NEG_TRIALS - 1})) as g(t)
+      ),
+      props as (
+        select t.src, t.t,
+               cast(({digits}) as bigint) % (select n from nn) as _ix
+        from t
+      ),
+      cand as (
+        select p.src, p.t, ix.vid as neg from props p join ix using(_ix)
+      ),
+      ok as (
+        select c.src, c.t, c.neg
+        from cand c
+        left join edges e on c.src = e.src and c.neg = e.dst
+        where e.src is null and c.src <> c.neg
+      ),
+      d as (
+        select src, t, neg,
+               row_number() over (partition by src, neg order by t) as _d
+        from ok
+      ),
+      r as (
+        select src, neg,
+               row_number() over (partition by src order by t) as rank
+        from d where _d = 1
+      )
+      select src, neg, cast(rank as int) as rank from r where rank <= {NEG_K}
+    """
 
 
 def _khop_sql() -> str:
@@ -4865,6 +4920,21 @@ def _q_khop_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_neighbor_sample(g, seeds, fanouts=KHOP_FANOUTS)
 
 
+def _q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GNN negative edge sampling (GLE negative-sampler
+    analog) from the customer seed set: md5-uniform proposals over the
+    dense vid index with rejection of real out-neighbors, replayed
+    exactly by the oracle."""
+    from graphscope_spark.algorithms.walks import negative_sample
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    seeds = g.vertices.where(
+        (F.col("vid") < 1000000) & (F.col("vid") % NEG_SEED_MOD == 0)
+    )
+    return negative_sample(g, seeds, k=NEG_K, trials=NEG_TRIALS)
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (the trained coarse quantizer behind
     IVF ANN / SemDeDup): 2 assign→update rounds from the seeded init,
@@ -4909,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_embeddings": _q_kmeans,
         "khop_sample": _q_khop_sample,
+        "negative_sample": _q_negative_sample,
         "bib_coupling": _q_bib_coupling,
         "cms_tokens": _q_cms_tokens,
         "semantic_dedup": _q_semantic_dedup,
@@ -5297,6 +5368,7 @@ def oracle_sql() -> dict[str, str]:
     d = {
         "kmeans_embeddings": _kmeans_sql(),
         "khop_sample": _khop_sql(),
+        "negative_sample": _negsample_sql(),
         "lm_perplexity": ngram_lm_oracle_sql(LM_K),
         "salsa": _salsa_sql(),
         "cocitation": f"""

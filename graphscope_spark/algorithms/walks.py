@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphscope_spark.graph import DST, SRC, Graph
+from graphscope_spark.graph import DST, SRC, VID, Graph
 
 WALK_A = 1103515245
 WALK_B = 12345
@@ -269,3 +269,76 @@ def khop_neighbor_sample(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def negative_sample(
+    g: Graph,
+    seeds: DataFrame,
+    k: int = 5,
+    trials: int = 32,
+) -> DataFrame:
+    """GNN-style negative edge sampling (the GLE negative-sampler
+    analog: graphlearn's `negative_sample` produces per-seed non-
+    neighbor ids for contrastive loss): for each seed vertex, the
+    first ``k`` NON-neighbors drawn from a deterministic per-seed
+    trial sequence.  Returns (src, neg, rank) with rank 1..k in trial
+    order.
+
+    Deterministic: trial t of seed s proposes the vertex whose dense
+    index is md5-uniform(s ':' t) scaled to |V| (the dense index is
+    the vid dictionary's sort rank — the loaders' dense-vid guarantee,
+    graph.py); proposals that hit a real out-neighbor of s (or s
+    itself, or an earlier duplicate proposal) are rejected and the
+    trial order advances — rejection sampling with a replayable tape,
+    so a DuckDB oracle reproduces every pick exactly.
+
+    Scale shape: |seeds|·trials proposal rows (bounded, never |V|·
+    |seeds|), one broadcast-join onto the dense index, one anti-ish
+    left join against the seed's adjacency on (src, dst) — the
+    edge-table side is partitioned by src exactly like every other
+    sampler here — and one per-seed window that rides that join's
+    partitioning.  With trials ≈ 6·k the chance a degree-bounded seed
+    exhausts its tape is negligible; raise ``trials`` for hub seeds.
+    """
+    verts = g.vertices.select(VID)
+    n = verts.count()
+    w_ix = Window.orderBy(VID)
+    # dense index 0..n-1 by vid order — the vid dictionary's rank.
+    # Single-ordered-window on the VERTEX table: at cluster scale
+    # replace with the dictionary's own stored rank (sources build one)
+    ix = verts.select(VID, (F.row_number().over(w_ix) - 1).alias("_ix"))
+    s = seeds.select(F.col(seeds.columns[0]).alias(SRC)).distinct()
+    t = s.select(
+        SRC, F.explode(F.sequence(F.lit(0), F.lit(trials - 1))).alias("t")
+    )
+    # md5-uniform proposal index: first 12 hex digits as 48-bit int
+    h = F.md5(F.concat_ws(":", F.col(SRC).cast("string"), F.col("t").cast("string")))
+    b = None
+    for i in range(12):
+        d = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1
+        ).cast("long")
+        b = d if b is None else b * 16 + d
+    props = t.select(SRC, "t", (b % F.lit(n)).alias("_ix"))
+    cand = props.join(F.broadcast(ix), "_ix").select(
+        SRC, "t", F.col(VID).alias("neg")
+    )
+    e = g.distinct_edges().select(
+        F.col(SRC).alias(SRC), F.col(DST).alias("neg"), F.lit(1).alias("_hit")
+    )
+    ok = (
+        cand.join(e, [SRC, "neg"], "left")
+        .where(F.col("_hit").isNull() & (F.col(SRC) != F.col("neg")))
+        .select(SRC, "t", "neg")
+    )
+    # drop duplicate proposals of the same neg for a seed (keep the
+    # earliest trial), then take the first k surviving trials
+    w_dup = Window.partitionBy(SRC, "neg").orderBy("t")
+    w_rk = Window.partitionBy(SRC).orderBy("t")
+    return (
+        ok.withColumn("_d", F.row_number().over(w_dup))
+        .where(F.col("_d") == 1)
+        .withColumn("rank", F.row_number().over(w_rk))
+        .where(F.col("rank") <= k)
+        .select(SRC, "neg", F.col("rank").cast("int").alias("rank"))
+    )

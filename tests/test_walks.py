@@ -175,3 +175,42 @@ def test_khop_neighbor_sample_matches_replica(spark, rand_graph, rand_graph_data
     c = Counter((l, s) for l, s, _ in got)
     for (l, _), n in c.items():
         assert n <= fanouts[l]
+
+
+def test_negative_sample_matches_replica(spark, rand_graph, rand_graph_data):
+    """md5-uniform rejection tape vs a pure-Python replay; no sampled
+    pair may be a real edge or a self-pair."""
+    import hashlib
+
+    from graphscope_spark.algorithms.walks import negative_sample
+
+    vertices, edges = rand_graph_data
+    k, trials = 4, 24
+    seeds = sorted(v for v in vertices if v % 25 == 0)
+    vs = sorted(vertices)
+    n = len(vs)
+    eset = set(edges)
+
+    exp = set()
+    for s in seeds:
+        picked: list[int] = []
+        seen: set[int] = set()
+        for t in range(trials):
+            if len(picked) >= k:
+                break
+            hx = hashlib.md5(f"{s}:{t}".encode()).hexdigest()
+            cand = vs[int(hx[:12], 16) % n]
+            if cand == s or (s, cand) in eset or cand in seen:
+                continue
+            seen.add(cand)
+            picked.append(cand)
+        for r, neg in enumerate(picked, 1):
+            exp.add((s, neg, r))
+
+    seed_df = spark.createDataFrame([(v,) for v in seeds], "vid long")
+    got = {
+        (r["src"], r["neg"], r["rank"])
+        for r in negative_sample(rand_graph, seed_df, k=k, trials=trials).collect()
+    }
+    assert got == exp
+    assert all((s, v) not in eset and s != v for s, v, _ in got)
