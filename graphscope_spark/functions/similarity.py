@@ -390,3 +390,73 @@ def kmeans_fit(
     return _assign_l2(corpus, cent, id_col, vec_col).select(
         id_col, "cluster", "dist"
     )
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index to disk: ``<path>/centroids`` (the tiny
+    quantizer table) and ``<path>/lists`` — the inverted lists written
+    ``partitionBy("cluster")`` so each cluster is its own directory.
+    This is the layout a deployed ANN service wants at 100 TB: a probe
+    touches ``nprobe`` directories and Spark's partition pruning skips
+    every other file (PartitionFilters in the scan — pinned by the
+    plan test), so search I/O scales with nprobe·|cluster|, not
+    |corpus|."""
+    cent = ivf_centroids(corpus, stride, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/lists"
+    )
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search against a persisted :func:`ivf_index_write`
+    index.  The probed cluster ids (≤ |queries|·nprobe values, the ANN
+    service's in-memory routing step) become a LITERAL ``isin`` filter
+    on the partition column, so the inverted-list scan plans with
+    PartitionFilters and reads only the probed directories.  Results
+    are identical to :func:`ivf_topk` with the same stride/nprobe."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probed = _argmax_centroid(
+        qs.join(F.broadcast(cent)).select(
+            "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("ccos")
+        ),
+        "query_id",
+        nprobe,
+    ).select("query_id", "qv", F.col("cid").alias("cluster"))
+    clusters = [r["cluster"] for r in probed.select("cluster").distinct().collect()]
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .where(F.col("cluster").isin(clusters))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster"
+        )
+    )
+    scored = (
+        lists.join(F.broadcast(probed), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

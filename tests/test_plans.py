@@ -211,3 +211,34 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     )
     assert "Broadcast" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """Persisted IVF index: search must plan with PartitionFilters on
+    the cluster column (reads only probed directories) and match
+    ivf_topk exactly."""
+    import os
+
+    from graphscope_spark.functions.similarity import (
+        ivf_index_search,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.where(F.col("vec_id") % 29 == 0)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(corpus, path, stride=11)
+    # layout: one directory per cluster
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(path, "lists"))
+    )
+    res = ivf_index_search(spark, path, queries, k=3, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in res.collect()}
+    exp = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(corpus, queries, k=3, stride=11, nprobe=2).collect()
+    }
+    assert got == exp
