@@ -4956,20 +4956,112 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Keys added in the CURRENT round.  Never-driver-checked keys from
+#: PRIOR rounds always outrank these in the driver window (VERDICT r3
+#: task 1: "do NOT front-load any new round-4 ops" until the backlog
+#: has rows).  Bump this list each round when adding queries.
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "stream_dedup_final",
+    "stream_trending",
+    "stream_incr_pagerank",
+    "stream_incr_wcc",
+    "stream_incr_triangles",
+    "stream_neardup_final",
+    "load_app_sssp",
+    "semantic_dedup_capped",
+    "pages_extract",
+    "pages_linkgraph",
+    "pages_pagerank",
+)
+
+
+def _evidence_dir():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parent
+
+
+def _driver_coverage() -> dict[str, int]:
+    """key -> latest round with a green driver CORRECTNESS row, from the
+    committed CORRECTNESS_r*.json files next to this file."""
+    import json
+    import re
+
+    cov: dict[str, int] = {}
+    for p in sorted(_evidence_dir().glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for k in rows:
+                cov[k] = max(cov.get(k, 0), rnd)
+    return cov
+
+
+def _bench_costs() -> dict[str, float]:
+    """Per-query wall seconds from the LATEST committed BENCH_r*.json
+    (the driver embeds bench.py's JSON line in the "tail" field)."""
+    import json
+    import re
+
+    costs: dict[str, float] = {}
+    for p in sorted(_evidence_dir().glob("BENCH_r*.json")):
+        try:
+            doc = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        tail = doc.get("tail", "") if isinstance(doc, dict) else ""
+        for m in re.finditer(r'\{"metric".*', tail):
+            try:
+                line = json.loads(m.group(0).splitlines()[0])
+            except ValueError:
+                continue
+            q = line.get("queries")
+            if isinstance(q, dict):
+                costs = {k: float(v) for k, v in q.items()}
+    return costs
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordering note (round 3): the driver's correctness gate verified
-    exactly the first 50 dict entries in round 2 (CORRECTNESS_r02.json),
-    so driver-unverified queries come FIRST.  With 131 entries, a
-    50-entry cap can cover at most 100 across two rounds, so the
-    window is allocated by priority: (1) every query new or changed
-    this round (round-3 families, the re-implemented LSH-bounded
-    ngram_jaccard, pie_sssp, segment_dedup, domain_mix), then (2) the
-    queries VERDICT r2 explicitly named as driver-coverage gaps (ppr,
-    mis, ktruss, msf, dedup_near, coloring, dfs_preorder, cliques,
-    censuses, eccentricity, scc, apsp).  Everything from position 51
-    on stays green in the local replica gate
-    (scripts/verify_entry.py, ALL PASS at sf0.01); the r02-green
-    queries close the dict."""
+    """Driver-window ordering is DERIVED, not hand-maintained (VERDICT
+    r3 tasks 1-2): the driver's correctness gate checks the first ~50
+    dict entries per round, so order is computed at call time from the
+    committed evidence files:
+
+    1. never-driver-checked keys from PRIOR rounds (absent from every
+       CORRECTNESS_r*.json, not in ``_NEW_THIS_ROUND``), cheapest first
+       by the latest BENCH_r*.json per-query seconds — the 35-key
+       round-3 backlog lands in positions 1-35;
+    2. never-checked keys added THIS round (``_NEW_THIS_ROUND``);
+    3. already-checked keys, oldest-checked round first.
+
+    Ties break on key name.  This makes the ordering self-maintaining:
+    adding operators next round can never re-bury an unchecked entry,
+    and tests/test_entry_ordering.py pins the invariant against the
+    committed files."""
+    impls = _query_impls()
+    cov = _driver_coverage()
+    costs = _bench_costs()
+    new_round = set(_NEW_THIS_ROUND)
+
+    def rank(k: str):
+        if k not in cov:
+            if k in new_round:
+                return (1, 0.0, k)
+            return (0, costs.get(k, float("inf")), k)
+        return (2, float(cov[k]), k)
+
+    return {k: impls[k] for k in sorted(impls, key=rank)}
+
+
+def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Literal registry of every query; ordering here is irrelevant —
+    ``queries()`` re-sorts by driver-coverage evidence."""
     return {
         # -- newest (added after the round-3 sweep began), cheapest first -
         "domain_mix": _q_domain_mix,
