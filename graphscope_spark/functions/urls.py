@@ -154,10 +154,13 @@ def url_filter(
     host_hit = F.lit(False)
     for h in blocked_hosts:
         host_hit = host_hit | (host == h.lower()) | host.endswith("." + h.lower())
+    # patterns=[] means "no pattern gate" — rlike("") matches EVERY
+    # string, so an empty alternation must compile to a constant False
     pat = "|".join(f"(?:{p})" for p in patterns)
+    pat_hit = u.rlike(pat) if patterns else F.lit(False)
     reason = (
         F.when(host_hit, F.lit("host"))
-        .when(u.rlike(pat), F.lit("pattern"))
+        .when(pat_hit, F.lit("pattern"))
         .otherwise(F.lit(None).cast("string"))
     )
     return df.select(

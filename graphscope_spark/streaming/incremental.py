@@ -40,6 +40,78 @@ from graphscope_spark.superstep import StepResult, SuperstepRunner
 EDGE_SCHEMA = "src long, dst long"
 
 
+# ---------------------------------------------------------------------
+# idempotent per-batch state layout (ADVICE r3: foreachBatch is
+# at-least-once — a retry after a partial state write must not
+# double-apply).  Every accumulated table is a directory of
+# ``batch=<id>/`` sub-dirs, each written with mode("overwrite") so a
+# retry rewrites ITS OWN partition byte-identically; every read of
+# "history" filters to batch ids STRICTLY BEFORE the current one, so a
+# half-written current batch can never leak into its own inputs.
+# Derived state (ranks/comps/counts) is a versioned ``snap=<id>/``
+# snapshot per batch: the warm-start input is the snapshot with the
+# largest id < current, which a retry re-reads unchanged — the batch
+# is a deterministic function of (prior snaps, prior batches, batch
+# data), hence replay-safe.  This is also the per-partition lineage
+# the north rule asks for: each snapshot names the batch that produced
+# it.  Old snapshots are GC'd keeping the last two (current + the one
+# a retry of the NEXT batch would need).
+# ---------------------------------------------------------------------
+
+
+def _ids_in(root: str, prefix: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith(prefix + "=") and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _write_batch(df: DataFrame, root: str, batch_id: int, prefix: str = "batch") -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(root, f"{prefix}={batch_id}")
+    )
+
+
+def _read_batches(
+    spark: SparkSession, root: str, schema: str, before: int | None = None
+) -> DataFrame:
+    """Union of all complete ``batch=<id>`` partitions with id < before
+    (all of them when ``before`` is None)."""
+    ids = _ids_in(root, "batch")
+    if before is not None:
+        ids = [i for i in ids if i < before]
+    if not ids:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f"batch={i}") for i in ids]
+    )
+
+
+def _read_snap(
+    spark: SparkSession, root: str, before: int | None = None
+) -> DataFrame | None:
+    """Latest complete snapshot with id < before (or latest overall)."""
+    ids = _ids_in(root, "snap")
+    if before is not None:
+        ids = [i for i in ids if i < before]
+    if not ids:
+        return None
+    return spark.read.parquet(os.path.join(root, f"snap={ids[-1]}"))
+
+
+def _gc_snaps(root: str, keep: int = 2) -> None:
+    import shutil
+
+    ids = _ids_in(root, "snap")
+    for i in ids[:-keep]:
+        shutil.rmtree(os.path.join(root, f"snap={i}"), ignore_errors=True)
+
+
 def _warm_pagerank(
     g: Graph,
     prev: DataFrame | None,
@@ -153,20 +225,20 @@ class IncrementalPageRank:
         return os.path.join(self.state_dir, "ranks")
 
     def current_ranks(self) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self._ranks_dir, "_SUCCESS")):
-            return None
-        return self.spark.read.parquet(self._ranks_dir)
+        return _read_snap(self.spark, self._ranks_dir)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        batch_df.select(SRC, DST).write.mode("append").parquet(self._edges_dir)
-        edges = self.spark.read.parquet(self._edges_dir)
+        bid = int(batch_id)
+        _write_batch(batch_df.select(SRC, DST), self._edges_dir, bid)
+        edges = _read_batches(self.spark, self._edges_dir, EDGE_SCHEMA, before=bid + 1)
         g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
-        prev = self.current_ranks()
+        prev = _read_snap(self.spark, self._ranks_dir, before=bid)
         ranks = _warm_pagerank(
             g, prev, alpha=self.alpha, tol=self.tol, max_iter=self.max_iter
         ).localCheckpoint(eager=True)
-        ranks.write.mode("overwrite").parquet(self._ranks_dir)
+        _write_batch(ranks, self._ranks_dir, bid, prefix="snap")
+        _gc_snaps(self._ranks_dir)
         self.batches_seen += 1
         rec = {
             "batch_id": int(batch_id),
@@ -270,23 +342,23 @@ class IncrementalWCC:
         return os.path.join(self.state_dir, "comps")
 
     def current_components(self) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self._comps_dir, "_SUCCESS")):
-            return None
-        return self.spark.read.parquet(self._comps_dir)
+        return _read_snap(self.spark, self._comps_dir)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        batch_df.select(SRC, DST).write.mode("append").parquet(self._edges_dir)
-        edges = self.spark.read.parquet(self._edges_dir)
+        bid = int(batch_id)
+        _write_batch(batch_df.select(SRC, DST), self._edges_dir, bid)
+        edges = _read_batches(self.spark, self._edges_dir, EDGE_SCHEMA, before=bid + 1)
         g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
-        prev = self.current_components()
+        prev = _read_snap(self.spark, self._comps_dir, before=bid)
         seeds = (
             batch_df.select(F.col(SRC).alias(VID))
             .unionByName(batch_df.select(F.col(DST).alias(VID)))
             .distinct()
         )
         comps = _warm_wcc(g, prev, seeds).localCheckpoint(eager=True)
-        comps.write.mode("overwrite").parquet(self._comps_dir)
+        _write_batch(comps, self._comps_dir, bid, prefix="snap")
+        _gc_snaps(self._comps_dir)
         self.batches_seen += 1
         rec = {
             "batch_id": int(batch_id),
@@ -451,23 +523,24 @@ class IncrementalTriangles:
         return os.path.join(self.state_dir, "counts")
 
     def current_counts(self) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self._counts_dir, "_SUCCESS")):
-            return None
-        return self.spark.read.parquet(self._counts_dir)
+        return _read_snap(self.spark, self._counts_dir)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        have_old = os.path.exists(os.path.join(self._edges_dir, "_SUCCESS"))
-        old = (
-            self.spark.read.parquet(self._edges_dir)
-            if have_old
-            else self.spark.createDataFrame([], "a long, b long")
-        )
+        bid = int(batch_id)
+        # old = strictly-prior batches; a retry's own half-written
+        # partition can never leak into the delta's "old" side, and
+        # prev comes from the snapshot BEFORE this batch — so the
+        # counts written for bid are the same on every replay
+        # (ADVICE r3: the append-after-overwrite ordering double-
+        # applied the delta on retry)
+        old = _read_batches(self.spark, self._edges_dir, "a long, b long", before=bid)
+        have_old = old.limit(1).count() > 0
         new = _canon(batch_df).join(old, ["a", "b"], "anti").localCheckpoint(
             eager=True
         )
         delta = triangle_delta(old, new)
-        prev = self.current_counts()
+        prev = _read_snap(self.spark, self._counts_dir, before=bid)
         if prev is None:
             prev = self.spark.createDataFrame([], f"{VID} long, tri long")
         counts = (
@@ -480,8 +553,9 @@ class IncrementalTriangles:
             )
             .localCheckpoint(eager=True)
         )
-        counts.write.mode("overwrite").parquet(self._counts_dir)
-        new.write.mode("append").parquet(self._edges_dir)
+        _write_batch(counts, self._counts_dir, bid, prefix="snap")
+        _gc_snaps(self._counts_dir)
+        _write_batch(new, self._edges_dir, bid)
         self.batches_seen += 1
         rec = {
             "batch_id": int(batch_id),

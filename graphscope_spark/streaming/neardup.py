@@ -11,9 +11,12 @@ index as streaming state and charges each batch only batch-sized work:
      new×new pairs inside the batch) — never old×old;
   3. verify candidates exactly (shingle-hash Jaccard ≥ threshold) using
      the stored shingle hashes of BOTH sides;
-  4. a new doc is a duplicate of the SMALLEST earlier doc_id it
-     verifies against (deterministic, arrival-order independent given
-     ids); append its (doc_id, dup_of, jaccard) to the output;
+  4. the larger-id doc of each verified pair is a duplicate of the
+     SMALLEST smaller-id doc it verifies against — regardless of which
+     side arrived first, so ids need NOT be monotone with arrival
+     order (a batch carrying a smaller id than an indexed doc flags
+     the OLD doc); append (doc_id, dup_of, jaccard) to the output and
+     resolve multi-batch verdicts to min dup_of on read;
   5. append the batch's bands and shingle hashes to the state.
 
 Exactly the "memoized index" shape of the Ingress idea applied to the
@@ -108,10 +111,12 @@ def _verified_dups(
 class IncrementalNearDup:
     """foreachBatch processor: near-dup flags against ALL earlier docs.
 
-    State layout: ``bands/`` (doc_id, band) Parquet — the LSH index;
-    ``shingles/`` (doc_id, sh) Parquet — md5 shingle hashes for exact
-    verification; ``dups/`` (doc_id, dup_of, jaccard) Parquet — the
-    append-only verdicts; ``metrics.jsonl`` one line per batch.
+    State layout (all per-batch ``batch=<id>/`` partitions, each
+    written with overwrite so an at-least-once retry is a no-op):
+    ``bands/`` (doc_id, band) — the LSH index; ``shingles/``
+    (doc_id, sh) — md5 shingle hashes for exact verification;
+    ``dups/`` (doc_id, dup_of, jaccard) — per-batch verdicts, resolved
+    to min dup_of per doc on read; ``metrics.jsonl`` one line per batch.
     """
 
     def __init__(
@@ -133,16 +138,26 @@ class IncrementalNearDup:
     def _dir(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
-    def _read(self, name: str, schema: str) -> DataFrame:
-        if os.path.exists(os.path.join(self._dir(name), "_SUCCESS")):
-            return self.spark.read.parquet(self._dir(name))
-        return self.spark.createDataFrame([], schema)
+    def _read(self, name: str, schema: str, before: int | None = None) -> DataFrame:
+        from graphscope_spark.streaming.incremental import _read_batches
+
+        return _read_batches(self.spark, self._dir(name), schema, before=before)
 
     def current_dups(self) -> DataFrame:
-        return self._read("dups", "doc_id long, dup_of long, jaccard double")
+        """(doc_id, dup_of, jaccard): smallest verified earlier partner
+        per flagged doc.  ``dups/`` is append-only and a doc can gain a
+        BETTER (smaller-id) partner in a later batch — e.g. when a
+        small-id doc arrives after a larger near-duplicate was indexed —
+        so the read side takes the min-dup_of row per doc."""
+        raw = self._read("dups", "doc_id long, dup_of long, jaccard double")
+        return raw.groupBy("doc_id").agg(
+            F.min("dup_of").alias("dup_of"),
+            F.min_by("jaccard", F.col("dup_of")).alias("jaccard"),
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
+        bid = int(batch_id)
         docs = batch_df.select(self.id_col, self.text_col)
         new_sh = _sh_hashes(docs, self.id_col, self.text_col).localCheckpoint(
             eager=True
@@ -152,10 +167,20 @@ class IncrementalNearDup:
             id_col=self.id_col,
         )
         new_bands = _bands(sig, self.id_col).localCheckpoint(eager=True)
-        old_bands = self._read("bands", "doc_id long, band string")
-        old_sh = self._read("shingles", "doc_id long, sh string")
+        # history = strictly-prior batch partitions: a retry's own
+        # half-written partition never joins against itself, and the
+        # per-batch overwrite below makes the whole batch replay-safe
+        # (ADVICE r3: plain appends re-added bands/shingles on retry,
+        # which would double _na/_nb shingle counts and corrupt Jaccard)
+        old_bands = self._read("bands", "doc_id long, band string", before=bid)
+        old_sh = self._read("shingles", "doc_id long, sh string", before=bid)
 
-        # earlier = smaller doc_id; new-vs-old plus new-vs-new pairs
+        # candidate pairs: new-vs-old plus new-vs-new.  Normalize to
+        # (a=least id, b=greatest id) BEFORE the a<b orientation — a
+        # batch may carry a doc_id SMALLER than an already-indexed doc,
+        # and that pair must still verify (with the verdict landing on
+        # the old, larger-id doc).  The pre-fix code pinned old=a/new=b
+        # and silently dropped those pairs (ADVICE r3).
         no = old_bands.select(F.col("band"), F.col("doc_id").alias("a")).join(
             new_bands.select(F.col("band"), F.col("doc_id").alias("b")), "band"
         )
@@ -164,17 +189,21 @@ class IncrementalNearDup:
         )
         cand = (
             no.unionByName(nn)
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
             .distinct()
         )
         sh_all = old_sh.unionByName(new_sh)
         dups = _verified_dups(cand, sh_all, self.threshold).localCheckpoint(
             eager=True
         )
-        dups.write.mode("append").parquet(self._dir("dups"))
-        new_bands.write.mode("append").parquet(self._dir("bands"))
-        new_sh.write.mode("append").parquet(self._dir("shingles"))
+        from graphscope_spark.streaming.incremental import _write_batch
+
+        _write_batch(dups, self._dir("dups"), bid)
+        _write_batch(new_bands, self._dir("bands"), bid)
+        _write_batch(new_sh, self._dir("shingles"), bid)
         self.batches_seen += 1
         rec = {
             "batch_id": int(batch_id),

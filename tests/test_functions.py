@@ -595,3 +595,14 @@ def test_url_filter(spark):
     assert got[5] == ("ok.com", None)
     assert got[6] == ("bad.com", "host")
     assert got[7] == ("", None)
+
+    # ADVICE r3 (low): patterns=[] must mean "no pattern gate", not
+    # rlike("") (which matches everything)
+    empty = {
+        r["i"]: r["block_reason"]
+        for r in url_filter(
+            df, patterns=[], blocked_hosts=["bad.com", "spam.bad.com"]
+        ).collect()
+    }
+    assert empty == {0: "host", 1: "host", 2: None, 3: None, 4: None,
+                     5: None, 6: "host", 7: None}

@@ -150,3 +150,54 @@ def test_incremental_triangles_via_stream(spark, tmp_path):
     got = {r["vid"]: r["tri"] for r in inc.current_counts().collect()}
     for v, t in exp.items():
         assert got.get(v, 0) == t
+
+
+def test_triangles_retry_is_idempotent(spark, tmp_path):
+    """ADVICE r3: foreachBatch is at-least-once — replaying a batch
+    (same batch_id, same data) must leave counts IDENTICAL, even after
+    the earlier attempt completed fully (and, by the strictly-before
+    read discipline, also after any partial write)."""
+    from graphscope_spark.streaming.incremental import IncrementalTriangles
+    from graphscope_spark.algorithms import triangles
+
+    batches = _edge_batches(n=150, seed=23, k=3)
+    inc = IncrementalTriangles(spark, str(tmp_path / "tstate"))
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "src long, dst long")
+        inc.process_batch(df, i)
+        if i == 1:  # replay the middle batch — the double-apply repro
+            inc.process_batch(df, i)
+    got = {
+        r["vid"]: r["tri"]
+        for r in inc.current_counts().where("tri > 0").collect()
+    }
+    all_edges = [e for b in batches for e in b]
+    g = Graph.from_edges(
+        spark.createDataFrame(all_edges, "src long, dst long"), directed=True
+    )
+    exp = {
+        r["vid"]: r["tri"]
+        for r in triangles(g).where("tri > 0").collect()
+    }
+    assert got == exp
+
+
+def test_pagerank_retry_is_idempotent(spark, tmp_path):
+    batches = _edge_batches(n=120, seed=5, k=2)
+    inc = IncrementalPageRank(spark, str(tmp_path / "pstate"), tol=1e-9)
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "src long, dst long")
+        inc.process_batch(df, i)
+    inc.process_batch(
+        spark.createDataFrame(batches[-1], "src long, dst long"), len(batches) - 1
+    )
+    got = {r["vid"]: r["rank"] for r in inc.current_ranks().collect()}
+    all_edges = [e for b in batches for e in b]
+    g = Graph.from_edges(
+        spark.createDataFrame(all_edges, "src long, dst long"), directed=True
+    )
+    exp = {r["vid"]: r["rank"] for r in pagerank(g, tol=1e-9).collect()}
+    assert set(got) == set(exp)
+    gv = np.array([got[v] for v in sorted(got)])
+    ev = np.array([exp[v] for v in sorted(exp)])
+    assert np.allclose(gv, ev, atol=1e-6)

@@ -103,3 +103,38 @@ def test_incremental_neardup_via_stream(spark, tmp_path):
         for r in inc.current_dups().collect()
     }
     assert got == _expected(DOCS, 0.5)
+
+
+def test_incremental_neardup_out_of_order_ids(spark, tmp_path):
+    """ADVICE r3 (medium): a batch may carry doc_ids SMALLER than
+    already-indexed docs; the pair must still verify, with the verdict
+    landing on the OLD (larger-id) doc — and an existing verdict must
+    improve to the new smaller dup_of."""
+    thr = 0.5
+    # batch order deliberately violates id order: the exact-dup group
+    # {0, 1, 7} arrives as 7, then 1, then 0.
+    docs = {
+        7: "the quick brown fox jumps over the lazy dog tonight",
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        5: "a completely different document about spark shuffle plans",
+        2: "a completely different document about spark shuffle stages",
+    }
+    batches = [[7, 5], [1, 2], [0]]
+    inc = IncrementalNearDup(spark, str(tmp_path / "nd_ooo"), threshold=thr)
+    seen: list = []
+    for i, ids in enumerate(batches):
+        b = [(j, docs[j]) for j in ids]
+        inc.process_batch(spark.createDataFrame(b, "doc_id long, text string"), i)
+        seen.extend(b)
+        got = {
+            r["doc_id"]: (r["dup_of"], r["jaccard"])
+            for r in inc.current_dups().collect()
+        }
+        assert got == _expected(seen, thr), (i, got)
+    # final state: 1 and 7 both point at 0 (1's verdict REFRESHED from
+    # dup_of=7 after batch 0 arrived), and 5 at 2
+    final = {
+        r["doc_id"]: r["dup_of"] for r in inc.current_dups().collect()
+    }
+    assert final[1] == 0 and final[7] == 0 and final[5] == 2
