@@ -74,6 +74,9 @@ COCIT_CAP = 64         # co-citation/coupling frequency cap on the shared page
 COCIT_K = 100          # top-k relatedness pairs returned
 SEMDEDUP_TAU = 0.35    # SemDeDup cosine ball (synthetic vecs near-orthogonal;
                        # real embedding corpora use ~0.9 — same plan shape)
+SEMDEDUP_CAP = 35      # skew-guard cluster cap: 7/14 sf0.01 cells exceed it,
+SEMDEDUP_BANDS = 4     # so the capped query exercises BOTH the exact-small
+SEMDEDUP_PLANES = 4    # and the 4x4 sign-banded big-cluster paths
 CMS_D, CMS_W = 4, 1024  # count-min sketch depth x width
 CMS_THRESHOLD = 500    # heavy-hitter token estimate cutoff
 BLOOM_K, BLOOM_M = 3, 8192  # Bloom decontamination bits
@@ -4880,6 +4883,23 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), stride=IVF_STRIDE, tau=SEMDEDUP_TAU)
 
 
+def _q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded SemDeDup (VERDICT r3 task 7): clusters above
+    SEMDEDUP_CAP are sub-banded with 4x4 sign-LSH instead of all-pairs
+    — at sf0.01 seven of the fourteen IVF cells exceed the cap, so the
+    oracle replays BOTH the exact-small and banded-big paths."""
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        stride=IVF_STRIDE,
+        tau=SEMDEDUP_TAU,
+        max_cluster=SEMDEDUP_CAP,
+        bands=SEMDEDUP_BANDS,
+        planes_per_band=SEMDEDUP_PLANES,
+    )
+
+
 def _q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens via the md5-deterministic count-min sketch —
     the oracle rebuilds the identical d x w register matrix in DuckDB,
@@ -5075,6 +5095,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bib_coupling": _q_bib_coupling,
         "cms_tokens": _q_cms_tokens,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_capped": _q_semantic_dedup_capped,
         "salsa": _q_salsa,
         "bloom_contamination": _q_bloom_contamination,
         "inverted_index": _q_inverted_index,
@@ -5407,6 +5428,77 @@ def _quality_resample_sql(stop_list: str) -> str:
     """
 
 
+def _band_keys_sql(bands: int, planes: int) -> str:
+    """DuckDB list literal of the sign-LSH band keys of vector ``v`` —
+    the exact twin of similarity.banded_sign_keys (band j = sign bits
+    of 1-based dims j*r+1 .. j*r+r, key 'j|bits')."""
+    keys = []
+    for j in range(bands):
+        bits = " + ".join(
+            f"(case when v[{j * planes + i + 1}] >= 0 then {2 ** i} else 0 end)"
+            for i in range(planes)
+        )
+        keys.append(f"'{j}|' || cast(({bits}) as varchar)")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _semantic_capped_sql() -> str:
+    """Oracle for the skew-guarded SemDeDup: all-pairs inside clusters
+    at/below SEMDEDUP_CAP, 4x4 sign-banded candidates inside oversized
+    clusters, identical verification either way."""
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+      with c as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+      cent as (select vec_id as cid, v as cv from c
+               where vec_id % {IVF_STRIDE} = 0),
+      assign as (
+        select vec_id, v, cid as cluster from (
+          select c.vec_id, c.v, cent.cid,
+                 row_number() over (
+                   partition by c.vec_id
+                   order by list_dot_product(c.v, cent.cv)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                               * sqrt(list_dot_product(cent.cv, cent.cv))) desc,
+                            cent.cid asc) as rk
+          from c cross join cent
+        ) where rk = 1
+      ),
+      sizes as (select cluster, count(*) as cn from assign group by 1),
+      small as (select a.* from assign a join sizes using(cluster)
+                where cn <= {SEMDEDUP_CAP}),
+      big as (select a.* from assign a join sizes using(cluster)
+              where cn > {SEMDEDUP_CAP}),
+      bigk as (
+        select vec_id, cluster, u.bk
+        from big, unnest({_band_keys_sql(SEMDEDUP_BANDS, SEMDEDUP_PLANES)})
+             as u(bk)
+      ),
+      cand as (
+        select a.vec_id as a_id, b.vec_id as b_id
+        from small a join small b using(cluster)
+        where a.vec_id < b.vec_id
+        union
+        select distinct a.vec_id as a_id, b.vec_id as b_id
+        from bigk a join bigk b on a.cluster = b.cluster and a.bk = b.bk
+        where a.vec_id < b.vec_id
+      ),
+      dups as (
+        select distinct cand.b_id as dup_id
+        from cand
+        join assign a on a.vec_id = cand.a_id
+        join assign b on b.vec_id = cand.b_id
+        where {cos} >= {SEMDEDUP_TAU}
+      )
+      select a.vec_id, a.cluster,
+             (d.dup_id is not null) as is_duplicate
+      from assign a left join dups d on a.vec_id = d.dup_id
+    """
+
+
 def _contamination_sql() -> str:
     return f"""
       with {SQL_SHINGLES.strip()},
@@ -5493,6 +5585,7 @@ def oracle_sql() -> dict[str, str]:
           select a, b, common from pairs
           order by common desc, a asc, b asc limit {COCIT_K}
         """,
+        "semantic_dedup_capped": _semantic_capped_sql(),
         "semantic_dedup": f"""
           with c as (select vec_id, embedding::DOUBLE[] as v from embeddings),
           cent as (select vec_id as cid, v as cv from c

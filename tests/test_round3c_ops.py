@@ -282,3 +282,74 @@ def test_lm_perplexity_matches_replica(spark):
         assert got[i][1] == pytest.approx(x, abs=1e-12)
     # boilerplate scores lower than gibberish
     assert got[0][1] < got[2][1]
+
+
+def test_semantic_dedup_skew_guard_bounds_candidates(spark):
+    """VERDICT r3 task 7: a pathologically oversized cluster must not
+    go quadratic — with max_cluster set, big clusters are sub-banded
+    with sign-LSH while results on true near-duplicates still hold."""
+    import numpy as np
+
+    from graphscope_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        semantic_candidates,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # planted near-identical trio 0/1/2 (cosine ~1)
+    base = rng.randn(16)
+    for i in range(3):
+        rows.append((i, (base + 1e-4 * rng.randn(16)).tolist()))
+    # 37 diverse-sign vectors — NOT near-duplicates of anything
+    for i in range(3, 40):
+        rows.append((i, rng.randn(16).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # stride > n → single centroid → ONE 40-vector mega-cluster
+    cent = ivf_centroids(df, stride=64)
+    assigned = ivf_assign(df, cent)
+    all_pairs = semantic_candidates(assigned).count()
+    assert all_pairs == 40 * 39 // 2
+
+    capped = semantic_candidates(assigned, max_cluster=8)
+    n_capped = capped.count()
+    # sub-banding must cut candidate volume hard on a diverse cluster
+    assert n_capped < all_pairs / 3
+    # ... but near-identical mates agree on every band: trio survives
+    trio = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= trio
+
+    got = {
+        r["vec_id"]: r["is_duplicate"]
+        for r in semantic_dedup(df, stride=64, tau=0.99, max_cluster=8).collect()
+    }
+    assert got[0] is False and got[1] is True and got[2] is True
+    assert sum(got.values()) == 2  # no false positives among the diverse 37
+
+
+def test_semantic_dedup_cap_is_noop_when_clusters_fit(spark):
+    """With every cluster at/below the cap, the guarded path must be
+    IDENTICAL to the exact all-pairs path."""
+    from graphscope_spark.functions.similarity import semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.2, 0.0, 0.97, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.98, 0.02, 0.0]),
+        (5, [0.0, 0.2, 0.0, 0.97]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = {
+        r["vec_id"]: (r["cluster"], r["is_duplicate"])
+        for r in semantic_dedup(df, stride=3, tau=0.9).collect()
+    }
+    capped = {
+        r["vec_id"]: (r["cluster"], r["is_duplicate"])
+        for r in semantic_dedup(df, stride=3, tau=0.9, max_cluster=10).collect()
+    }
+    assert exact == capped
