@@ -4976,6 +4976,208 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# streaming-derived driver contracts (VERDICT r3 task 8): each replays
+# k deterministic micro-batches through the REAL streaming processor
+# (foreachBatch body or an actual readStream) and returns the final
+# state, which a DuckDB oracle recomputes from the same tables.
+# ---------------------------------------------------------------------
+
+STRM_BATCHES = 3       # micro-batches per streaming replay
+STRM_SPLIT = 31        # batch index = (src*31 + dst) % STRM_BATCHES
+STRM_PR_ROUNDS = 3     # fixed warm PageRank rounds per batch (oracle unrolls all)
+TREND_D, TREND_W = 4, 64   # trending CMS register matrix
+TREND_THRESHOLD = 3        # heavy-hitter cutoff per hourly window (max per-window count at sf0.01 is 10)
+NEARDUP_THR = 0.5          # streaming near-dup verify threshold
+
+
+def _stream_tmp(prefix: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _edge_batch(edges: DataFrame, b: int) -> DataFrame:
+    return edges.where(
+        F.pmod(F.col("src") * STRM_SPLIT + F.col("dst"), STRM_BATCHES) == b
+    )
+
+
+def _q_stream_incr_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalWCC replayed over 3 deterministic edge batches; the
+    warm frontier-seeded fixpoint equals cold WCC on the full edge set
+    (monotone min-label argument, streaming/incremental.py), so the
+    oracle is the same unrolled min-propagation as `wcc`."""
+    from graphscope_spark.sources.tpch_graph import order_graph
+    from graphscope_spark.streaming.incremental import IncrementalWCC
+
+    edges = order_graph(spark, sf_dir).edges.select("src", "dst")
+    inc = IncrementalWCC(spark, _stream_tmp("gs_swcc_"))
+    for b in range(STRM_BATCHES):
+        inc.process_batch(_edge_batch(edges, b), b)
+    return inc.current_components().select("vid", "comp")
+
+
+def _q_stream_incr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalTriangles replayed over 3 batches of the co-purchase
+    graph; exact per-batch deltas sum to the cold count, so the oracle
+    is the same as `triangles` (zero-count vertices filled in — the
+    incremental state only stores vertices whose count ever moved)."""
+    from graphscope_spark.sources.tpch_graph import copurchase_graph
+    from graphscope_spark.streaming.incremental import IncrementalTriangles
+
+    g = copurchase_graph(spark, sf_dir)
+    edges = g.edges.select("src", "dst")
+    inc = IncrementalTriangles(spark, _stream_tmp("gs_stri_"))
+    for b in range(STRM_BATCHES):
+        inc.process_batch(_edge_batch(edges, b), b)
+    counts = inc.current_counts()
+    return (
+        g.vertices.select("vid")
+        .join(counts, "vid", "left")
+        .select("vid", F.coalesce("tri", F.lit(0)).cast("long").alias("tri"))
+    )
+
+
+def _q_stream_incr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalPageRank in fixed-round mode (tol=None — exactly
+    STRM_PR_ROUNDS warm rounds per batch) over 3 cumulative edge
+    batches; the oracle unrolls the full chain: uniform init on E₀,
+    then per batch renormalized warm init over the grown vertex set."""
+    from graphscope_spark.sources.tpch_graph import order_graph
+    from graphscope_spark.streaming.incremental import IncrementalPageRank
+
+    edges = order_graph(spark, sf_dir).edges.select("src", "dst")
+    inc = IncrementalPageRank(
+        spark, _stream_tmp("gs_spr_"), alpha=ALPHA, tol=None,
+        max_iter=STRM_PR_ROUNDS,
+    )
+    for b in range(STRM_BATCHES):
+        inc.process_batch(_edge_batch(edges, b), b)
+    return inc.current_ranks().select("vid", F.round("rank", 8).alias("pr"))
+
+
+def _q_stream_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming exact dedup through a REAL file-source
+    readStream (one parquet file per micro-batch, mtimes pinned so the
+    batch order is the doc_id%3 order): each batch is pre-deduped to
+    its min-id row per fingerprint, so first-arrival-wins state keeps
+    exactly the min-(batch, doc_id) row per fingerprint — which the
+    oracle expresses as a row_number over (fp ORDER BY doc_id%3,
+    doc_id)."""
+    import os
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from graphscope_spark.functions.text import fingerprint
+    from graphscope_spark.streaming.dedup import dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    in_dir = _stream_tmp("gs_sdedup_in_")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    for b in range(STRM_BATCHES):
+        batch = (
+            docs.where(F.pmod(F.col("doc_id"), STRM_BATCHES) == b)
+            .withColumn("fp", fingerprint("text"))
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("doc_id", "text")
+        )
+        path = os.path.join(in_dir, f"batch_{b}")
+        batch.coalesce(1).write.parquet(path)
+        for f_ in os.listdir(path):  # pin file mtimes → processing order
+            os.utime(os.path.join(path, f_), (1700000000 + b, 1700000000 + b))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "batch_*"))
+    )
+    name = "sdedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_stream(stream)
+        .select("doc_id", "fp")
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(in_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_id", "fp")
+
+
+def _q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed count-min trending over a REAL events readStream
+    (complete-mode aggregation → memory sink), probed for heavy-hitter
+    event types.  Register placement is md5 — the oracle recomputes the
+    same cells and min-over-rows estimates in SQL."""
+    import os
+    import uuid
+
+    from graphscope_spark.streaming.trending import (
+        trending_from_registers,
+        windowed_cms_registers,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", F.col("event_type").alias("token")
+    )
+    in_dir = _stream_tmp("gs_strend_in_")
+    for b in range(STRM_BATCHES):
+        events.where(F.pmod(F.xxhash64("ts"), STRM_BATCHES) == b).coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"batch_{b}"))
+    stream = (
+        spark.readStream.schema("ts timestamp, token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "batch_*"))
+    )
+    regs = windowed_cms_registers(
+        stream, value_col="token", ts_col="ts", window="1 hour",
+        watermark="768 hours", d=TREND_D, w=TREND_W,
+    )
+    name = "strend_" + uuid.uuid4().hex[:8]
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(in_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    probes = events.select("token").distinct()
+    return trending_from_registers(
+        spark.table(name), probes, threshold=TREND_THRESHOLD,
+        d=TREND_D, w=TREND_W, value_col="token",
+    ).select("win_start", "token", F.col("est").cast("long").alias("est"))
+
+
+def _q_stream_neardup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalNearDup replayed over 3 doc_id%3 batches — the final
+    index state is batching-independent (pairs normalized to
+    least/greatest id, verdicts resolved to min dup_of on read), so
+    the oracle is the whole-corpus banded-LSH + exact-Jaccard replay."""
+    from graphscope_spark.streaming.neardup import IncrementalNearDup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    inc = IncrementalNearDup(
+        spark, _stream_tmp("gs_snd_"), threshold=NEARDUP_THR
+    )
+    for b in range(STRM_BATCHES):
+        inc.process_batch(
+            docs.where(F.pmod(F.col("doc_id"), STRM_BATCHES) == b), b
+        )
+    return inc.current_dups().select(
+        "doc_id", "dup_of", F.round("jaccard", 8).alias("jaccard")
+    )
+
+
 #: Keys added in the CURRENT round.  Never-driver-checked keys from
 #: PRIOR rounds always outrank these in the driver window (VERDICT r3
 #: task 1: "do NOT front-load any new round-4 ops" until the backlog
@@ -5227,6 +5429,13 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "event_counts": _q_event_counts,
+        # -- streaming-derived contracts (VERDICT r3 task 8) -----------
+        "stream_incr_wcc": _q_stream_incr_wcc,
+        "stream_incr_triangles": _q_stream_incr_triangles,
+        "stream_incr_pagerank": _q_stream_incr_pagerank,
+        "stream_dedup_final": _q_stream_dedup_final,
+        "stream_trending": _q_stream_trending,
+        "stream_neardup_final": _q_stream_neardup_final,
         "harmonic_centrality": _q_harmonic,
     }
 
@@ -5496,6 +5705,191 @@ def _semantic_capped_sql() -> str:
       select a.vec_id, a.cluster,
              (d.dup_id is not null) as is_duplicate
       from assign a left join dups d on a.vec_id = d.dup_id
+    """
+
+
+def _stream_pagerank_sql() -> str:
+    """Oracle for stream_incr_pagerank: unrolls the ENTIRE warm chain —
+    batch 0 = STRM_PR_ROUNDS uniform-init rounds over E₀; each later
+    batch b = renormalized warm init (coalesce(prev, 1/n_b) / Σ) over
+    the cumulative edge set E_b, then STRM_PR_ROUNDS more rounds —
+    exactly what IncrementalPageRank(tol=None) computes."""
+    r_, b_ = STRM_PR_ROUNDS, STRM_BATCHES
+    parts = [f"with alledges as materialized ({SQL_EDGES})"]
+    prev = None
+    for b in range(b_):
+        parts.append(
+            f"e{b} as materialized (select src, dst from alledges "
+            f"where (src*{STRM_SPLIT}+dst) % {b_} <= {b})"
+        )
+        parts.append(
+            f"v{b} as materialized (select src as vid from e{b} "
+            f"union select dst from e{b})"
+        )
+        parts.append(
+            f"n{b} as materialized (select cast(count(*) as double) as n from v{b})"
+        )
+        parts.append(
+            f"deg{b} as materialized (select src as vid, "
+            f"cast(count(*) as double) as od from e{b} group by 1)"
+        )
+        parts.append(
+            f"dang{b} as materialized (select v.vid from v{b} v "
+            f"left join deg{b} d using(vid) where d.od is null)"
+        )
+        if prev is None:
+            parts.append(
+                f"r{b}_0 as materialized (select vid, "
+                f"(select 1.0/n from n{b}) as pr from v{b})"
+            )
+        else:
+            parts.append(
+                f"""seed{b} as materialized (
+                  select v.vid, coalesce(p.pr, (select 1.0/n from n{b})) as pr
+                  from v{b} v left join {prev} p using(vid)
+                )"""
+            )
+            parts.append(
+                f"t{b} as materialized (select sum(pr) as t from seed{b})"
+            )
+            parts.append(
+                f"r{b}_0 as materialized (select vid, "
+                f"pr/(select t from t{b}) as pr from seed{b})"
+            )
+        for k in range(r_):
+            parts.append(
+                f"d{b}_{k} as materialized (select coalesce(sum(pr), 0.0) as s "
+                f"from r{b}_{k} where vid in (select vid from dang{b}))"
+            )
+            parts.append(
+                f"""r{b}_{k + 1} as materialized (
+                  select v.vid,
+                         (1.0 - {ALPHA})/(select n from n{b})
+                         + {ALPHA} * (select s from d{b}_{k})/(select n from n{b})
+                         + {ALPHA} * coalesce(c.s, 0.0) as pr
+                  from v{b} v left join (
+                    select e.dst as vid, sum(r.pr / dg.od) as s
+                    from e{b} e
+                    join r{b}_{k} r on e.src = r.vid
+                    join deg{b} dg on dg.vid = e.src
+                    group by 1
+                  ) c using(vid)
+                )"""
+            )
+        prev = f"r{b}_{r_}"
+    return ",\n".join(parts) + f"\nselect vid, round(pr, 8) as pr from {prev}"
+
+
+def _stream_dedup_sql() -> str:
+    """Oracle for stream_dedup_final: with per-batch min-id pre-dedup
+    and mtime-pinned batch order, first-arrival-wins keeps exactly the
+    min-(doc_id % B, doc_id) row per fingerprint."""
+    return rf"""
+      with f as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+        from documents
+      ),
+      k as (
+        select doc_id, fp, row_number() over (
+          partition by fp order by doc_id % {STRM_BATCHES}, doc_id) as rk
+        from f
+      )
+      select doc_id, fp from k where rk = 1
+    """
+
+
+def _stream_neardup_sql() -> str:
+    """Oracle for stream_neardup_final: whole-corpus banded MinHash
+    candidates -> exact shingle-hash Jaccard >= threshold -> per larger
+    doc the SMALLEST verified partner (+ that pair's jaccard) — the
+    batching-independent fixpoint of the incremental index."""
+    return f"""
+      with {SQL_SHINGLES},
+      sig as materialized (
+        select doc_id, {_minhash_cols_sql()} from sh group by doc_id
+      ),
+      banded as materialized (
+        select doc_id, unnest([
+          concat_ws('|', '0', mh_0, mh_1),
+          concat_ws('|', '1', mh_2, mh_3),
+          concat_ws('|', '2', mh_4, mh_5),
+          concat_ws('|', '3', mh_6, mh_7)
+        ]) as band from sig
+      ),
+      cand as materialized (
+        select distinct x.doc_id as a, y.doc_id as b
+        from banded x join banded y using(band)
+        where x.doc_id < y.doc_id
+      ),
+      sizes as materialized (select doc_id, count(*) as sz from sh group by 1),
+      jac as materialized (
+        select i.a, i.b, i.ni / (sa.sz + sb.sz - i.ni) as j
+        from (
+          select c.a, c.b, cast(count(*) as double) as ni
+          from cand c
+          join sh x on x.doc_id = c.a
+          join sh y on y.doc_id = c.b and y.shingle = x.shingle
+          group by c.a, c.b
+        ) i
+        join sizes sa on sa.doc_id = i.a
+        join sizes sb on sb.doc_id = i.b
+        where i.ni / (sa.sz + sb.sz - i.ni) >= {NEARDUP_THR}
+      )
+      select b as doc_id, min(a) as dup_of,
+             round(arg_min(j, a), 8) as jaccard
+      from jac group by b
+    """
+
+
+def _stream_trending_sql() -> str:
+    """Oracle for stream_trending: per-hour count-min registers (md5
+    cell placement replayed digit-by-digit) probed with every distinct
+    event type; a token counts in a window only when ALL d of its cells
+    are present there (an absent cell is a zero register)."""
+    hex5 = (
+        "((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 65536"
+        " + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 4096"
+        " + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(hx, 5, 1)) - 1))"
+    )
+    rows = ", ".join(str(r) for r in range(TREND_D))
+    return f"""
+      with ev as (
+        select date_trunc('hour', ts) as win_start,
+               cast(event_type as varchar) as v
+        from events where event_type is not null
+      ),
+      rr as (select unnest([{rows}]) as r),
+      cells as (
+        select ev.win_start, rr.r as row, {hex5} % {TREND_W} as col
+        from ev cross join rr
+        cross join lateral (
+          select md5(cast(rr.r as varchar) || '|' || ev.v) as hx
+        ) hh
+      ),
+      regs as (
+        select win_start, row, col, count(*) as cnt
+        from cells group by 1, 2, 3
+      ),
+      probes as (select distinct v from ev),
+      probed as (
+        select p.v, rr.r as row, {hex5} % {TREND_W} as col
+        from probes p cross join rr
+        cross join lateral (
+          select md5(cast(rr.r as varchar) || '|' || p.v) as hx
+        ) hh
+      ),
+      est as (
+        select g.win_start, p.v as token,
+               min(g.cnt) as est, count(*) as nrows
+        from probed p join regs g using(row, col)
+        group by 1, 2
+      )
+      select win_start, token, cast(est as bigint) as est
+      from est
+      where nrows = {TREND_D} and est >= {TREND_THRESHOLD}
     """
 
 
@@ -6438,4 +6832,12 @@ def oracle_sql() -> dict[str, str]:
       from ch group by doc_id
       order by doc_id
     """
+    # streaming-derived contracts: the incremental WCC/triangle
+    # fixpoints equal the cold runs, so they SHARE those oracles
+    d["stream_incr_wcc"] = d["wcc"]
+    d["stream_incr_triangles"] = d["triangles"]
+    d["stream_incr_pagerank"] = _stream_pagerank_sql()
+    d["stream_dedup_final"] = _stream_dedup_sql()
+    d["stream_trending"] = _stream_trending_sql()
+    d["stream_neardup_final"] = _stream_neardup_sql()
     return d

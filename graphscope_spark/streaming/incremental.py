@@ -116,10 +116,15 @@ def _warm_pagerank(
     g: Graph,
     prev: DataFrame | None,
     alpha: float,
-    tol: float,
+    tol: float | None,
     max_iter: int,
 ) -> DataFrame:
-    """Power iteration warm-started from ``prev`` (vid, rank)."""
+    """Power iteration warm-started from ``prev`` (vid, rank).
+
+    ``tol=None`` = the LDBC fixed-round convention (exactly ``max_iter``
+    warm rounds per batch, no convergence test) — the mode the driver's
+    ``stream_incr_pagerank`` contract uses so a DuckDB oracle can
+    unroll the whole batch chain deterministically."""
     if prev is None:
         return pagerank(g, alpha=alpha, max_iter=max_iter, tol=tol)
     spark = g.edges.sparkSession
@@ -184,7 +189,7 @@ def _warm_pagerank(
         return StepResult(nxt, delta_fn=delta_fn)
 
     run = SuperstepRunner(spark, "pagerank_warm")
-    final = run.run(init, step, max_iterations=max_iter, tol=tol * n)
+    final = run.run(init, step, max_iterations=max_iter, tol=None if tol is None else tol * n)
     out = final.select(VID, "rank")
     edges.unpersist()
     return out
@@ -203,7 +208,7 @@ class IncrementalPageRank:
         spark: SparkSession,
         state_dir: str,
         alpha: float = 0.85,
-        tol: float = 1e-6,
+        tol: float | None = 1e-6,
         max_iter: int = 100,
         num_partitions: int = 32,
     ) -> None:
