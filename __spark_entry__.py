@@ -3329,6 +3329,68 @@ def _q_pie_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_load_app_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SSSP/graph/oracle as pie_sssp, but the PIE program is
+    LOADED from a user package dir via load_app (the AppAssets analog,
+    reference framework/app.py:149-326) instead of being defined
+    inline — exercising the packaging shim end-to-end."""
+    import os
+    import tempfile
+    import textwrap
+
+    from graphscope_spark.app import load_app
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    pkg = tempfile.mkdtemp(prefix="gs_app_pkg_")
+    with open(os.path.join(pkg, "sssp_pie.py"), "w") as fh:
+        fh.write(
+            textwrap.dedent(
+                '''
+                from pyspark.sql import functions as F
+
+                from graphscope_spark.pie import pie
+
+
+                @pie(vd_type="double", md_type="double")
+                class SSSP_PIE:
+                    @staticmethod
+                    def Init(frag, context):
+                        src = context.get_config("src")
+                        context.init_value(
+                            F.when(F.col("vid") == src, 0.0)
+                            .otherwise(float("inf")),
+                            aggregate="min",
+                        )
+
+                    @staticmethod
+                    def PEval(frag, context):
+                        src = context.get_config("src")
+                        e = frag.weighted_edges()
+                        return e.where(e["src"] == src).select(
+                            F.col("dst").alias("vid"), F.col("w").alias("msg")
+                        )
+
+                    @staticmethod
+                    def IncEval(frag, context):
+                        e = frag.weighted_edges()
+                        st = context.values
+                        return e.join(st, e["src"] == st["vid"]).select(
+                            e["dst"].alias("vid"),
+                            (st["value"] + e["w"]).alias("msg"),
+                        )
+                '''
+            )
+        )
+    app = load_app(pkg)
+    g0 = order_graph(spark, sf_dir)
+    g = Graph(g0.edges, g0.vertices, directed=False, num_partitions=g0.num_partitions)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    return app(g, config={"src": source}).select(
+        "vid", F.col("value").alias("dist")
+    )
+
+
 def _q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphscope_spark.algorithms import degree_centrality
     from graphscope_spark.sources.tpch_graph import order_graph
@@ -5325,6 +5387,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/changed this round: needs fresh driver verification ----
         "ngram_jaccard": _q_jaccard,
         "pie_sssp": _q_pie_sssp,
+        "load_app_sssp": _q_load_app_sssp,
         "segment_dedup": _q_segment_dedup,
         # -- VERDICT-r2-named driver-coverage gaps (kept inside the
         #    50-entry window the r02 gate verified) ---------------------
@@ -6422,6 +6485,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs": _bfs_sql(),
         "sssp": _sssp_sql(),
         "pie_sssp": _sssp_sql(),
+        "load_app_sssp": _sssp_sql(),
         "degree_centrality": f"""
           with edges as ({SQL_EDGES}),
           verts as ({SQL_VERTS}),

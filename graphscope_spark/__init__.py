@@ -12,8 +12,9 @@ repo).  This is NOT a port: execution is Catalyst/Tungsten DataFrame
 plans, not C++/MPI fragments.
 """
 
+from graphscope_spark.app import App, load_app, pregel_program
 from graphscope_spark.graph import Graph
 from graphscope_spark.session import get_spark
 
-__all__ = ["Graph", "get_spark"]
+__all__ = ["App", "Graph", "get_spark", "load_app", "pregel_program"]
 __version__ = "0.1.0"
