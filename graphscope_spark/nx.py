@@ -106,6 +106,13 @@ def transitivity(g: Graph) -> float:
 
 
 def core_number(g: Graph) -> dict:
+    # nx convention: k-core is undefined with self-loops
+    # (NetworkXNotImplemented) — mirror the reject, not a silent answer
+    if g.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0:
+        raise ValueError(
+            "Input graph has self loops which is not permitted; "
+            "Consider using G.remove_edges_from(nx.selfloop_edges(G))."
+        )
     return _to_dict(A.core_number(g))
 
 
@@ -167,6 +174,11 @@ def has_path(g: Graph, source: int, target: int) -> bool:
 
 
 def average_shortest_path_length(g: Graph) -> float:
+    # nx convention: undefined on trivial or disconnected graphs
+    if g.num_vertices() <= 1:
+        raise ValueError("Graph has fewer than two nodes.")
+    if number_connected_components(g) != 1:
+        raise ValueError("Graph is not connected.")
     return _scalar(A.sssp_average_length(g, weight=None))
 
 
@@ -344,13 +356,19 @@ def all_pairs_shortest_path_length(g: Graph) -> dict:
 
 # -- structure scalars --------------------------------------------------
 def density(g: Graph) -> float:
+    # nx counts self-loops in m (distinct_edges/symmetrized strip them,
+    # which under-counted density on loopy graphs)
     n = g.num_vertices()
     if n <= 1:
         return 0.0
+    e = g.edges.dropDuplicates(["src", "dst"])
     if g.directed:
-        m = g.distinct_edges().count()
-        return m / (n * (n - 1))
-    m = g.symmetrized().count() / 2
+        return e.count() / (n * (n - 1))
+    m = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .count()
+    )
     return 2.0 * m / (n * (n - 1))
 
 
