@@ -52,9 +52,24 @@ def test_shortest_paths_and_has_path(tiny_graph):
     assert not gnx.has_path(tiny_graph, 0, 7)
 
 
-def test_k_core_and_mis(tiny_graph):
-    core = gnx.core_number(tiny_graph)
-    exp = oracle.core_number_oracle(TINY_EDGES, TINY_VERTICES)
+def test_k_core_and_mis(tiny_graph, spark):
+    import pytest as _pytest
+
+    from graphscope_spark import Graph
+
+    # nx convention (mirrored since round 4): core_number REJECTS
+    # graphs with self-loops — tiny_graph carries (4, 4)
+    with _pytest.raises(ValueError, match="self loops"):
+        gnx.core_number(tiny_graph)
+    clean_edges = [(s, d) for (s, d) in TINY_EDGES if s != d]
+    clean = Graph.from_edges(
+        spark.createDataFrame(clean_edges, "src long, dst long"),
+        spark.createDataFrame([(i,) for i in TINY_VERTICES], "vid long"),
+        directed=True,
+        num_partitions=4,
+    )
+    core = gnx.core_number(clean)
+    exp = oracle.core_number_oracle(clean_edges, TINY_VERTICES)
     assert core == exp
     mis = gnx.maximal_independent_set(tiny_graph)
     exp_mis = {v for v, f in oracle.mis_oracle(TINY_EDGES, TINY_VERTICES).items() if f}
@@ -134,7 +149,10 @@ def test_single_target_and_all_pairs(tiny_graph):
 def test_structure_scalars(tiny_graph):
     n = len(TINY_VERTICES)
     distinct = {(s, d) for s, d in TINY_EDGES if s != d}
-    assert abs(gnx.density(tiny_graph) - len(distinct) / (n * (n - 1))) < 1e-12
+    # nx convention (mirrored since round 4): density's m INCLUDES
+    # self-loops
+    with_loops = {(s, d) for s, d in TINY_EDGES}
+    assert abs(gnx.density(tiny_graph) - len(with_loops) / (n * (n - 1))) < 1e-12
     assert gnx.number_of_selfloops(tiny_graph) == 1
     assert not gnx.is_connected(tiny_graph)
     recip = sum(1 for (s, d) in distinct if (d, s) in distinct)
