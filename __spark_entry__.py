@@ -5065,6 +5065,30 @@ def _edge_batch(edges: DataFrame, b: int) -> DataFrame:
     )
 
 
+LR_DIMS = 32           # train_quality_lr hashed-feature dimensions (incl. bias)
+LR_SEED = 17
+LR_STEPS = 3           # full-batch GD steps (oracle unrolls each)
+LR_RATE = 1.0
+
+
+def _q_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression trainer (full-batch GD, fixed
+    steps) learning an is-English classifier over hashed bag-of-token
+    features — produces the learned weight vector the fastText-style
+    scoring pass (quality_classifier) broadcasts at inference."""
+    from graphscope_spark.functions.classify import train_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_classifier(
+        docs,
+        label=(F.col("lang") == "en"),
+        dims=LR_DIMS,
+        seed=LR_SEED,
+        steps=LR_STEPS,
+        lr=LR_RATE,
+    ).select("dim", "weight")
+
+
 def _q_stream_incr_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IncrementalWCC replayed over 3 deterministic edge batches; the
     warm frontier-seeded fixpoint equals cold WCC on the full edge set
@@ -5445,6 +5469,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pages_extract",
     "pages_linkgraph",
     "pages_pagerank",
+    "train_quality_lr",
 )
 
 
@@ -5685,6 +5710,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract": _q_pages_extract,
         "pages_linkgraph": _q_pages_linkgraph,
         "pages_pagerank": _q_pages_pagerank,
+        "train_quality_lr": _q_train_quality_lr,
         # -- streaming-derived contracts (VERDICT r3 task 8) -----------
         "stream_incr_wcc": _q_stream_incr_wcc,
         "stream_incr_triangles": _q_stream_incr_triangles,
@@ -7091,6 +7117,11 @@ def oracle_sql() -> dict[str, str]:
     """
     # streaming-derived contracts: the incremental WCC/triangle
     # fixpoints equal the cold runs, so they SHARE those oracles
+    from graphscope_spark.functions.classify import train_classifier_oracle_sql
+
+    d["train_quality_lr"] = train_classifier_oracle_sql(
+        "lang = 'en'", dims=LR_DIMS, seed=LR_SEED, steps=LR_STEPS, lr=LR_RATE
+    )
     d["pages_extract"] = _pages_extract_sql()
     d["pages_linkgraph"] = _pages_linkgraph_sql()
     d["pages_pagerank"] = _pages_pagerank_sql()

@@ -212,3 +212,173 @@ def ngram_lm_oracle_sql(k: float = 0.5) -> str:
              round(-(sum(n * lp) / sum(n)), 8) as xent
       from scored group by 1
     """
+
+
+def classifier_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 32,
+    seed: int = 17,
+) -> DataFrame:
+    """(id, dim, val): long-form hashed bag-of-tokens features — dim 0
+    is the bias (val 1.0), dims 1..dims-1 are md5 token buckets with
+    val = token_count/n_tokens.  Long form keeps the trainer fully
+    relational (feature rows sharded by document, weights broadcast) —
+    the layout a 100 TB trainer needs, and one DuckDB mirrors exactly."""
+    from graphscope_spark.functions.text import token_count
+
+    t = tokens(text_col)
+    base = docs.select(F.col(id_col), t.alias("_t"), token_count(text_col).alias("_n"))
+    bias = base.select(
+        F.col(id_col), F.lit(0).alias("dim"), F.lit(1.0).alias("val")
+    )
+    feat = (
+        base.select(F.col(id_col), "_n", F.explode("_t").alias("_tok"))
+        .where(F.length("_tok") > 0)  # split('') yields [''] — no real token
+        .select(
+            F.col(id_col),
+            (F.lit(1) + _bucket(F.col("_tok"), dims - 1, seed)).cast("int").alias("dim"),
+            "_n",
+        )
+        .groupBy(id_col, "dim")
+        .agg((F.count(F.lit(1)) / F.first("_n")).alias("val"))
+    )
+    return bias.unionByName(feat)
+
+
+def train_classifier(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 32,
+    seed: int = 17,
+    steps: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Distributed logistic-regression trainer: full-batch gradient
+    descent for ``steps`` fixed iterations from w = 0.  Returns
+    (dim, weight) — the learned vector that drops into the
+    quality_classifier scoring pass as a broadcast array.
+
+    Per step (all relational, deterministic):
+      z_i   = round(Σ_d w[d]·x_i[d], 8)        (broadcast join on dim)
+      p_i   = σ(z_i)
+      g[d]  = round(Σ_i (p_i − y_i)·x_i[d] / N, 8)   (groupBy dim)
+      w[d] ← round(w[d] − lr·g[d], 8)
+
+    The 8-decimal rounding points are the repo's cross-engine parity
+    discipline (classify.py module docstring): z is rounded BEFORE the
+    sigmoid so both engines exponentiate the identical double; sums
+    carry only ~1e-15 order noise into an 1e-8 rounding.
+
+    Scale shape: the feature table never moves — each step is one
+    broadcast join + one |rows|→dims aggregation; the weight vector
+    (dims rows) is the only state.  This is exactly how the "learned
+    weights" the scoring pass broadcasts get produced at corpus scale.
+    """
+    spark = docs.sparkSession
+    xs = classifier_features(docs, id_col, text_col, dims, seed).localCheckpoint(
+        eager=True
+    )
+    lab = docs.select(F.col(id_col), label.cast("double").alias("_y")).localCheckpoint(
+        eager=True
+    )
+    n_docs = lab.count()
+    w = spark.createDataFrame(
+        [(d, 0.0) for d in range(dims)], "dim int, weight double"
+    )
+    for _ in range(steps):
+        z = (
+            xs.join(F.broadcast(w), "dim")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("val") * F.col("weight")), 8).alias("_z"))
+        )
+        err = lab.join(z, id_col, "left").select(
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.coalesce("_z", F.lit(0.0))))
+                - F.col("_y")
+            ).alias("_e"),
+        )
+        grad = (
+            xs.join(err, id_col)
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("val") * F.col("_e")) / n_docs, 8).alias("_g"))
+        )
+        w = (
+            w.join(grad, "dim", "left")
+            .select(
+                "dim",
+                F.round(
+                    F.col("weight") - lr * F.coalesce("_g", F.lit(0.0)), 8
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
+
+
+def train_classifier_oracle_sql(
+    label_sql: str,
+    dims: int = 32,
+    seed: int = 17,
+    steps: int = 3,
+    lr: float = 1.0,
+) -> str:
+    """DuckDB twin of train_classifier over the ``documents`` view.
+    ``label_sql``: boolean/0-1 expression over documents columns."""
+    bucket = bucket_sql("tok", dims - 1, seed)
+    parts = [
+        rf"""with toks as (
+          select doc_id,
+                 case when length(trim(text)) = 0 then []::varchar[]
+                      else regexp_split_to_array(trim(text), '\s+') end as t
+          from documents
+        )""",
+        rf"""xs as materialized (
+          select doc_id, 0 as dim, 1.0 as val from documents
+          union all
+          select doc_id, dim, cast(count(*) as double) / any_value(n) as val
+          from (
+            select doc_id, 1 + {bucket} as dim, len(t) as n
+            from (select doc_id, unnest(t) as tok, t from toks)
+          ) group by doc_id, dim
+        )""",
+        f"""lab as materialized (
+          select doc_id, cast({label_sql} as double) as y from documents
+        )""",
+        "nn as materialized (select cast(count(*) as double) as n from lab)",
+        f"""w0 as materialized (
+          select unnest(generate_series(0, {dims - 1})) as dim, 0.0 as weight
+        )""",
+    ]
+    for k in range(steps):
+        parts.append(
+            f"""z{k} as materialized (
+              select doc_id, round(sum(val * weight), 8) as z
+              from xs join w{k} using(dim) group by doc_id
+            )"""
+        )
+        parts.append(
+            f"""e{k} as materialized (
+              select l.doc_id,
+                     1.0 / (1.0 + exp(-coalesce(z.z, 0.0))) - l.y as e
+              from lab l left join z{k} z using(doc_id)
+            )"""
+        )
+        parts.append(
+            f"""g{k} as materialized (
+              select dim, round(sum(val * e) / (select n from nn), 8) as g
+              from xs join e{k} using(doc_id) group by dim
+            )"""
+        )
+        parts.append(
+            f"""w{k + 1} as materialized (
+              select w.dim,
+                     round(w.weight - {lr!r} * coalesce(g.g, 0.0), 8) as weight
+              from w{k} w left join g{k} g using(dim)
+            )"""
+        )
+    return ",\n".join(parts) + f"\nselect dim, weight from w{steps}"
