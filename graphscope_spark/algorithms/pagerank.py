@@ -59,6 +59,7 @@ def pagerank(
     salt_n: int = 16,
     sync_every: int = 1,
     weight: str | None = None,
+    adjacency: bool = True,
 ) -> DataFrame:
     """Returns (vid long, rank double); ranks sum to 1.
 
@@ -74,6 +75,16 @@ def pagerank(
     graph's multiplicity, ``Graph.contract``).  Contributions become
     rank·w/Σ_out w and "dangling" means zero outgoing weight; with
     ``weight=None`` this reduces to the unweighted recurrence.
+
+    ``adjacency`` (unweighted runs): freeze the out-adjacency as ONE
+    packed array row per source — the CSR-encoded adjacency partition
+    of the north rule, kept entirely JVM-side (columnar cache of
+    array<long>, no Arrow round-trip).  Per round the state hash join
+    probes |V| adjacency rows instead of |E| edge rows and the edge
+    scan reads each src id once instead of out_deg times; the explode
+    regenerates the per-edge messages pipelined straight into the
+    partial aggregation, so gather semantics and exchange volume are
+    unchanged.  Falls back to the edge-table join for weighted runs.
     """
     spark: SparkSession = g.edges.sparkSession
     # P must be one value everywhere: edge cache, state, and the gather
@@ -101,6 +112,10 @@ def pagerank(
         )
     if g.num_partitions != p:
         edges = edges.repartition(p, SRC)
+    use_adj = adjacency and weight is None
+    if use_adj:
+        # one-time local agg (already partitioned by src — no exchange)
+        adj = edges.groupBy(SRC).agg(F.collect_list(DST).alias("_nbrs")).cache()
     edges = edges.cache()
 
     n = g.num_vertices()
@@ -174,11 +189,18 @@ def pagerank(
             if weight is not None
             else F.col("rank") / F.col("out_deg")
         )
-        msgs = edges.join(hstate, edges[SRC] == hstate[VID]).select(
-            F.col(SRC).alias("_src"),
-            F.col(DST).alias(VID),
-            contrib_c.alias("c"),
-        )
+        if use_adj:
+            msgs = adj.join(hstate, adj[SRC] == hstate[VID]).select(
+                F.col(SRC).alias("_src"),
+                F.explode("_nbrs").alias(VID),
+                contrib_c.alias("c"),
+            )
+        else:
+            msgs = edges.join(hstate, edges[SRC] == hstate[VID]).select(
+                F.col(SRC).alias("_src"),
+                F.col(DST).alias(VID),
+                contrib_c.alias("c"),
+            )
         if hot is not None:
             from graphscope_spark.skew import salted_sum
 
@@ -234,6 +256,8 @@ def pagerank(
         )
     result = final.select(VID, "rank")
     edges.unpersist()
+    if use_adj:
+        adj.unpersist()
     if hot is not None:
         hot.unpersist()
     return result

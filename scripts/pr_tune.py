@@ -28,6 +28,7 @@ VARIANTS = {
     "parts2x": {"_parts_mult": "2"},
     "parts4x": {"_parts_mult": "4"},
     "g1region": {"_java_opts": "-XX:G1HeapRegionSize=32m"},
+    "noadj": {"_noadj": "1"},
 }
 
 CHILD = r"""
@@ -36,6 +37,7 @@ sys.path.insert(0, %(repo)r)
 conf = json.loads(sys.argv[1])
 vertices, rounds, cores = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 parts = max(cores, 8) * int(conf.pop("_parts_mult", "1"))
+noadj = conf.pop("_noadj", None)
 jo = conf.pop("_java_opts", None)
 extra = dict(conf)
 extra["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "80g")
@@ -55,7 +57,8 @@ g = Graph.from_edges(powerlaw_edges(spark, vertices, partitions=parts),
 n_edges = g.num_edges()
 runner = SuperstepRunner(spark, "pagerank", resume=False)
 t0 = time.time()
-res = pagerank(g, tol=None, max_iter=rounds, runner=runner, sync_every=rounds)
+res = pagerank(g, tol=None, max_iter=rounds, runner=runner, sync_every=rounds,
+               adjacency=not noadj)
 chk = res.select(F.sum(F.col("vid") * F.col("rank")).alias("c")).collect()[0][0]
 wall = time.time() - t0
 loop = sum(m["seconds"] for m in runner.metrics)
