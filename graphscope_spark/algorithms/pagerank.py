@@ -114,8 +114,13 @@ def pagerank(
         edges = edges.repartition(p, SRC)
     use_adj = adjacency and weight is None
     if use_adj:
-        # one-time local agg (already partitioned by src — no exchange)
-        adj = edges.groupBy(SRC).agg(F.collect_list(DST).alias("_nbrs")).cache()
+        from graphscope_spark.skew import packed_adjacency
+
+        # one-time local agg (already partitioned by src — no exchange);
+        # über-degree sources stay row-form (skew.packed_adjacency)
+        adj, adj_rest = packed_adjacency(edges, SRC, DST)
+        adj = adj.cache()
+        adj_rest = adj_rest.cache()
     edges = edges.cache()
 
     n = g.num_vertices()
@@ -190,11 +195,17 @@ def pagerank(
             else F.col("rank") / F.col("out_deg")
         )
         if use_adj:
-            msgs = adj.join(hstate, adj[SRC] == hstate[VID]).select(
+            packed = adj.join(hstate, adj[SRC] == hstate[VID]).select(
                 F.col(SRC).alias("_src"),
                 F.explode("_nbrs").alias(VID),
                 contrib_c.alias("c"),
             )
+            hub = adj_rest.join(hstate, adj_rest[SRC] == hstate[VID]).select(
+                F.col(SRC).alias("_src"),
+                F.col(DST).alias(VID),
+                contrib_c.alias("c"),
+            )
+            msgs = packed.unionByName(hub)
         else:
             msgs = edges.join(hstate, edges[SRC] == hstate[VID]).select(
                 F.col(SRC).alias("_src"),
@@ -258,6 +269,7 @@ def pagerank(
     edges.unpersist()
     if use_adj:
         adj.unpersist()
+        adj_rest.unpersist()
     if hot is not None:
         hot.unpersist()
     return result

@@ -150,6 +150,7 @@ def wcc(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     local_finish_rows: int = 4_000_000,
+    adjacency: bool = True,
 ) -> DataFrame:
     """Returns (vid long, comp long) with comp = min vid in component.
 
@@ -177,6 +178,12 @@ def wcc(
     sym = g.symmetrized()
     if g.num_partitions != p:
         sym = sym.repartition(p, SRC)
+    if adjacency:
+        from graphscope_spark.skew import packed_adjacency
+
+        adj, adj_rest = packed_adjacency(sym, SRC, DST)
+        adj = adj.cache()
+        adj_rest = adj_rest.cache()
     sym = sym.cache()
     n = g.num_vertices()
 
@@ -197,12 +204,19 @@ def wcc(
             # shuffle_hash hint the scatter join re-uses both cached
             # layouts instead of planning a sort-merge with two sorts.
             frontier = frontier.hint("shuffle_hash")
-        msgs = (
-            sym.join(frontier, sym[SRC] == frontier[VID])
-            .select(F.col(DST).alias(VID), "comp")
-            .groupBy(VID)
-            .agg(F.min("comp").alias("msg"))
-        )
+        if adjacency:
+            scattered = adj.join(frontier, adj[SRC] == frontier[VID]).select(
+                F.explode("_nbrs").alias(VID), "comp"
+            ).unionByName(
+                adj_rest.join(frontier, adj_rest[SRC] == frontier[VID]).select(
+                    F.col(DST).alias(VID), "comp"
+                )
+            )
+        else:
+            scattered = sym.join(frontier, sym[SRC] == frontier[VID]).select(
+                F.col(DST).alias(VID), "comp"
+            )
+        msgs = scattered.groupBy(VID).agg(F.min("comp").alias("msg"))
         nxt = (
             state.select(VID, "comp")
             .hint("shuffle_hash")
@@ -225,4 +239,7 @@ def wcc(
         final = run.run(init, step, max_iterations=max_iter, tol=0.0)
     out = final.select(VID, "comp")
     sym.unpersist()
+    if adjacency:
+        adj.unpersist()
+        adj_rest.unpersist()
     return out

@@ -84,3 +84,33 @@ def _two_stage(
         .agg(F.sum(value).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def packed_adjacency(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cap: int = 65536,
+) -> tuple[DataFrame, DataFrame]:
+    """(adj, rest): skew-aware CSR-style adjacency packing.
+
+    ``adj``: ONE row per source with degree ≤ ``cap`` — the neighbor
+    list as a packed ``array<long>`` (columnar cache stores each src id
+    once; the gather join probes |V| rows and explodes matches straight
+    into the partial aggregation).  ``rest``: the raw edge rows of the
+    über-degree sources — a 10^8-degree hub must NOT become one
+    multi-GB array row (single columnar batch, single task), so hub
+    fan-out stays row-form where Spark splits it across partitions.
+    The hub id set is degree-derived and broadcast-small by power-law
+    construction.  Callers union the two gathers; aggregation semantics
+    are unchanged (same multiset of per-edge messages).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    hubs = deg.where(F.col("_d") > cap).select(src)
+    adj = (
+        edges.join(F.broadcast(hubs), src, "anti")
+        .groupBy(src)
+        .agg(F.collect_list(dst).alias("_nbrs"))
+    )
+    rest = edges.join(F.broadcast(hubs), src, "semi")
+    return adj, rest
