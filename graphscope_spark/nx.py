@@ -245,6 +245,48 @@ def diameter(g: Graph) -> int:
     return _scalar(A.diameter_approx(g))
 
 
+def radius(g: Graph) -> int:
+    """min eccentricity; nx raises on disconnected input."""
+    if number_connected_components(g) != 1:
+        raise ValueError("Found infinite path length because the graph is not connected")
+    return min(eccentricity(g).values())
+
+
+def center(g: Graph) -> set:
+    """vertices whose eccentricity equals the radius."""
+    ecc = eccentricity(g)
+    if number_connected_components(g) != 1:
+        raise ValueError("Found infinite path length because the graph is not connected")
+    r = min(ecc.values())
+    return {v for v, e in ecc.items() if e == r}
+
+
+def periphery(g: Graph) -> set:
+    """vertices whose eccentricity equals the diameter."""
+    ecc = eccentricity(g)
+    if number_connected_components(g) != 1:
+        raise ValueError("Found infinite path length because the graph is not connected")
+    d = max(ecc.values())
+    return {v for v, e in ecc.items() if e == d}
+
+
+def isolates(g: Graph) -> set:
+    """vertices with no incident edges (self-loops count as incident)."""
+    touched = (
+        g.edges.select(F.col("src").alias(VID))
+        .unionByName(g.edges.select(F.col("dst").alias(VID)))
+        .distinct()
+    )
+    return {
+        r[VID]
+        for r in g.vertices.select(VID).join(touched, VID, "anti").collect()
+    }
+
+
+def number_of_isolates(g: Graph) -> int:
+    return len(isolates(g))
+
+
 # -- assortativity / mixing ------------------------------------------
 def degree_assortativity_coefficient(g: Graph) -> float:
     return _scalar(A.degree_assortativity(g))

@@ -242,3 +242,27 @@ def test_core_number_rejects_selfloops(loop_g, loop_nxd):
         nx.core_number(loop_nxd)
     with pytest.raises(Exception):
         gnx.core_number(loop_g)
+
+
+def test_radius_center_periphery_connected(spark):
+    # path graph 0-1-2-3-4 (undirected semantics via symmetrized facade)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    g = _g(spark, edges, [0, 1, 2, 3, 4])
+    u = nx.Graph(edges)
+    assert gnx.radius(g) == nx.radius(u)
+    assert gnx.center(g) == set(nx.center(u))
+    assert gnx.periphery(g) == set(nx.periphery(u))
+
+
+def test_radius_raises_on_disconnected(disc_g, disc_nxd):
+    with pytest.raises(nx.NetworkXError):
+        nx.radius(disc_nxd.to_undirected())
+    with pytest.raises(Exception):
+        gnx.radius(disc_g)
+
+
+def test_isolates(disc_g, disc_nxd, loop_g, loop_nxd):
+    assert gnx.isolates(disc_g) == set(nx.isolates(disc_nxd))
+    assert gnx.number_of_isolates(disc_g) == nx.number_of_isolates(disc_nxd)
+    # a self-loop vertex is NOT isolated
+    assert gnx.isolates(loop_g) == set(nx.isolates(loop_nxd)) == {4}
