@@ -43,17 +43,31 @@ def cdlp(
         )
     else:
         msg_edges = g.symmetrized()
+    # skew-aware packed adjacency gather: one array row per non-hub
+    # source (multiplicity preserved — collect_list keeps duplicates,
+    # the LDBC directed-CDLP double-count contract), hub fan-out
+    # row-form; count aggregation is order-independent so the picked
+    # labels are identical to the edge-join plan
+    from graphscope_spark.skew import packed_adjacency
+
+    adj, adj_rest = packed_adjacency(msg_edges, SRC, DST)
+    adj = adj.cache()
+    adj_rest = adj_rest.cache()
     msg_edges = msg_edges.cache()
 
     def init() -> DataFrame:
         return g.vertices.select(VID, F.col(VID).alias("label"))
 
     def step(state: DataFrame, k: int) -> StepResult:
-        counts = (
-            msg_edges.join(state, msg_edges[SRC] == state[VID])
-            .select(F.col(DST).alias(VID), "label")
-            .groupBy(VID, "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        scattered = adj.join(state, adj[SRC] == state[VID]).select(
+            F.explode("_nbrs").alias(VID), "label"
+        ).unionByName(
+            adj_rest.join(state, adj_rest[SRC] == state[VID]).select(
+                F.col(DST).alias(VID), "label"
+            )
+        )
+        counts = scattered.groupBy(VID, "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         # pick (cnt desc, label asc) in ONE aggregate:
         # max of struct(cnt, -label) == most frequent, min label on ties
@@ -70,4 +84,6 @@ def cdlp(
     final = run.run(init, step, max_iterations=max_round, tol=None, sync_every=sync_every)
     out = final.select(VID, "label")
     msg_edges.unpersist()
+    adj.unpersist()
+    adj_rest.unpersist()
     return out

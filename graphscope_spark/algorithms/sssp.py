@@ -89,6 +89,14 @@ def sssp(
             edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
         )
     edges = edges.cache()
+    # skew-aware packed (dst, w) adjacency for the relax scatter; min
+    # relaxation is order-independent and dist+w is computed per edge
+    # either way, so distances are bit-identical to the edge-join plan
+    from graphscope_spark.skew import packed_adjacency
+
+    adj, adj_rest = packed_adjacency(edges, SRC, DST, extra=["w"])
+    adj = adj.cache()
+    adj_rest = adj_rest.cache()
 
     # single-task finisher (same contract as wcc): Jacobi min-plus in
     # numpy when the graph fits one task; distributed supersteps are the
@@ -128,12 +136,18 @@ def sssp(
 
     def step(state: DataFrame, k: int) -> StepResult:
         frontier = state.where(F.col("changed")).select(VID, "dist")
-        relaxed = (
-            edges.join(frontier, edges[SRC] == frontier[VID])
-            .select(F.col(DST).alias(VID), (F.col("dist") + F.col("w")).alias("cand"))
-            .groupBy(VID)
-            .agg(F.min("cand").alias("cand"))
+        scattered = adj.join(frontier, adj[SRC] == frontier[VID]).select(
+            F.explode("_nbrs").alias("_nb"), "dist"
+        ).select(
+            F.col("_nb.d").alias(VID),
+            (F.col("dist") + F.col("_nb.w")).alias("cand"),
+        ).unionByName(
+            adj_rest.join(frontier, adj_rest[SRC] == frontier[VID]).select(
+                F.col(DST).alias(VID),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
         )
+        relaxed = scattered.groupBy(VID).agg(F.min("cand").alias("cand"))
         nxt = state.select(VID, "dist").join(relaxed, VID, "left").select(
             VID,
             F.least(F.col("dist"), F.coalesce("cand", F.lit(INF))).alias("dist"),
@@ -155,6 +169,8 @@ def sssp(
         idempotent=True,
     )
     edges.unpersist()
+    adj.unpersist()
+    adj_rest.unpersist()
     return final.select(VID, "dist")
 
 

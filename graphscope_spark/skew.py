@@ -91,6 +91,7 @@ def packed_adjacency(
     src: str = "src",
     dst: str = "dst",
     cap: int = 65536,
+    extra: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(adj, rest): skew-aware CSR-style adjacency packing.
 
@@ -107,10 +108,16 @@ def packed_adjacency(
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
     hubs = deg.where(F.col("_d") > cap).select(src)
+    if extra:
+        # weighted/attributed edges: pack (dst, extras...) structs —
+        # explode exposes _nb.d / _nb.<extra>
+        item = F.struct(F.col(dst).alias("d"), *[F.col(c) for c in extra])
+    else:
+        item = F.col(dst)
     adj = (
         edges.join(F.broadcast(hubs), src, "anti")
         .groupBy(src)
-        .agg(F.collect_list(dst).alias("_nbrs"))
+        .agg(F.collect_list(item).alias("_nbrs"))
     )
     rest = edges.join(F.broadcast(hubs), src, "semi")
     return adj, rest
