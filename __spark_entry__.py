@@ -5457,19 +5457,24 @@ def _pages_pagerank_sql() -> str:
 #: PRIOR rounds always outrank these in the driver window (VERDICT r3
 #: task 1: "do NOT front-load any new round-4 ops" until the backlog
 #: has rows).  Bump this list each round when adding queries.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "stream_dedup_final",
-    "stream_trending",
-    "stream_incr_pagerank",
-    "stream_incr_wcc",
-    "stream_incr_triangles",
-    "stream_neardup_final",
-    "load_app_sssp",
-    "semantic_dedup_capped",
-    "pages_extract",
-    "pages_linkgraph",
-    "pages_pagerank",
-    "train_quality_lr",
+_NEW_THIS_ROUND: tuple[str, ...] = ()
+
+# Keys whose physical plan changed this round (or whose driver row is
+# stale for code that changed in the previous round) — the driver must
+# re-verify them even though an old green row exists.  Round 5: the
+# round-4 packed-adjacency rewrite (skew.py:89, pagerank.py:197,
+# wcc.py, cdlp.py:50, sssp.py) changed the hot path of these eight
+# driver keys, but their driver rows date from r02/r03 (VERDICT r4,
+# "What's missing" #1).
+_PLANS_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "pagerank",
+    "wcc",
+    "cdlp",
+    "sssp",
+    "wcc_log",
+    "nation_pagerank",
+    "ppr",
+    "sssp_delta",
 )
 
 
@@ -5479,9 +5484,49 @@ def _evidence_dir():
     return Path(__file__).resolve().parent
 
 
+def _row_green(row) -> bool:
+    """A driver CORRECTNESS row counts as green only when every check
+    it carries passed and no error was recorded (ADVICE r4: counting
+    red rows as 'checked' buried iceberg_roundtrip behind the backlog
+    for two rounds)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is not None:
+        return False
+    return all(
+        bool(row[k])
+        for k in ("rows_match", "schema_match", "hash_match")
+        if k in row
+    )
+
+
+def _driver_rows() -> dict[str, tuple[int, bool]]:
+    """key -> (latest round with a driver row, was that latest row
+    green), from the committed CORRECTNESS_r*.json files."""
+    import json
+    import re
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for p in sorted(_evidence_dir().glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for k, row in rows.items():
+                if k not in latest or rnd >= latest[k][0]:
+                    latest[k] = (rnd, _row_green(row))
+    return latest
+
+
 def _driver_coverage() -> dict[str, int]:
-    """key -> latest round with a green driver CORRECTNESS row, from the
-    committed CORRECTNESS_r*.json files next to this file."""
+    """key -> latest round with a GREEN driver CORRECTNESS row.  Keys
+    whose only driver rows are red are absent (they re-rank as
+    unverified)."""
     import json
     import re
 
@@ -5496,9 +5541,17 @@ def _driver_coverage() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for k in rows:
-                cov[k] = max(cov.get(k, 0), rnd)
+            for k, row in rows.items():
+                if _row_green(row):
+                    cov[k] = max(cov.get(k, 0), rnd)
     return cov
+
+
+def _driver_failed() -> set[str]:
+    """Keys whose LATEST driver row is red — these sort to the very
+    front so a failing query is re-verified the next round, never
+    buried (ADVICE r4, medium)."""
+    return {k for k, (_, green) in _driver_rows().items() if not green}
 
 
 def _bench_costs() -> dict[str, float]:
@@ -5531,12 +5584,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict entries per round, so order is computed at call time from the
     committed evidence files:
 
-    1. never-driver-checked keys from PRIOR rounds (absent from every
+    1. keys whose LATEST driver row is RED (a failed check must be
+       re-verified next round, never buried — ADVICE r4);
+    2. keys whose physical plan changed this round
+       (``_PLANS_CHANGED_THIS_ROUND``) — green history, stale for the
+       code that changed;
+    3. never-driver-checked keys from PRIOR rounds (no green row in any
        CORRECTNESS_r*.json, not in ``_NEW_THIS_ROUND``), cheapest first
-       by the latest BENCH_r*.json per-query seconds — the 35-key
-       round-3 backlog lands in positions 1-35;
-    2. never-checked keys added THIS round (``_NEW_THIS_ROUND``);
-    3. already-checked keys, oldest-checked round first.
+       by the latest BENCH_r*.json per-query seconds;
+    4. never-checked keys added THIS round (``_NEW_THIS_ROUND``);
+    5. already-green keys, oldest-checked round first.
 
     Ties break on key name.  This makes the ordering self-maintaining:
     adding operators next round can never re-bury an unchecked entry,
@@ -5544,15 +5601,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     committed files."""
     impls = _query_impls()
     cov = _driver_coverage()
+    failed = _driver_failed()
     costs = _bench_costs()
     new_round = set(_NEW_THIS_ROUND)
+    changed = set(_PLANS_CHANGED_THIS_ROUND)
 
     def rank(k: str):
+        if k in failed:
+            return (0, 0.0, k)
+        if k in changed:
+            return (1, 0.0, k)
         if k not in cov:
             if k in new_round:
-                return (1, 0.0, k)
-            return (0, costs.get(k, float("inf")), k)
-        return (2, float(cov[k]), k)
+                return (3, 0.0, k)
+            return (2, costs.get(k, float("inf")), k)
+        return (4, float(cov[k]), k)
 
     return {k: impls[k] for k in sorted(impls, key=rank)}
 
@@ -7052,8 +7115,13 @@ def oracle_sql() -> dict[str, str]:
           from documents
         """,
         "iceberg_roundtrip": """
-          select lang, count(*) as n_docs, sum(doc_id) as sum_id,
-                 sum(n_chars) as sum_chars
+          -- casts: DuckDB sum(BIGINT) yields HUGEINT which lands in
+          -- pandas as float64 ("17171.0") while Spark renders int64
+          -- ("17171"); the driver hashes rendered values, so the dtype
+          -- alone flipped this row red in r01-r04 (VERDICT r4 #1).
+          select lang, count(*) as n_docs,
+                 cast(sum(doc_id) as bigint) as sum_id,
+                 cast(sum(n_chars) as bigint) as sum_chars
           from documents group by lang
         """,
         "segment_dedup": """

@@ -65,6 +65,20 @@ def pregel_program(vd_type: str = "double", md_type: str = "double"):
                 raise ValueError(
                     f"Pregel program missing necessary definition: {need}"
                 )
+        # The reference rejects instance-method programs at decoration
+        # time ("Missing staticmethod decorator",
+        # python/graphscope/analytical/udf/decorators.py
+        # _check_and_reorder); App.__call__ invokes these as unbound
+        # class attributes, so an instance-style ``def Init(self, v,
+        # context)`` would otherwise fail later with an opaque
+        # TypeError.  Check every method the runner calls unbound.
+        for name in (*PREGEL_NECESSARY_DEFS, "Message", "Combine"):
+            if name in algo.__dict__ and not isinstance(
+                algo.__dict__[name], staticmethod
+            ):
+                raise ValueError(
+                    f"Missing staticmethod decorator on method {name}"
+                )
         algo.__decorated__ = "pregel"
         algo.__pregel_types__ = (vd_type, md_type)
         return algo
@@ -140,14 +154,30 @@ class App:
 
 
 def _import_file(path: str) -> object:
+    import hashlib
+
+    abspath = os.path.abspath(path)
     mod_name = "gs_app_" + os.path.splitext(os.path.basename(path))[0]
     # unique per absolute path so two packages with the same module
-    # name don't collide in sys.modules
-    mod_name += "_" + format(abs(hash(os.path.abspath(path))) % 16**8, "08x")
+    # name don't collide in sys.modules; md5 of the path (not hash(),
+    # which is PYTHONHASHSEED-randomized) so import diagnostics are
+    # stable across runs
+    mod_name += "_" + hashlib.md5(abspath.encode()).hexdigest()[:8]
     spec = importlib.util.spec_from_file_location(mod_name, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[mod_name] = mod
-    spec.loader.exec_module(mod)
+    # multi-file packages (the reference's .gar format allows modules
+    # importing each other, framework/app.py) need their directory
+    # importable while the module body runs
+    pkg_dir = os.path.dirname(abspath)
+    sys.path.insert(0, pkg_dir)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        try:
+            sys.path.remove(pkg_dir)
+        except ValueError:
+            pass
     return mod
 
 

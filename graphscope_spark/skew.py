@@ -117,7 +117,13 @@ def packed_adjacency(
     adj = (
         edges.join(F.broadcast(hubs), src, "anti")
         .groupBy(src)
-        .agg(F.collect_list(item).alias("_nbrs"))
+        # collect_list order is shuffle-arrival order, i.e.
+        # nondeterministic — and float gathers (PageRank contributions)
+        # sum in array order, so unsorted lists make ranks vary
+        # run-to-run at ~1e-12, enough to flip a round(,8) hash near a
+        # boundary (ADVICE r4).  sort_array canonicalizes the order;
+        # O(deg·log deg) JVM-side, once per graph build.
+        .agg(F.sort_array(F.collect_list(item)).alias("_nbrs"))
     )
     rest = edges.join(F.broadcast(hubs), src, "semi")
     return adj, rest

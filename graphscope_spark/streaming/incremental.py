@@ -93,13 +93,37 @@ def _read_batches(
 
 
 def _read_snap(
-    spark: SparkSession, root: str, before: int | None = None
+    spark: SparkSession,
+    root: str,
+    before: int | None = None,
+    batches_root: str | None = None,
 ) -> DataFrame | None:
-    """Latest complete snapshot with id < before (or latest overall)."""
+    """Latest complete snapshot with id < before (or latest overall).
+
+    ``batches_root``: when given, a replayed ``before`` whose prior
+    snapshot was already GC'd is an ERROR, not a silent cold start —
+    a rollback of more than ``keep-1`` batches would otherwise warm
+    from nothing and (in fixed-round tol=None mode) produce a
+    different, seed-dependent result than the original run, violating
+    the replay-determinism contract without any signal (ADVICE r4).
+    Genuine cold starts (no prior batch ever ran) stay allowed.
+    """
     ids = _ids_in(root, "snap")
     if before is not None:
         ids = [i for i in ids if i < before]
     if not ids:
+        if (
+            before is not None
+            and batches_root is not None
+            and any(b < before for b in _ids_in(batches_root, "batch"))
+        ):
+            raise RuntimeError(
+                f"replay of batch {before} needs a snapshot from an "
+                f"earlier batch, but all were garbage-collected "
+                f"(snapshots kept: {_ids_in(root, 'snap')}); the replay "
+                f"window is one batch — restart the stream from a fresh "
+                f"state dir or raise the GC keep count"
+            )
         return None
     return spark.read.parquet(os.path.join(root, f"snap={ids[-1]}"))
 
@@ -238,7 +262,10 @@ class IncrementalPageRank:
         _write_batch(batch_df.select(SRC, DST), self._edges_dir, bid)
         edges = _read_batches(self.spark, self._edges_dir, EDGE_SCHEMA, before=bid + 1)
         g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
-        prev = _read_snap(self.spark, self._ranks_dir, before=bid)
+        prev = _read_snap(
+            self.spark, self._ranks_dir, before=bid,
+            batches_root=self._edges_dir,
+        )
         ranks = _warm_pagerank(
             g, prev, alpha=self.alpha, tol=self.tol, max_iter=self.max_iter
         ).localCheckpoint(eager=True)
@@ -355,7 +382,10 @@ class IncrementalWCC:
         _write_batch(batch_df.select(SRC, DST), self._edges_dir, bid)
         edges = _read_batches(self.spark, self._edges_dir, EDGE_SCHEMA, before=bid + 1)
         g = Graph.from_edges(edges, directed=True, num_partitions=self.num_partitions)
-        prev = _read_snap(self.spark, self._comps_dir, before=bid)
+        prev = _read_snap(
+            self.spark, self._comps_dir, before=bid,
+            batches_root=self._edges_dir,
+        )
         seeds = (
             batch_df.select(F.col(SRC).alias(VID))
             .unionByName(batch_df.select(F.col(DST).alias(VID)))
@@ -545,7 +575,10 @@ class IncrementalTriangles:
             eager=True
         )
         delta = triangle_delta(old, new)
-        prev = _read_snap(self.spark, self._counts_dir, before=bid)
+        prev = _read_snap(
+            self.spark, self._counts_dir, before=bid,
+            batches_root=self._edges_dir,
+        )
         if prev is None:
             prev = self.spark.createDataFrame([], f"{VID} long, tri long")
         counts = (

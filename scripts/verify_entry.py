@@ -79,6 +79,20 @@ def main() -> int:
         bad = None
         for c in s.columns:
             sv, ov = s[c].values, o[c].values
+            # Driver semantics: values are hashed on their RENDERED
+            # form, so int64 17171 vs float64 17171.0 mismatch even
+            # when numerically identical (the r01-r04 iceberg_roundtrip
+            # red row).  Replicate that: dtype *kind* must agree before
+            # any numeric comparison (int/uint treated as one kind).
+            sk = "i" if s[c].dtype.kind in "iu" else s[c].dtype.kind
+            ok = "i" if o[c].dtype.kind in "iu" else o[c].dtype.kind
+            if sk != ok:
+                bad = (
+                    f"col {c}: dtype kind mismatch {s[c].dtype} vs "
+                    f"{o[c].dtype} (driver hashes rendered values — "
+                    f"cast the oracle)"
+                )
+                break
             if s[c].dtype.kind == "f":
                 import numpy as np
 

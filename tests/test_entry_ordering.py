@@ -25,18 +25,23 @@ def _entry():
     return mod
 
 
-def test_never_checked_keys_come_first():
+def test_ordering_layout():
     mod = _entry()
     keys = list(mod.queries())
     cov = mod._driver_coverage()
+    failed = mod._driver_failed()
     new_round = set(mod._NEW_THIS_ROUND)
+    changed = set(mod._PLANS_CHANGED_THIS_ROUND)
 
-    backlog = [k for k in keys if k not in cov and k not in new_round]
-    fresh = [k for k in keys if k not in cov and k in new_round]
-    checked = [k for k in keys if k in cov]
+    red = [k for k in keys if k in failed]
+    replan = [k for k in keys if k not in failed and k in changed]
+    rest = [k for k in keys if k not in failed and k not in changed]
+    backlog = [k for k in rest if k not in cov and k not in new_round]
+    fresh = [k for k in rest if k not in cov and k in new_round]
+    checked = [k for k in rest if k in cov]
 
-    # exact layout: backlog | new-this-round | checked
-    assert keys == backlog + fresh + checked
+    # exact layout: red | plans-changed | backlog | new-this-round | green
+    assert keys == red + replan + backlog + fresh + checked
 
     # within the checked block, oldest driver round first
     rounds = [cov[k] for k in checked]
@@ -46,6 +51,51 @@ def test_never_checked_keys_come_first():
     costs = mod._bench_costs()
     c = [costs.get(k, float("inf")) for k in backlog]
     assert c == sorted(c)
+
+
+def test_red_driver_rows_resort_to_front():
+    """ADVICE r4 (medium): a key whose only/latest driver row failed
+    must re-enter the driver window immediately — given the committed
+    r01-r04 files, iceberg_roundtrip (red in r04: hash_match=False) has
+    to be the very first queries() entry, and must NOT count as
+    covered."""
+    mod = _entry()
+    cov = mod._driver_coverage()
+    failed = mod._driver_failed()
+    assert "iceberg_roundtrip" in failed
+    assert "iceberg_roundtrip" not in cov
+    assert list(mod.queries())[0] == "iceberg_roundtrip"
+
+
+def test_plans_changed_keys_precede_green_backlog():
+    """VERDICT r4 task 2: the eight packed-adjacency keys re-enter the
+    driver window right after any red rows, ahead of already-green
+    keys."""
+    mod = _entry()
+    keys = list(mod.queries())
+    failed = mod._driver_failed()
+    changed = set(mod._PLANS_CHANGED_THIS_ROUND)
+    n_front = len(failed - changed) + len(changed)
+    assert changed <= set(keys[:n_front])
+
+
+def test_row_green_semantics():
+    mod = _entry()
+    assert mod._row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    )
+    assert not mod._row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": False,
+         "err": None}
+    )
+    assert not mod._row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": "boom"}
+    )
+    # rows-only driver checks (no hash key) still count when clean
+    assert mod._row_green({"rows_match": True, "err": None})
+    assert not mod._row_green(None)
 
 
 def test_round3_backlog_fills_the_driver_window():

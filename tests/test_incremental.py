@@ -201,3 +201,25 @@ def test_pagerank_retry_is_idempotent(spark, tmp_path):
     gv = np.array([got[v] for v in sorted(got)])
     ev = np.array([exp[v] for v in sorted(exp)])
     assert np.allclose(gv, ev, atol=1e-6)
+
+
+def test_replay_beyond_gc_window_raises(spark, tmp_path):
+    """ADVICE r4: a checkpoint rollback of more than one batch must
+    fail loudly, not silently cold-start (which would change the
+    fixed-round result)."""
+    batches = [
+        spark.createDataFrame(b, "src long, dst long")
+        for b in _edge_batches(n=60, seed=11, k=4)
+    ]
+    pr = IncrementalPageRank(spark, str(tmp_path / "st"), tol=None, max_iter=3)
+    for i, b in enumerate(batches):
+        pr.process_batch(b, i)
+    # snapshots keep the last 2 (snap=2, snap=3); replaying batch 1
+    # needs snap=0 which is GC'd, and batch=0 exists -> hard error
+    with pytest.raises(RuntimeError, match="garbage-collected"):
+        pr.process_batch(batches[1], 1)
+    # replaying the CURRENT batch (one-batch window) still works
+    pr.process_batch(batches[3], 3)
+    # a genuine cold start on a fresh dir still works
+    pr2 = IncrementalPageRank(spark, str(tmp_path / "st2"), tol=None, max_iter=3)
+    pr2.process_batch(batches[0], 0)

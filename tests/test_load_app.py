@@ -124,3 +124,85 @@ def test_load_app_selects_by_name_and_rejects_ambiguity(spark, tmp_path):
     assert app.kind == "pregel"
     with pytest.raises(ValueError, match="no @pie"):
         load_app(str(pkg), name="NotThere")
+
+
+def test_pregel_rejects_instance_methods_at_decoration():
+    """ADVICE r4: mirror the reference's decoration-time check
+    (udf/decorators.py _check_and_reorder) — a program written with
+    instance methods must fail loudly at @pregel_program time, not
+    with an opaque TypeError at run time."""
+    from graphscope_spark.app import pregel_program
+
+    with pytest.raises(ValueError, match="staticmethod decorator on method Init"):
+
+        @pregel_program()
+        class BadSSSP:
+            def Init(self, v, context):  # missing @staticmethod
+                return None
+
+            @staticmethod
+            def Compute(messages, v, context):
+                return None
+
+
+def test_load_app_multifile_package_cross_import(spark, tiny_graph, tmp_path):
+    """A .gar-style package whose modules import each other (supported
+    by the reference's gar format) must load — the package dir goes on
+    sys.path while the module body executes (ADVICE r4)."""
+    pkg = tmp_path / "sssp_multi"
+    pkg.mkdir()
+    (pkg / "helpers.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def init_expr(src):\n"
+        "    return F.when(F.col('vid') == src, 0.0).otherwise(float('inf'))\n"
+    )
+    (pkg / "sssp_main.py").write_text(
+        textwrap.dedent(
+            '''
+            from pyspark.sql import functions as F
+            import helpers
+            from graphscope_spark.app import pregel_program
+
+            @pregel_program(vd_type="double", md_type="double")
+            class SSSP_Multi:
+                @staticmethod
+                def Init(v, context):
+                    return helpers.init_expr(context.get_config("src"))
+
+                @staticmethod
+                def Message(edge, context):
+                    return F.col("value") + F.col("weight")
+
+                @staticmethod
+                def Combine():
+                    return F.min
+
+                @staticmethod
+                def Compute(messages, v, context):
+                    return F.least(F.col("value"), F.col("msg"))
+            '''
+        )
+    )
+    app = load_app(str(pkg))
+    assert app.name == "SSSP_Multi"
+    got = {
+        r["vid"]: r["value"] for r in app(tiny_graph, config={"src": 1}).collect()
+    }
+    assert got == _expected(tiny_graph, 1)
+
+
+def test_import_module_name_is_stable(tmp_path):
+    """hash()-free module suffix: two imports of the same path resolve
+    to the same module name across processes (md5 of abspath)."""
+    from graphscope_spark.app import _import_file
+
+    p = tmp_path / "algo_mod.py"
+    p.write_text("X = 41\n")
+    m1 = _import_file(str(p))
+    m2 = _import_file(str(p))
+    assert m1.__name__ == m2.__name__
+    import hashlib, os
+    want = "gs_app_algo_mod_" + hashlib.md5(
+        os.path.abspath(str(p)).encode()
+    ).hexdigest()[:8]
+    assert m1.__name__ == want
