@@ -5467,6 +5467,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = ()
 # driver keys, but their driver rows date from r02/r03 (VERDICT r4,
 # "What's missing" #1).
 _PLANS_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r4 packed-adjacency rewrite, driver rows stale (r02/r03):
     "pagerank",
     "wcc",
     "cdlp",
@@ -5475,6 +5476,14 @@ _PLANS_CHANGED_THIS_ROUND: tuple[str, ...] = (
     "nation_pagerank",
     "ppr",
     "sssp_delta",
+    # r5: packed gather extended to the remaining superstep-heavy
+    # algorithms (hits.py, centrality.py, articlerank.py, lpa_u2i.py):
+    "hits",
+    "salsa",
+    "eigenvector_centrality",
+    "katz_centrality",
+    "articlerank",
+    "lpa_u2i",
 )
 
 

@@ -33,6 +33,7 @@ def articlerank(
     resume: bool = True,
     runner: SuperstepRunner | None = None,
     sync_every: int = 5,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, rank double) after exactly ``max_iter`` rounds."""
     spark: SparkSession = g.edges.sparkSession
@@ -40,11 +41,22 @@ def articlerank(
     edges = (g.distinct_edges() if g.directed else g.symmetrized()).select(
         SRC, DST
     )
-    if g.num_partitions != p:
-        edges = edges.repartition(p, SRC)
+    n = g.num_vertices()
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(n, adjacency)
+    if adjacency:
+        from graphscope_spark.skew import packed_adjacency, packed_msgs
+
+        adj, rest = packed_adjacency(edges, src=SRC, dst=DST)
+        adj = adj.cache()
+        rest = rest.cache()
+    else:
+        if g.num_partitions != p:
+            edges = edges.repartition(p, SRC)
+        adj = rest = None
     edges = edges.cache()
 
-    n = g.num_vertices()
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("rank"))
 
@@ -63,10 +75,16 @@ def articlerank(
 
     def step(state: DataFrame, k: int) -> StepResult:
         state = state.hint("shuffle_hash")
-        msgs = edges.join(state, edges[SRC] == state[VID]).select(
-            F.col(DST).alias(VID),
-            (damping * F.col("rank") / (F.col("deg") + F.lit(avg))).alias("c"),
-        )
+        contrib_expr = damping * F.col("rank") / (F.col("deg") + F.lit(avg))
+        if adjacency:
+            msgs = packed_msgs(
+                adj, rest, state, {"c": contrib_expr},
+                src=SRC, dst=DST, vid=VID,
+            )
+        else:
+            msgs = edges.join(state, edges[SRC] == state[VID]).select(
+                F.col(DST).alias(VID), contrib_expr.alias("c")
+            )
         contribs = msgs.groupBy(VID).agg(F.sum("c").alias("contrib"))
         nxt = state.hint("shuffle_hash").join(contribs, VID, "left").select(
             VID,
@@ -83,4 +101,7 @@ def articlerank(
                         sync_every=sync_every)
     result = final.select(VID, "rank")
     edges.unpersist()
+    if adjacency:
+        adj.unpersist()
+        rest.unpersist()
     return result

@@ -32,6 +32,7 @@ def cdlp(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     sync_every: int = 1,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, label long) after exactly ``max_round`` rounds."""
     spark = g.edges.sparkSession
@@ -48,24 +49,33 @@ def cdlp(
     # the LDBC directed-CDLP double-count contract), hub fan-out
     # row-form; count aggregation is order-independent so the picked
     # labels are identical to the edge-join plan
-    from graphscope_spark.skew import packed_adjacency
+    from graphscope_spark.skew import auto_adjacency, packed_adjacency
 
-    adj, adj_rest = packed_adjacency(msg_edges, SRC, DST)
-    adj = adj.cache()
-    adj_rest = adj_rest.cache()
+    adjacency = auto_adjacency(g.num_vertices(), adjacency)
+    if adjacency:
+        adj, adj_rest = packed_adjacency(msg_edges, SRC, DST)
+        adj = adj.cache()
+        adj_rest = adj_rest.cache()
+    else:
+        adj = adj_rest = None
     msg_edges = msg_edges.cache()
 
     def init() -> DataFrame:
         return g.vertices.select(VID, F.col(VID).alias("label"))
 
     def step(state: DataFrame, k: int) -> StepResult:
-        scattered = adj.join(state, adj[SRC] == state[VID]).select(
-            F.explode("_nbrs").alias(VID), "label"
-        ).unionByName(
-            adj_rest.join(state, adj_rest[SRC] == state[VID]).select(
-                F.col(DST).alias(VID), "label"
+        if adjacency:
+            scattered = adj.join(state, adj[SRC] == state[VID]).select(
+                F.explode("_nbrs").alias(VID), "label"
+            ).unionByName(
+                adj_rest.join(state, adj_rest[SRC] == state[VID]).select(
+                    F.col(DST).alias(VID), "label"
+                )
             )
-        )
+        else:
+            scattered = msg_edges.join(
+                state.hint("shuffle_hash"), msg_edges[SRC] == state[VID]
+            ).select(F.col(DST).alias(VID), "label")
         counts = scattered.groupBy(VID, "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
@@ -84,6 +94,7 @@ def cdlp(
     final = run.run(init, step, max_iterations=max_round, tol=None, sync_every=sync_every)
     out = final.select(VID, "label")
     msg_edges.unpersist()
-    adj.unpersist()
-    adj_rest.unpersist()
+    if adj is not None:
+        adj.unpersist()
+        adj_rest.unpersist()
     return out

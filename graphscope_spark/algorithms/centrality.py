@@ -36,6 +36,7 @@ def eigenvector_centrality(
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
     sync_every: int = 1,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, centrality double), L2-normalized.
 
@@ -46,10 +47,21 @@ def eigenvector_centrality(
     spark = g.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
-    if g.num_partitions != p:
-        edges = edges.repartition(p, SRC)
-    edges = edges.cache()
     n = g.num_vertices()
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(n, adjacency)
+    if adjacency:
+        from graphscope_spark.skew import packed_adjacency, packed_msgs
+
+        adj, rest = packed_adjacency(edges, src=SRC, dst=DST)
+        adj = adj.cache()
+        rest = rest.cache()
+    else:
+        if g.num_partitions != p:
+            edges = edges.repartition(p, SRC)
+        edges = edges.cache()
+        adj = rest = None
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
 
@@ -60,12 +72,16 @@ def eigenvector_centrality(
 
     def step(state: DataFrame, k: int) -> StepResult:
         hstate = state.hint("shuffle_hash")
-        msgs = (
-            edges.join(hstate, edges[SRC] == hstate[VID])
-            .select(F.col(DST).alias(VID), F.col("x").alias("m"))
-            .groupBy(VID)
-            .agg(F.sum("m").alias("s"))
-        )
+        if adjacency:
+            stream = packed_msgs(
+                adj, rest, hstate.select(VID, "x"), {"m": F.col("x")},
+                src=SRC, dst=DST, vid=VID,
+            )
+        else:
+            stream = edges.join(hstate, edges[SRC] == hstate[VID]).select(
+                F.col(DST).alias(VID), F.col("x").alias("m")
+            )
+        msgs = stream.groupBy(VID).agg(F.sum("m").alias("s"))
         raw = state.hint("shuffle_hash").join(msgs, VID, "left").select(
             VID,
             (F.col("x") + F.coalesce("s", F.lit(0.0))).alias("raw"),
@@ -101,7 +117,11 @@ def eigenvector_centrality(
         final = final.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
-    edges.unpersist()
+    if adjacency:
+        adj.unpersist()
+        rest.unpersist()
+    else:
+        edges.unpersist()
     return final.select(VID, F.col("x").alias("centrality"))
 
 
@@ -113,6 +133,7 @@ def katz_centrality(
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
     sync_every: int = 1,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, centrality double), L2-normalized at the end.
 
@@ -122,10 +143,21 @@ def katz_centrality(
     spark = g.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (g.edges if g.directed else g.symmetrized()).select(SRC, DST)
-    if g.num_partitions != p:
-        edges = edges.repartition(p, SRC)
-    edges = edges.cache()
     n = g.num_vertices()
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(n, adjacency)
+    if adjacency:
+        from graphscope_spark.skew import packed_adjacency, packed_msgs
+
+        adj, rest = packed_adjacency(edges, src=SRC, dst=DST)
+        adj = adj.cache()
+        rest = rest.cache()
+    else:
+        if g.num_partitions != p:
+            edges = edges.repartition(p, SRC)
+        edges = edges.cache()
+        adj = rest = None
     if n == 0:
         return g.vertices.select(VID, F.lit(0.0).alias("centrality"))
 
@@ -134,12 +166,16 @@ def katz_centrality(
 
     def step(state: DataFrame, k: int) -> StepResult:
         hstate = state.hint("shuffle_hash")
-        msgs = (
-            edges.join(hstate, edges[SRC] == hstate[VID])
-            .select(F.col(DST).alias(VID), F.col("x").alias("m"))
-            .groupBy(VID)
-            .agg(F.sum("m").alias("s"))
-        )
+        if adjacency:
+            stream = packed_msgs(
+                adj, rest, hstate.select(VID, "x"), {"m": F.col("x")},
+                src=SRC, dst=DST, vid=VID,
+            )
+        else:
+            stream = edges.join(hstate, edges[SRC] == hstate[VID]).select(
+                F.col(DST).alias(VID), F.col("x").alias("m")
+            )
+        msgs = stream.groupBy(VID).agg(F.sum("m").alias("s"))
         nxt = state.hint("shuffle_hash").join(msgs, VID, "left").select(
             VID,
             (alpha * F.coalesce("s", F.lit(0.0)) + F.lit(beta)).alias("x"),
@@ -164,7 +200,11 @@ def katz_centrality(
             sync_every=sync_every if tol is None else 1,
         )
     norm = final.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).collect()[0][0] or 1.0
-    edges.unpersist()
+    if adjacency:
+        adj.unpersist()
+        rest.unpersist()
+    else:
+        edges.unpersist()
     return final.select(VID, (F.col("x") / norm).alias("centrality"))
 
 

@@ -30,20 +30,41 @@ def hits(
     tol: float | None = None,
     checkpoint_dir: str | None = None,
     sync_every: int = 1,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, hub double, auth double), each summing to 1.
 
     The per-round L1 normalizations are LAZY 1-row aggregates broadcast
     into the plan (no driver round-trip), so fixed-round runs may chain
-    supersteps with ``sync_every`` > 1."""
+    supersteps with ``sync_every`` > 1.
+
+    ``adjacency=True`` gathers over skew-aware packed adjacency arrays
+    in BOTH directions (out-lists for the auth pass, in-lists for the
+    hub pass — the analog of the reference's kBothOutIn CSR pair): the
+    per-round probe joins |V| packed rows instead of |E| edge rows,
+    über-degree hubs stay row-form (skew.packed_adjacency)."""
     spark = g.edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base_edges = g.distinct_edges()
-    edges_out = (
-        base_edges if g.num_partitions == p else base_edges.repartition(p, SRC)
-    ).cache()
-    edges_in = base_edges.repartition(p, DST).cache()
     n = g.num_vertices()
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(n, adjacency)
+    if adjacency:
+        from graphscope_spark.skew import packed_adjacency, packed_msgs
+
+        adj_out, rest_out = packed_adjacency(base_edges, src=SRC, dst=DST)
+        adj_in, rest_in = packed_adjacency(base_edges, src=DST, dst=SRC)
+        edges_out = adj_out.cache()
+        rest_out = rest_out.cache()
+        edges_in = adj_in.cache()
+        rest_in = rest_in.cache()
+    else:
+        edges_out = (
+            base_edges if g.num_partitions == p else base_edges.repartition(p, SRC)
+        ).cache()
+        edges_in = base_edges.repartition(p, DST).cache()
+        rest_out = rest_in = None
 
     def init() -> DataFrame:
         return g.vertices.select(
@@ -54,11 +75,17 @@ def hits(
 
     def step(state: DataFrame, k: int) -> StepResult:
         hubs = state.select(VID, "hub").hint("shuffle_hash")
+        if adjacency:
+            auth_msgs = packed_msgs(
+                edges_out, rest_out, hubs, {"m": F.col("hub")},
+                src=SRC, dst=DST, vid=VID,
+            )
+        else:
+            auth_msgs = edges_out.join(hubs, edges_out[SRC] == hubs[VID]).select(
+                F.col(DST).alias(VID), F.col("hub").alias("m")
+            )
         auth_raw = (
-            edges_out.join(hubs, edges_out[SRC] == hubs[VID])
-            .select(F.col(DST).alias(VID), F.col("hub").alias("m"))
-            .groupBy(VID)
-            .agg(F.sum("m").alias("auth_raw"))
+            auth_msgs.groupBy(VID).agg(F.sum("m").alias("auth_raw"))
         ).cache()
         cached.append(auth_raw)
         a_norm = auth_raw.agg(
@@ -68,11 +95,17 @@ def hits(
             VID, (F.col("auth_raw") / F.col("_an")).alias("new_auth")
         )
         hauth = auth.hint("shuffle_hash")
+        if adjacency:
+            hub_msgs = packed_msgs(
+                edges_in, rest_in, hauth, {"m": F.col("new_auth")},
+                src=DST, dst=SRC, vid=VID,
+            )
+        else:
+            hub_msgs = edges_in.join(hauth, edges_in[DST] == hauth[VID]).select(
+                F.col(SRC).alias(VID), F.col("new_auth").alias("m")
+            )
         hub_raw = (
-            edges_in.join(hauth, edges_in[DST] == hauth[VID])
-            .select(F.col(SRC).alias(VID), F.col("new_auth").alias("m"))
-            .groupBy(VID)
-            .agg(F.sum("m").alias("hub_raw"))
+            hub_msgs.groupBy(VID).agg(F.sum("m").alias("hub_raw"))
         ).cache()
         cached.append(hub_raw)
         h_norm = hub_raw.agg(
@@ -114,6 +147,9 @@ def hits(
         c.unpersist()
     edges_out.unpersist()
     edges_in.unpersist()
+    if rest_out is not None:
+        rest_out.unpersist()
+        rest_in.unpersist()
     return final.select(VID, "hub", "auth")
 
 
@@ -121,6 +157,7 @@ def salsa(
     g: Graph,
     rounds: int = 6,
     checkpoint_dir: str | None = None,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """SALSA (Lempel & Moran 2000): the stochastic cousin of HITS —
     hub/authority weights propagated by RANDOM-WALK (degree-normalized)
@@ -147,10 +184,29 @@ def salsa(
     base = g.distinct_edges().select(SRC, DST)
     odeg = base.groupBy(SRC).agg(F.count(F.lit(1)).alias("od"))
     ideg = base.groupBy(DST).agg(F.count(F.lit(1)).alias("id_"))
-    # fold both degrees onto the edge table once; cache both layouts
-    e = base.join(odeg, SRC).join(ideg, DST).select(SRC, DST, "od", "id_")
-    edges_out = e.repartition(p, SRC).cache()
-    edges_in = e.repartition(p, DST).cache()
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(g.num_vertices(), adjacency)
+    if adjacency:
+        # packed gather in both directions; degree normalizations ride
+        # the STATE instead of the edge table (co-partitioned vid joins,
+        # no extra shuffle under one_shuffle_mode)
+        from graphscope_spark.skew import packed_adjacency, packed_msgs
+
+        adj_out, rest_out = packed_adjacency(base, src=SRC, dst=DST)
+        adj_in, rest_in = packed_adjacency(base, src=DST, dst=SRC)
+        edges_out = adj_out.cache()
+        rest_out = rest_out.cache()
+        edges_in = adj_in.cache()
+        rest_in = rest_in.cache()
+        odeg_v = odeg.select(F.col(SRC).alias(VID), "od").repartition(p, VID).cache()
+        ideg_v = ideg.select(F.col(DST).alias(VID), "id_").repartition(p, VID).cache()
+    else:
+        # fold both degrees onto the edge table once; cache both layouts
+        e = base.join(odeg, SRC).join(ideg, DST).select(SRC, DST, "od", "id_")
+        edges_out = e.repartition(p, SRC).cache()
+        edges_in = e.repartition(p, DST).cache()
+        rest_out = rest_in = odeg_v = ideg_v = None
     n_hubs = odeg.count()
 
     def init() -> DataFrame:
@@ -164,6 +220,35 @@ def salsa(
     cached: list[DataFrame] = []
 
     def step(state: DataFrame, k: int) -> StepResult:
+        if adjacency:
+            hubs = (
+                state.select(VID, "hub")
+                .hint("shuffle_hash")
+                .join(odeg_v.hint("shuffle_hash"), VID)
+            )
+            auth = (
+                packed_msgs(
+                    edges_out, rest_out, hubs,
+                    {"m": F.col("hub") / F.col("od")},
+                    src=SRC, dst=DST, vid=VID,
+                )
+                .groupBy(VID)
+                .agg(F.sum("m").alias("auth"))
+            ).cache()
+            cached.append(auth)
+            auth_st = auth.hint("shuffle_hash").join(
+                ideg_v.hint("shuffle_hash"), VID
+            )
+            hub = (
+                packed_msgs(
+                    edges_in, rest_in, auth_st,
+                    {"m": F.col("auth") / F.col("id_")},
+                    src=DST, dst=SRC, vid=VID,
+                )
+                .groupBy(VID)
+                .agg(F.sum("m").alias("hub"))
+            )
+            return StepResult(hub)
         hubs = state.select(VID, "hub").hint("shuffle_hash")
         auth = (
             edges_out.join(hubs, edges_out[SRC] == hubs[VID])
@@ -200,4 +285,7 @@ def salsa(
         c.unpersist()
     edges_out.unpersist()
     edges_in.unpersist()
+    for extra_cache in (rest_out, rest_in, odeg_v, ideg_v):
+        if extra_cache is not None:
+            extra_cache.unpersist()
     return final.select(VID, "hub", "auth")

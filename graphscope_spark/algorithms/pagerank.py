@@ -59,7 +59,7 @@ def pagerank(
     salt_n: int = 16,
     sync_every: int = 1,
     weight: str | None = None,
-    adjacency: bool = True,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, rank double); ranks sum to 1.
 
@@ -112,7 +112,12 @@ def pagerank(
         )
     if g.num_partitions != p:
         edges = edges.repartition(p, SRC)
-    use_adj = adjacency and weight is None
+    from graphscope_spark.skew import auto_adjacency
+
+    # size-resolved default (scripts/adj_ab_r5.jsonl + r4
+    # pr_tune_r4_adj.jsonl): packed wins ~2x at 16M vertices, loses at
+    # bench-scale graphs where rounds are stage-overhead-bound
+    use_adj = auto_adjacency(g.num_vertices(), adjacency) and weight is None
     if use_adj:
         from graphscope_spark.skew import packed_adjacency
 

@@ -150,7 +150,7 @@ def wcc(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     local_finish_rows: int = 4_000_000,
-    adjacency: bool = True,
+    adjacency: bool | None = None,
 ) -> DataFrame:
     """Returns (vid long, comp long) with comp = min vid in component.
 
@@ -178,6 +178,9 @@ def wcc(
     sym = g.symmetrized()
     if g.num_partitions != p:
         sym = sym.repartition(p, SRC)
+    from graphscope_spark.skew import auto_adjacency
+
+    adjacency = auto_adjacency(g.num_vertices(), adjacency)
     if adjacency:
         from graphscope_spark.skew import packed_adjacency
 

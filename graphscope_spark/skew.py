@@ -127,3 +127,77 @@ def packed_adjacency(
     )
     rest = edges.join(F.broadcast(hubs), src, "semi")
     return adj, rest
+
+
+def packed_msgs(
+    adj: DataFrame,
+    rest: DataFrame,
+    state: DataFrame,
+    msg_cols: dict[str, "F.Column"],
+    src: str = "src",
+    dst: str = "dst",
+    vid: str = "vid",
+    extras: tuple[str, ...] = (),
+    src_out: str | None = None,
+) -> DataFrame:
+    """The skew-aware gather shared by every superstep algorithm: one
+    message row per edge, message expressions computed from the SOURCE
+    vertex's state columns (+ packed edge ``extras``).
+
+    ``adj``/``rest`` come from :func:`packed_adjacency` called with the
+    same ``src``/``dst``/``extras``.  The packed side probes |V| rows
+    (state ⋈ one-row-per-source adjacency, then explode); the hub side
+    stays row-form so a 10^8-degree hub spreads across partitions.
+    ``msg_cols``: output-name -> Column over ``state`` columns and
+    ``extras`` (edge attributes).  Output: (``vid`` = gather target,
+    *msg_cols) [+ ``src_out`` = the message's source, for salting].
+    Callers aggregate (groupBy(vid) or salted_sum).
+    """
+    st_cols = [c for c in state.columns if c != vid]
+
+    def finish(base: DataFrame) -> DataFrame:
+        return base.select(
+            *([F.col("_g").alias(src_out)] if src_out else []),
+            F.col("_t").alias(vid),
+            *[expr.alias(name) for name, expr in msg_cols.items()],
+        )
+
+    j = adj.join(state, adj[src] == state[vid])
+    if extras:
+        j = j.select(
+            adj[src].alias("_g"), F.explode("_nbrs").alias("_nb"), *st_cols
+        ).select(
+            "_g",
+            F.col("_nb.d").alias("_t"),
+            *[F.col(f"_nb.{e}").alias(e) for e in extras],
+            *st_cols,
+        )
+    else:
+        j = j.select(
+            adj[src].alias("_g"), F.explode("_nbrs").alias("_t"), *st_cols
+        )
+    hub = rest.join(state, rest[src] == state[vid]).select(
+        rest[src].alias("_g"), rest[dst].alias("_t"), *extras, *st_cols
+    )
+    return finish(j).unionByName(finish(hub))
+
+
+# Packed-gather adoption threshold (round-5 A/B, scripts/adj_ab_r5.jsonl
+# + round-4 scripts/pr_tune_r4_adj.jsonl): at 16M vertices the packed
+# |V|-probe gather beat the edge join ~2x (build amortizes, rest-branch
+# near-empty), but at bench-scale graphs (~16k vertices) the TWO gather
+# branches per round (packed + hub union) add stages to rounds that are
+# stage-overhead-bound, losing 1.3-3.9x.  Algorithms resolve
+# ``adjacency=None`` to ``n_vertices >= ADJ_AUTO_MIN_VERTICES`` — the
+# 100TB path gets the packed plan, small interactive graphs keep the
+# single-join plan.
+ADJ_AUTO_MIN_VERTICES = 1_000_000
+
+
+def auto_adjacency(n_vertices: int, override: bool | None = None) -> bool:
+    """Resolve an ``adjacency`` tri-state: explicit True/False wins;
+    None picks the packed gather iff the graph is big enough for the
+    build to amortize (see ADJ_AUTO_MIN_VERTICES)."""
+    if override is not None:
+        return override
+    return n_vertices >= ADJ_AUTO_MIN_VERTICES

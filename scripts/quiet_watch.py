@@ -29,7 +29,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-OUT = os.path.join(HERE, "quiet_r4.jsonl")
+OUT = os.path.join(HERE, os.environ.get("QUIET_OUT", "quiet_r4.jsonl"))
 
 sys.path.insert(0, HERE)
 from membw_probe import probe  # noqa: E402

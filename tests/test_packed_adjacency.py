@@ -70,3 +70,107 @@ def test_wcc_gather_paths_identical(spark, hub_graph):
     b = {r["vid"]: r["comp"] for r in wcc(
         hub_graph, local_finish_rows=0, adjacency=False).collect()}
     assert a == b  # min labels: exactly identical
+
+
+# -- round 5: packed gather extended to the remaining superstep-heavy
+#    algorithms (VERDICT r4 task 4) — cross-plan equality per algorithm
+
+
+def test_hits_gather_paths_equal(spark, hub_graph):
+    from graphscope_spark.algorithms.hits import hits
+
+    a = {r["vid"]: (r["hub"], r["auth"]) for r in hits(
+        hub_graph, max_iter=6, adjacency=True).collect()}
+    b = {r["vid"]: (r["hub"], r["auth"]) for r in hits(
+        hub_graph, max_iter=6, adjacency=False).collect()}
+    assert set(a) == set(b)
+    assert all(
+        abs(a[v][0] - b[v][0]) < 1e-12 and abs(a[v][1] - b[v][1]) < 1e-12
+        for v in a
+    )
+
+
+def test_salsa_gather_paths_equal(spark, hub_graph):
+    from graphscope_spark.algorithms.hits import salsa
+
+    a = {r["vid"]: (r["hub"], r["auth"]) for r in salsa(
+        hub_graph, rounds=5, adjacency=True).collect()}
+    b = {r["vid"]: (r["hub"], r["auth"]) for r in salsa(
+        hub_graph, rounds=5, adjacency=False).collect()}
+    assert set(a) == set(b)
+    assert all(
+        abs(a[v][0] - b[v][0]) < 1e-12 and abs(a[v][1] - b[v][1]) < 1e-12
+        for v in a
+    )
+
+
+def test_eigenvector_katz_gather_paths_equal(spark, hub_graph):
+    from graphscope_spark.algorithms.centrality import (
+        eigenvector_centrality,
+        katz_centrality,
+    )
+
+    for fn in (eigenvector_centrality, katz_centrality):
+        a = {r["vid"]: r["centrality"] for r in fn(
+            hub_graph, max_iter=8, tol=None, adjacency=True).collect()}
+        b = {r["vid"]: r["centrality"] for r in fn(
+            hub_graph, max_iter=8, tol=None, adjacency=False).collect()}
+        assert set(a) == set(b)
+        assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_articlerank_gather_paths_equal(spark, hub_graph):
+    from graphscope_spark.algorithms.articlerank import articlerank
+
+    a = {r["vid"]: r["rank"] for r in articlerank(
+        hub_graph, max_iter=6, adjacency=True).collect()}
+    b = {r["vid"]: r["rank"] for r in articlerank(
+        hub_graph, max_iter=6, adjacency=False).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+
+
+def test_lpa_u2i_gather_paths_equal(spark):
+    import random
+
+    from graphscope_spark.algorithms.lpa_u2i import lpa_u2i
+
+    rng = random.Random(3)
+    pairs = list({(rng.randrange(40), 100 + rng.randrange(30)) for _ in range(200)})
+    edges = spark.createDataFrame(
+        [(s, d, round(rng.random(), 3)) for s, d in pairs],
+        "src long, dst long, w double",
+    )
+    users = spark.createDataFrame(
+        [(u, round(rng.random(), 3), float(rng.randrange(2))) for u in range(40)],
+        "vid long, p0 double, p1 double",
+    )
+    a = {r["vid"]: (r["p0"], r["p1"]) for r in lpa_u2i(
+        users, edges, ["p0", "p1"], max_round=7, adjacency=True).collect()}
+    b = {r["vid"]: (r["p0"], r["p1"]) for r in lpa_u2i(
+        users, edges, ["p0", "p1"], max_round=7, adjacency=False).collect()}
+    assert set(a) == set(b)
+    assert all(
+        abs(a[v][0] - b[v][0]) < 1e-12 and abs(a[v][1] - b[v][1]) < 1e-12
+        for v in a
+    )
+
+
+def test_packed_adjacency_lists_are_sorted(spark, hub_graph):
+    """Determinism guard (ADVICE r4): neighbor lists must be canonical
+    (sorted) so float gathers sum in a fixed order run-to-run."""
+    adj, _ = packed_adjacency(hub_graph.edges, cap=30)
+    for r in adj.select("_nbrs").collect():
+        assert list(r["_nbrs"]) == sorted(r["_nbrs"])
+
+
+def test_auto_adjacency_threshold():
+    """Size-resolved default (round-5 A/B, scripts/adj_ab_r5.jsonl):
+    small graphs keep the single edge-join gather, big graphs get the
+    packed |V|-probe plan; explicit override always wins."""
+    from graphscope_spark.skew import ADJ_AUTO_MIN_VERTICES, auto_adjacency
+
+    assert not auto_adjacency(16_000)
+    assert auto_adjacency(ADJ_AUTO_MIN_VERTICES)
+    assert auto_adjacency(16_000, override=True)
+    assert not auto_adjacency(10**9, override=False)
