@@ -542,7 +542,7 @@ def _louvain_sql() -> str:
     )
 
 
-def _betweenness_sql() -> str:
+def _betweenness_sql(endpoints: bool = False) -> str:
     """Fully-unrolled sampled Brandes over the order graph: forward
     level-synchronous BFS accumulating path counts σ (levels 1..D,
     cumulative CTEs with a NOT EXISTS frontier guard), then the
@@ -550,7 +550,12 @@ def _betweenness_sql() -> str:
     successors w one level deeper (betweenness.py _chunk_delta
     recurrence; apps/centrality/betweenness semantics).  Scores scaled
     by 0.5·n/|roots| (undirected halving × Brandes sampling
-    estimator), matching the Spark query bit-for-bit at 6 decimals."""
+    estimator), matching the Spark query bit-for-bit at 6 decimals.
+
+    ``endpoints=True`` (NX endpoints convention, betweenness.py:119-127):
+    per root r every reached w≠r contributes δ_w + 1 instead of δ_w,
+    and r itself contributes |reached|−1 (the root row IS in the level
+    CTEs, so that's count(*)−1 per r)."""
     D = BETW_UNROLL
     parts = [
         f"with edges as materialized ({SQL_EDGES})",
@@ -592,15 +597,23 @@ def _betweenness_sql() -> str:
         )"""
         )
         j += 1
+    if endpoints:
+        contrib = f"""
+        select vid, sum(contrib) as bsum from (
+          select vid, delta + 1.0 as contrib from b{j} where vid <> r
+          union all
+          select r as vid, cast(count(*) - 1 as double) as contrib
+          from b{j} group by r
+        ) group by 1"""
+    else:
+        contrib = f"select vid, sum(delta) as bsum from b{j} where vid <> r group by 1"
     return (
         ",\n".join(parts)
         + f"""
       select v.vid,
              round(0.5 * (select count(*) from verts) / (select count(*) from roots)
                    * coalesce(s.bsum, 0.0), 6) as betweenness
-      from verts v left join (
-        select vid, sum(delta) as bsum from b{j} where vid <> r group by 1
-      ) s on s.vid = v.vid"""
+      from verts v left join ({contrib}) s on s.vid = v.vid"""
     )
 
 
@@ -3594,6 +3607,146 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_betweenness_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes with NX ``endpoints=True`` accounting
+    (betweenness.py:119-127 / :269-280;
+    betweenness_centrality_generic.h:155-165 ctx.endpoints) — the
+    round-5 driver contract for the previously pytest-only endpoints
+    surface."""
+    from graphscope_spark.algorithms import betweenness_centrality
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    roots = g.vertices.where((F.col("vid") >= 1000000) & (F.col("vid") % 10 == 0))
+    return betweenness_centrality(g, roots=roots, endpoints=True).select(
+        "vid", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+def _q_graphar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphAr-layout round-trip (persistence.save_graphar/load_graphar,
+    reference python/graphscope/framework/graph.py:1171-1347
+    save_to/load_from): write the order graph as chunked
+    vertex/adj-list/offset parquet + JSON descriptor, reload it, and
+    emit per-vertex out-degree + neighbor-sum FROM THE RELOADED graph —
+    exact equality with the oracle (computed from the raw tables)
+    proves the round-trip preserved the vertex set and edge multiset."""
+    import os
+    import tempfile
+
+    from graphscope_spark.persistence import load_graphar, save_graphar
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gs_graphar_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    save_graphar(g, path, chunk_size=4096)
+    g2 = load_graphar(spark, path)
+    deg = g2.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.sum("dst").alias("nbr_sum")
+    )
+    return g2.vertices.select("vid").join(deg, "vid", "left").select(
+        "vid",
+        F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+        F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nbr_sum"),
+    )
+
+
+def _q_graph_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIALIZE/DESERIALIZE round-trip (persistence.save_graph/
+    load_graph; reference graph.py save_to/load_from parquet path):
+    in-degree + src-sum per vertex from the RELOADED graph."""
+    import os
+    import tempfile
+
+    from graphscope_spark.persistence import load_graph, save_graph
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"gs_serde_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    save_graph(g, path)
+    g2 = load_graph(spark, path)
+    deg = g2.edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count(F.lit(1)).alias("in_deg"), F.sum("src").alias("src_sum")
+    )
+    return g2.vertices.select("vid").join(deg, "vid", "left").select(
+        "vid",
+        F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        F.coalesce("src_sum", F.lit(0)).cast("long").alias("src_sum"),
+    )
+
+
+def _q_consolidate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSOLIDATE_COLUMNS (persistence.py:143; reference
+    dag_utils.py:232-280): merge two vertex property columns into one
+    array column, then read the elements back out — proves the rewrite
+    is lossless and ordered."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.persistence import consolidate_columns
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    verts = cust.select(
+        F.col("c_custkey").alias("vid"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        (F.col("c_custkey") % 7).cast("double").alias("m7"),
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+    g = Graph(edges, verts, directed=True)
+    g2 = consolidate_columns(g, ["bal", "m7"], "props")
+    assert set(g2.vertices.columns) == {"vid", "props"}
+    return g2.vertices.select(
+        "vid",
+        F.element_at("props", 1).alias("bal"),
+        F.element_at("props", 2).alias("m7"),
+        F.size("props").alias("n_props"),
+    )
+
+
+def _q_mutable_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MutableGraph mutation log (mutable.py:30; NX-style
+    add/remove node/edge over the functional Graph): supplier→nation
+    graph + a deterministic script of adds and removals, per-vertex
+    degrees of the final graph.  remove_nodes_from must cascade to
+    incident edges (graph.py:363-374), add_edges must add missing
+    endpoints (graph.py:321-335)."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.mutable import MutableGraph
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = sup.select(
+        F.col("s_suppkey").alias("src"),
+        (F.lit(100000) + F.col("s_nationkey")).alias("dst"),
+    )
+    g = Graph.from_edges(edges, directed=True)
+    mg = MutableGraph.from_graph(g)
+    mg.add_node(999999)                                     # isolated
+    mg.add_edges_from([(999990, 100000 + i) for i in range(5)])
+    mg.remove_nodes_from([100003])                          # nation 3 + cascade
+    mg.remove_edge(999990, 100004)                          # one added edge back out
+    out = mg.graph
+    odeg = out.edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ideg = out.edges.groupBy(F.col("dst").alias("vid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out.vertices.select("vid")
+        .join(odeg, "vid", "left")
+        .join(ideg, "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous Louvain (integer modularity scores),
     exact vs the fully-unrolled 2-phase/5-round SQL oracle (also pinned
@@ -5457,7 +5610,13 @@ def _pages_pagerank_sql() -> str:
 #: PRIOR rounds always outrank these in the driver window (VERDICT r3
 #: task 1: "do NOT front-load any new round-4 ops" until the backlog
 #: has rows).  Bump this list each round when adding queries.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "betweenness_endpoints",
+    "graphar_roundtrip",
+    "graph_serde_roundtrip",
+    "consolidate_columns",
+    "mutable_ops",
+)
 
 # Keys whose physical plan changed this round (or whose driver row is
 # stale for code that changed in the previous round) — the driver must
@@ -5761,6 +5920,12 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_avg_length": _q_sssp_avg_length,
         "voterank": _q_voterank,
         "betweenness_sampled": _q_betweenness,
+        # -- round 5: driver contracts for pytest-only surfaces ----------
+        "betweenness_endpoints": _q_betweenness_endpoints,
+        "graphar_roundtrip": _q_graphar_roundtrip,
+        "graph_serde_roundtrip": _q_graph_serde_roundtrip,
+        "consolidate_columns": _q_consolidate_columns,
+        "mutable_ops": _q_mutable_ops,
         "louvain": _q_louvain,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -6799,6 +6964,63 @@ def oracle_sql() -> dict[str, str]:
         "wcc_property": _wcc_property_sql(),
         "sssp_property": _sssp_property_sql(),
         "betweenness_sampled": _betweenness_sql(),
+        "betweenness_endpoints": _betweenness_sql(endpoints=True),
+        "graphar_roundtrip": f"""
+          with edges as materialized ({SQL_EDGES})
+          select v.vid,
+                 coalesce(d.c, 0) as out_deg,
+                 coalesce(d.s, 0) as nbr_sum
+          from (select src as vid from edges union select dst from edges) v
+          left join (
+            select src as vid, count(*) as c,
+                   cast(sum(dst) as bigint) as s
+            from edges group by 1
+          ) d using (vid)
+        """,
+        "graph_serde_roundtrip": f"""
+          with edges as materialized ({SQL_EDGES})
+          select v.vid,
+                 coalesce(d.c, 0) as in_deg,
+                 coalesce(d.s, 0) as src_sum
+          from (select src as vid from edges union select dst from edges) v
+          left join (
+            select dst as vid, count(*) as c,
+                   cast(sum(src) as bigint) as s
+            from edges group by 1
+          ) d using (vid)
+        """,
+        "consolidate_columns": """
+          select c_custkey as vid,
+                 cast(c_acctbal as double) as bal,
+                 cast(c_custkey % 7 as double) as m7,
+                 cast(2 as int) as n_props
+          from customer
+        """,
+        "mutable_ops": """
+          with base as (
+            select s_suppkey as src, 100000 + s_nationkey as dst from supplier
+          ),
+          added as (select 999990 as src, 100000 + i as dst from range(5) t(i)),
+          alle as (select * from base union all select * from added),
+          kept as (
+            select * from alle
+            where src <> 100003 and dst <> 100003
+              and not (src = 999990 and dst = 100004)
+          ),
+          verts as (
+            select src as vid from base union select dst from base
+            union select 999999 union select src from added
+            union select dst from added
+          )
+          select v.vid,
+                 coalesce(o.c, 0) as out_deg,
+                 coalesce(i.c, 0) as in_deg
+          from (select vid from verts where vid <> 100003) v
+          left join (select src as vid, count(*) as c from kept group by 1) o
+            using (vid)
+          left join (select dst as vid, count(*) as c from kept group by 1) i
+            using (vid)
+        """,
         "louvain": _louvain_sql(),
         "avg_degree_connectivity": _adc_sql(),
         "core_number": _core_number_sql(),
