@@ -238,6 +238,13 @@ def all_simple_edge_paths(g: Graph, source: int, target: int, cutoff: int = 5) -
 
 
 def eccentricity(g: Graph) -> dict:
+    """nx.eccentricity raises on disconnected input ("Found infinite
+    path length...") — the distributed kernel returns per-component
+    eccentricities, so guard here (round-5 differential find)."""
+    if number_connected_components(g) != 1:
+        raise ValueError(
+            "Found infinite path length because the graph is not connected"
+        )
     return {r[VID]: r["ecc"] for r in A.eccentricity(g).collect()}
 
 

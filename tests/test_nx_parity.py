@@ -131,12 +131,15 @@ def test_shortest_paths(rand_graph, nxd, rand_graph_data):
     assert all(nxd.has_edge(a, b) for a, b in zip(p, p[1:]))
 
 
-def test_eccentricity_diameter(rand_graph, nxu):
-    # giant undirected component (facade computes over the symmetrized
-    # graph; nx.eccentricity requires a connected graph)
+def test_eccentricity_diameter(spark, rand_graph, nxu):
+    # nx.eccentricity (and since round 5, the facade too) raises on a
+    # disconnected graph — compare on the induced giant component
     giant = max(nx.connected_components(nxu), key=len)
     sub = nxu.subgraph(giant)
-    got = gnx.eccentricity(rand_graph)
+    gsub = rand_graph.induce_subgraph(
+        spark.createDataFrame([(int(v),) for v in giant], "vid long")
+    )
+    got = gnx.eccentricity(gsub)
     exp = nx.eccentricity(sub)
     for v in exp:
         assert got[v] == exp[v], v
