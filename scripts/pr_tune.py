@@ -29,6 +29,15 @@ VARIANTS = {
     "parts4x": {"_parts_mult": "4"},
     "g1region": {"_java_opts": "-XX:G1HeapRegionSize=32m"},
     "noadj": {"_noadj": "1"},
+    # round-5 serialization levers (VERDICT r4 task 8): shuffle codec
+    # A/B now that narrow state types are ruled out by the r4
+    # event-log experiment
+    "zstd": {"spark.io.compression.codec": "zstd"},
+    "snappy": {"spark.io.compression.codec": "snappy"},
+    "shufflenocomp": {
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    },
 }
 
 CHILD = r"""

@@ -174,3 +174,17 @@ def test_auto_adjacency_threshold():
     assert auto_adjacency(ADJ_AUTO_MIN_VERTICES)
     assert auto_adjacency(16_000, override=True)
     assert not auto_adjacency(10**9, override=False)
+
+
+def test_packed_pagerank_run_to_run_deterministic(spark, hub_graph):
+    """With sorted neighbor lists the packed gather's float sum order
+    is fixed, so two runs of the same plan agree BIT-exactly (the
+    ADVICE-r4 gate-flake scenario: a rank near a round(,8) boundary
+    must not flip between runs)."""
+    from graphscope_spark.algorithms import pagerank
+
+    a = {r["vid"]: r["rank"] for r in pagerank(
+        hub_graph, tol=None, max_iter=6, adjacency=True).collect()}
+    b = {r["vid"]: r["rank"] for r in pagerank(
+        hub_graph, tol=None, max_iter=6, adjacency=True).collect()}
+    assert a == b
