@@ -44,6 +44,14 @@ def main() -> None:
     )
     ap.add_argument("--executor-memory", default="10g")
     ap.add_argument(
+        "--executor-cores",
+        type=int,
+        default=1,
+        help="cores per executor JVM in cluster mode (default 1: one "
+        "JVM per core, the north rule's executor-count scaling mode; "
+        "set to --cores for a single fat executor A/B)",
+    )
+    ap.add_argument(
         "--partitions",
         type=int,
         default=None,
@@ -86,7 +94,7 @@ def main() -> None:
         extra_conf=(
             {
                 "spark.executor.memory": args.executor_memory,
-                "spark.executor.cores": "1",
+                "spark.executor.cores": str(args.executor_cores),
                 "spark.cores.max": str(args.cores),
             }
             if args.master and args.master.startswith("spark://")
