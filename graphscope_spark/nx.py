@@ -22,6 +22,34 @@ from graphscope_spark import algorithms as A
 from graphscope_spark.graph import DST, SRC, VID, Graph
 
 
+# -- NetworkX-compatible exception hierarchy ---------------------------
+# The reference's vendored NX test suite asserts exception TYPES, not
+# just messages (python/graphscope/nx/tests).  These mirror networkx's
+# classes by name and inherit the builtin types this facade used to
+# raise, so except ValueError/RuntimeError call sites keep working.
+
+
+class NetworkXException(Exception):
+    """Base for NX-convention errors (nx.NetworkXException analog)."""
+
+
+class NetworkXError(NetworkXException, ValueError):
+    """nx.NetworkXError analog (invalid input / undefined result)."""
+
+
+class NetworkXNoPath(NetworkXException, ValueError):
+    """nx.NetworkXNoPath analog (no path between the given nodes)."""
+
+
+class NetworkXUnfeasible(NetworkXException, ValueError):
+    """nx.NetworkXUnfeasible analog (e.g. topological sort of a cycle)."""
+
+
+class AmbiguousSolution(NetworkXException, ValueError):
+    """nx.AmbiguousSolution analog (e.g. bipartite sets of a
+    disconnected graph)."""
+
+
 def _to_dict(df: DataFrame, key: str = VID) -> dict:
     cols = [c for c in df.columns if c != key]
     if len(cols) == 1:
@@ -109,7 +137,7 @@ def core_number(g: Graph) -> dict:
     # nx convention: k-core is undefined with self-loops
     # (NetworkXNotImplemented) — mirror the reject, not a silent answer
     if g.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0:
-        raise ValueError(
+        raise NetworkXError(
             "Input graph has self loops which is not permitted; "
             "Consider using G.remove_edges_from(nx.selfloop_edges(G))."
         )
@@ -176,9 +204,9 @@ def has_path(g: Graph, source: int, target: int) -> bool:
 def average_shortest_path_length(g: Graph) -> float:
     # nx convention: undefined on trivial or disconnected graphs
     if g.num_vertices() <= 1:
-        raise ValueError("Graph has fewer than two nodes.")
+        raise NetworkXError("Graph has fewer than two nodes.")
     if number_connected_components(g) != 1:
-        raise ValueError("Graph is not connected.")
+        raise NetworkXError("Graph is not connected.")
     return _scalar(A.sssp_average_length(g, weight=None))
 
 
@@ -242,7 +270,7 @@ def eccentricity(g: Graph) -> dict:
     path length...") — the distributed kernel returns per-component
     eccentricities, so guard here (round-5 differential find)."""
     if number_connected_components(g) != 1:
-        raise ValueError(
+        raise NetworkXError(
             "Found infinite path length because the graph is not connected"
         )
     return {r[VID]: r["ecc"] for r in A.eccentricity(g).collect()}
@@ -255,7 +283,7 @@ def diameter(g: Graph) -> int:
 def radius(g: Graph) -> int:
     """min eccentricity; nx raises on disconnected input."""
     if number_connected_components(g) != 1:
-        raise ValueError("Found infinite path length because the graph is not connected")
+        raise NetworkXError("Found infinite path length because the graph is not connected")
     return min(eccentricity(g).values())
 
 
@@ -263,7 +291,7 @@ def center(g: Graph) -> set:
     """vertices whose eccentricity equals the radius."""
     ecc = eccentricity(g)
     if number_connected_components(g) != 1:
-        raise ValueError("Found infinite path length because the graph is not connected")
+        raise NetworkXError("Found infinite path length because the graph is not connected")
     r = min(ecc.values())
     return {v for v, e in ecc.items() if e == r}
 
@@ -272,7 +300,7 @@ def periphery(g: Graph) -> set:
     """vertices whose eccentricity equals the diameter."""
     ecc = eccentricity(g)
     if number_connected_components(g) != 1:
-        raise ValueError("Found infinite path length because the graph is not connected")
+        raise NetworkXError("Found infinite path length because the graph is not connected")
     d = max(ecc.values())
     return {v for v, e in ecc.items() if e == d}
 
@@ -352,7 +380,7 @@ def preferential_attachment(g: Graph) -> list[tuple[int, int, int]]:
 # -- shortest-path variants (round 3: NX long tail) --------------------
 def _follow_tree(tree: dict, source: int, target: int) -> list:
     if target not in tree:
-        raise ValueError(f"no path to {target}")
+        raise NetworkXNoPath(f"no path to {target}")
     path = [target]
     while path[-1] != source:
         path.append(tree[path[-1]])
@@ -496,7 +524,7 @@ def is_bipartite(g: Graph) -> bool:
 def bipartite_color(g: Graph) -> dict:
     """NX bipartite.color: a proper 2-coloring; raises if impossible."""
     if not is_bipartite(g):
-        raise ValueError("graph is not bipartite")
+        raise NetworkXError("graph is not bipartite")
     return _to_dict(_parity_color(g))
 
 
@@ -624,7 +652,7 @@ def topological_generations(g: Graph) -> list[set]:
     Raises on a cyclic graph, like NX's NetworkXUnfeasible."""
     assigned, left = _kahn_generations(g)
     if left:
-        raise ValueError("graph contains a cycle")
+        raise NetworkXUnfeasible("graph contains a cycle")
     layers: dict[int, set] = {}
     for r in assigned.collect():
         layers.setdefault(r["gen"], set()).add(r[VID])

@@ -462,3 +462,40 @@ def test_eccentricity_raises_on_disconnected(disc_ug, disc_nxu):
         nx.eccentricity(disc_nxu)
     with pytest.raises(Exception):
         gnx.eccentricity(disc_ug)
+
+
+def test_exception_types_match_nx(disc_g, disc_nxd, disc_ug, disc_nxu, spark):
+    """The reference's vendored NX tests assert exception TYPES; the
+    facade's exceptions mirror networkx's class names (and still
+    subclass ValueError for old call sites)."""
+    # eccentricity / radius on disconnected: NetworkXError
+    with pytest.raises(nx.NetworkXError):
+        nx.eccentricity(disc_nxu)
+    with pytest.raises(gnx.NetworkXError):
+        gnx.eccentricity(disc_ug)
+    with pytest.raises(gnx.NetworkXError):
+        gnx.radius(disc_ug)
+    # average_shortest_path_length on disconnected: NetworkXError
+    with pytest.raises(nx.NetworkXError):
+        nx.average_shortest_path_length(disc_nxu)
+    with pytest.raises(gnx.NetworkXError):
+        gnx.average_shortest_path_length(disc_ug)
+    # topological sort of a cycle: NetworkXUnfeasible
+    with pytest.raises(nx.NetworkXUnfeasible):
+        list(nx.topological_sort(disc_nxd))
+    with pytest.raises(gnx.NetworkXUnfeasible):
+        gnx.topological_sort(disc_g)
+    # shortest_path to an unreachable target: NetworkXNoPath
+    with pytest.raises(nx.NetworkXNoPath):
+        nx.shortest_path(disc_nxd, 0, 10)
+    with pytest.raises(gnx.NetworkXNoPath):
+        gnx.shortest_path(disc_g, 0, 10)
+    # core_number with self-loops: NetworkXError
+    # (loop fixtures are module-scoped; rebuild tiny here)
+    lg = _g(spark, [(0, 0), (0, 1)], [0, 1])
+    with pytest.raises(gnx.NetworkXError):
+        gnx.core_number(lg)
+    # backward compatibility: every facade exception is a ValueError
+    assert issubclass(gnx.NetworkXError, ValueError)
+    assert issubclass(gnx.NetworkXUnfeasible, ValueError)
+    assert issubclass(gnx.NetworkXNoPath, ValueError)
