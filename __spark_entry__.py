@@ -3747,6 +3747,98 @@ def _q_mutable_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pregel_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSSP through the declarative @pregel vertex-program surface
+    (pregel.py:46; reference decorators.py:124-160, SSSP_Pregel example
+    test_udf_app.py:104-140): init/msg/agg/apply column expressions,
+    vote-to-halt when no value changes.  Same weighted order graph and
+    oracle as pie_sssp/load_app_sssp, so all three program surfaces are
+    pinned to one SQL contract."""
+    from graphscope_spark.graph import Graph
+    from graphscope_spark.pregel import pregel
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g0 = order_graph(spark, sf_dir)
+    e = g0.edges.select("src", "dst", "weight")
+    sym = e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+        )
+    )
+    g = Graph.from_edges(
+        sym, directed=True, num_partitions=g0.num_partitions, weight="weight"
+    )
+    source = g0.edges.agg(F.min("src")).collect()[0][0]
+    res = pregel(
+        g,
+        init=F.when(F.col("vid") == source, 0.0).otherwise(float("inf")),
+        msg=F.col("value") + F.col("weight"),
+        agg=F.min,
+        apply=F.least(F.col("value"), F.col("msg")),
+        name="pregel_sssp",
+    )
+    return res.select("vid", F.col("value").alias("dist"))
+
+
+def _q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDUCE_SUBGRAPH driver contract (graph.py:250; reference
+    dag_utils.py:709-737): restrict the order graph to even vids via
+    endpoint semi-joins, then per-vertex in/out degrees of the induced
+    graph — checks both the vertex restriction and the edge filter."""
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    keep = g.vertices.where(F.col("vid") % 2 == 0)
+    sub = g.induce_subgraph(keep)
+    return (
+        sub.out_degrees()
+        .join(sub.in_degrees(), "vid")
+        .select("vid", "out_deg", "in_deg")
+    )
+
+
+def _q_graph_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient/contract graph op (graph.py:265; reference analog: the
+    Louvain phase-2 community contraction and the Common-Crawl
+    host-graph product): customers bucket to vid % 97, suppliers to
+    1000000 + vid % 53; parallel-edge weights sum."""
+    from graphscope_spark.sources.tpch_graph import order_graph
+
+    g = order_graph(spark, sf_dir)
+    mapping = g.vertices.select(
+        "vid",
+        F.when(F.col("vid") < 1000000, F.col("vid") % 97)
+        .otherwise(F.lit(1000000) + F.col("vid") % 53)
+        .alias("gid"),
+    )
+    cg = g.contract(mapping)
+    return cg.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    )
+
+
+def _q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume contract (north rule: runs resume
+    mid-algorithm; superstep.py:301-316): rounds 0-1 run into a
+    checkpoint dir, then a FRESH runner resumes from the latest
+    on-disk iteration (validated by _SUCCESS) and completes rounds
+    2-4.  The final ranks must be bit-equal to the straight 5-round
+    run, i.e. the same oracle as the plain pagerank key."""
+    import tempfile
+
+    from graphscope_spark.algorithms import pagerank
+    from graphscope_spark.sources.tpch_graph import order_graph
+    from graphscope_spark.superstep import SuperstepRunner
+
+    g = order_graph(spark, sf_dir)
+    ck = tempfile.mkdtemp(prefix="gs_resume_")
+    r1 = SuperstepRunner(spark, "pagerank", checkpoint_dir=ck, resume=False)
+    pagerank(g, alpha=ALPHA, max_iter=2, tol=None, runner=r1, sync_every=1).count()
+    r2 = SuperstepRunner(spark, "pagerank", checkpoint_dir=ck, resume=True)
+    res = pagerank(g, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None, runner=r2, sync_every=1)
+    return res.select("vid", F.round("rank", 8).alias("pr"))
+
+
 def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous Louvain (integer modularity scores),
     exact vs the fully-unrolled 2-phase/5-round SQL oracle (also pinned
@@ -5616,6 +5708,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "graph_serde_roundtrip",
     "consolidate_columns",
     "mutable_ops",
+    "pregel_sssp",
+    "induced_subgraph",
+    "graph_contract",
+    "pagerank_resume",
 )
 
 # Keys whose physical plan changed this round (or whose driver row is
@@ -5926,6 +6022,10 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_serde_roundtrip": _q_graph_serde_roundtrip,
         "consolidate_columns": _q_consolidate_columns,
         "mutable_ops": _q_mutable_ops,
+        "pregel_sssp": _q_pregel_sssp,
+        "induced_subgraph": _q_induced_subgraph,
+        "graph_contract": _q_graph_contract,
+        "pagerank_resume": _q_pagerank_resume,
         "louvain": _q_louvain,
         "doc_tokens": _q_doc_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -7020,6 +7120,37 @@ def oracle_sql() -> dict[str, str]:
             using (vid)
           left join (select dst as vid, count(*) as c from kept group by 1) i
             using (vid)
+        """,
+        "pregel_sssp": _sssp_sql(),
+        "pagerank_resume": _pagerank_sql(),
+        "induced_subgraph": f"""
+          with edges as materialized ({SQL_EDGES}),
+          verts as (select src as vid from edges union select dst from edges),
+          keep as (select vid from verts where vid % 2 = 0),
+          kept as (select * from edges where src % 2 = 0 and dst % 2 = 0)
+          select k.vid,
+                 cast(coalesce(o.c, 0) as bigint) as out_deg,
+                 cast(coalesce(i.c, 0) as bigint) as in_deg
+          from keep k
+          left join (select src as vid, count(*) as c from kept group by 1) o
+            using (vid)
+          left join (select dst as vid, count(*) as c from kept group by 1) i
+            using (vid)
+        """,
+        "graph_contract": f"""
+          with wedges as materialized ({SQL_WEDGES}),
+          verts as (select src as vid from wedges union select dst from wedges),
+          m as (
+            select vid,
+                   case when vid < 1000000 then vid % 97
+                        else 1000000 + vid % 53 end as gid
+            from verts
+          )
+          select ms.gid as src, md.gid as dst, cast(sum(e.w) as double) as w
+          from wedges e
+          join m ms on ms.vid = e.src
+          join m md on md.vid = e.dst
+          group by 1, 2
         """,
         "louvain": _louvain_sql(),
         "avg_degree_connectivity": _adc_sql(),

@@ -84,7 +84,9 @@ def attribute_assortativity(g: Graph, attrs: DataFrame) -> DataFrame:
         or 0.0
     )
     pairs.unpersist()
-    r = (tr - sumsq) / (1.0 - sumsq) if sumsq < 1.0 else 1.0
+    # sumsq == 1 (single attribute category) is 0/0: nan in nx AND in
+    # the reference's C++ IEEE division — not a defined 1.0
+    r = (tr - sumsq) / (1.0 - sumsq) if sumsq < 1.0 else float("nan")
     spark = g.edges.sparkSession
     return spark.createDataFrame([(float(r),)], "attr_assortativity double")
 

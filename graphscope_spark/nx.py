@@ -50,6 +50,11 @@ class AmbiguousSolution(NetworkXException, ValueError):
     disconnected graph)."""
 
 
+class NetworkXNotImplemented(NetworkXException, ValueError):
+    """nx.NetworkXNotImplemented analog (e.g. k-truss of a graph with
+    self-loops)."""
+
+
 def _to_dict(df: DataFrame, key: str = VID) -> dict:
     cols = [c for c in df.columns if c != key]
     if len(cols) == 1:
@@ -74,7 +79,11 @@ def hits(g: Graph, max_iter: int = 100, tol: float = 1e-8) -> tuple[dict, dict]:
     )
 
 
-def voterank(g: Graph, number_of_nodes: int) -> list:
+def voterank(g: Graph, number_of_nodes: int | None = None) -> list:
+    """``number_of_nodes=None`` elects until votes run out (nx default:
+    the returned list stops at the last positive-score seed)."""
+    if number_of_nodes is None:
+        number_of_nodes = g.num_vertices()
     rows = A.voterank(g, num_seeds=number_of_nodes).collect()
     return [r[VID] for r in sorted(rows, key=lambda r: r["rank"])]
 
@@ -155,6 +164,11 @@ def k_shell(g: Graph, k: int) -> set:
 
 
 def k_truss(g: Graph, k: int) -> list[tuple[int, int]]:
+    if g.edges.where(F.col("src") == F.col("dst")).limit(1).count():
+        raise NetworkXNotImplemented(
+            "Input graph has self loops which is not permitted; "
+            "Consider using G.remove_edges_from(nx.selfloop_edges(G))."
+        )
     return sorted((r["src"], r["dst"]) for r in A.k_truss(g, k=k).collect())
 
 
@@ -259,7 +273,10 @@ def single_source_dijkstra_path_length(g: Graph, source: int, weight: str = "wei
 
 def all_simple_edge_paths(g: Graph, source: int, target: int, cutoff: int = 5) -> list:
     """Each simple path as its edge list (builtin.py
-    all_simple_edge_paths analog)."""
+    all_simple_edge_paths analog).  nx convention: ``source == target``
+    yields exactly one empty path."""
+    if source == target:
+        return [[]]
     rows = A.all_simple_paths(g, source=source, target=target, cutoff=cutoff).collect()
     paths = sorted([int(v) for v in r["path"].split("-")] for r in rows)
     return [list(zip(p[:-1], p[1:])) for p in paths]
@@ -474,16 +491,25 @@ def number_of_selfloops(g: Graph) -> int:
 
 
 def reciprocity(g: Graph) -> float:
-    """Fraction of distinct directed (self-loop-free) edges whose
-    reverse also exists."""
-    e = g.distinct_edges().select("src", "dst").cache()
+    """nx.overall_reciprocity convention (vendored reciprocity tests):
+    ``2·(m − m_undirected) / m`` over DISTINCT directed edges — a
+    self-loop counts in the denominator but is never reciprocated (it
+    collapses to itself in the undirected edge set), and an edgeless
+    graph raises NetworkXError, matching nx 3.6 exactly."""
+    e = g.edges.select("src", "dst").distinct().cache()
     m = e.count()
     if m == 0:
-        return 0.0
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    r = e.join(rev, ["src", "dst"], "semi").count()
+        e.unpersist()
+        raise NetworkXError("Not defined for empty graphs")
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .count()
+    )
     e.unpersist()
-    return r / m
+    return 2.0 * (m - und) / m
 
 
 # -- coloring / communities ---------------------------------------------
@@ -529,6 +555,13 @@ def bipartite_color(g: Graph) -> dict:
 
 
 def bipartite_sets(g: Graph) -> tuple[set, set]:
+    """nx.bipartite.sets convention: a DISCONNECTED graph has no
+    canonical two-set split (each component could flip), so nx raises
+    AmbiguousSolution — mirrored here (vendored bipartite tests)."""
+    if not is_connected(g):
+        raise AmbiguousSolution(
+            "Disconnected graph: Ambiguous solution for bipartite sets."
+        )
     colors = bipartite_color(g)
     return (
         {v for v, c in colors.items() if c == 0},

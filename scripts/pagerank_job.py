@@ -83,6 +83,16 @@ def main() -> None:
         help="fixed superstep count (tol disabled) — identical work at "
         "every parallelism level",
     )
+    ap.add_argument(
+        "--locality-wait",
+        default=None,
+        help="spark.locality.wait override (e.g. '0s').  Only matters in "
+        "multi-executor mode: cached barrier partitions carry executor "
+        "locality preferences, and the 3s default makes task waves stall "
+        "for the preferred-but-busy executor instead of running "
+        "elsewhere — a per-stage floor that exists ONLY on the wider "
+        "leg of a scaling pair",
+    )
     args = ap.parse_args()
 
     from graphscope_spark.session import get_spark
@@ -91,15 +101,22 @@ def main() -> None:
         app_name=f"pagerank-scaling-{args.cores}",
         master=args.master or f"local[{args.cores}]",
         shuffle_partitions=args.partitions or max(args.cores, 8),
-        extra_conf=(
-            {
-                "spark.executor.memory": args.executor_memory,
-                "spark.executor.cores": str(args.executor_cores),
-                "spark.cores.max": str(args.cores),
-            }
-            if args.master and args.master.startswith("spark://")
-            else None
-        ),
+        extra_conf={
+            **(
+                {
+                    "spark.executor.memory": args.executor_memory,
+                    "spark.executor.cores": str(args.executor_cores),
+                    "spark.cores.max": str(args.cores),
+                }
+                if args.master and args.master.startswith("spark://")
+                else {}
+            ),
+            **(
+                {"spark.locality.wait": args.locality_wait}
+                if args.locality_wait is not None
+                else {}
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

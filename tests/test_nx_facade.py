@@ -155,8 +155,14 @@ def test_structure_scalars(tiny_graph):
     assert abs(gnx.density(tiny_graph) - len(with_loops) / (n * (n - 1))) < 1e-12
     assert gnx.number_of_selfloops(tiny_graph) == 1
     assert not gnx.is_connected(tiny_graph)
-    recip = sum(1 for (s, d) in distinct if (d, s) in distinct)
-    assert abs(gnx.reciprocity(tiny_graph) - recip / len(distinct)) < 1e-12
+    # nx overall_reciprocity convention (mirrored since round 5): the
+    # denominator is ALL distinct directed edges (self-loops included),
+    # reciprocated = 2·(m − undirected-collapsed m)
+    und_all = {(min(s, d), max(s, d)) for s, d in TINY_EDGES}
+    assert abs(
+        gnx.reciprocity(tiny_graph)
+        - 2 * (len(with_loops) - len(und_all)) / len(with_loops)
+    ) < 1e-12
     hist = gnx.degree_histogram(tiny_graph)
     und = {(min(s, d), max(s, d)) for s, d in TINY_EDGES if s != d}
     deg = {v: 0 for v in TINY_VERTICES}

@@ -499,3 +499,148 @@ def test_exception_types_match_nx(disc_g, disc_nxd, disc_ug, disc_nxu, spark):
     assert issubclass(gnx.NetworkXError, ValueError)
     assert issubclass(gnx.NetworkXUnfeasible, ValueError)
     assert issubclass(gnx.NetworkXNoPath, ValueError)
+
+
+# -- round-5b batch: reciprocity/bipartite/truss/voterank conventions --
+
+
+def test_reciprocity_selfloop_nx_formula(loop_g, loop_nxd):
+    """nx.overall_reciprocity counts a self-loop in the denominator but
+    never as reciprocated (it collapses to itself undirected)."""
+    assert gnx.reciprocity(loop_g) == pytest.approx(
+        nx.reciprocity(loop_nxd), abs=1e-12
+    )
+
+
+def test_reciprocity_empty_raises(empty_g, empty_nxd):
+    with pytest.raises(nx.NetworkXError):
+        nx.reciprocity(empty_nxd)
+    with pytest.raises(gnx.NetworkXError):
+        gnx.reciprocity(empty_g)
+
+
+def test_bipartite_sets_disconnected_ambiguous(spark):
+    """nx.bipartite.sets raises AmbiguousSolution on disconnected
+    input (each component's two-coloring could flip independently)."""
+    import networkx.algorithms.bipartite as bp
+
+    gg = _g(spark, [(0, 1), (2, 3)], [0, 1, 2, 3], directed=False)
+    ng = nx.Graph([(0, 1), (2, 3)])
+    with pytest.raises(nx.AmbiguousSolution):
+        bp.sets(ng)
+    with pytest.raises(gnx.AmbiguousSolution):
+        gnx.bipartite_sets(gg)
+
+
+def test_ktruss_selfloop_raises(spark):
+    gg = _g(spark, [(0, 1), (1, 2), (2, 0), (2, 2)], [0, 1, 2], directed=False)
+    ng = nx.Graph([(0, 1), (1, 2), (2, 0), (2, 2)])
+    with pytest.raises(nx.NetworkXNotImplemented):
+        nx.k_truss(ng, 3)
+    with pytest.raises(gnx.NetworkXNotImplemented):
+        gnx.k_truss(gg, 3)
+    assert issubclass(gnx.NetworkXNotImplemented, ValueError)
+
+
+def test_voterank_default_stops_early(spark):
+    """nx.voterank() with no count elects only positive-vote seeds
+    (P5 -> [1, 3], not all five nodes)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    gg = _g(spark, edges, [0, 1, 2, 3, 4], directed=False)
+    ng = nx.Graph(edges)
+    assert gnx.voterank(gg) == nx.voterank(ng)
+
+
+def test_attribute_assortativity_uniform_is_nan(spark):
+    """A single attribute category makes (t-s)/(1-s) 0/0 -> nan in nx;
+    the facade must not turn that into an exception or a number."""
+    import math
+
+    edges = [(0, 1), (1, 2)]
+    gg = _g(spark, edges, [0, 1, 2], directed=False)
+    ng = nx.Graph(edges)
+    nx.set_node_attributes(ng, "x", "a")
+    want = nx.attribute_assortativity_coefficient(ng, "a")
+    attrs = gg.vertices.sparkSession.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x")], "vid long, attr string"
+    )
+    got = gnx.attribute_assortativity_coefficient(gg, attrs)
+    assert math.isnan(want)
+    assert got is None or math.isnan(got)
+
+
+def test_dijkstra_path_weighted(spark):
+    """Weighted shortest path must pick the 2-hop cheap route over the
+    1-hop expensive edge (and match nx node-for-node)."""
+    rows = [(0, 1, 10.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    from graphscope_spark.graph import Graph
+
+    gg = Graph.from_edges(e, directed=True, num_partitions=4, weight="weight")
+    ng = nx.DiGraph()
+    ng.add_weighted_edges_from(rows)
+    assert gnx.dijkstra_path(gg, 0, 3) == nx.dijkstra_path(ng, 0, 3)
+    got = gnx.single_source_dijkstra_path_length(gg, 0)
+    want = dict(nx.single_source_dijkstra_path_length(ng, 0))
+    assert got == pytest.approx(want)
+
+
+def test_dijkstra_path_no_path_raises(spark):
+    rows = [(0, 1, 1.0), (2, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    from graphscope_spark.graph import Graph
+
+    gg = Graph.from_edges(e, directed=True, num_partitions=4, weight="weight")
+    ng = nx.DiGraph()
+    ng.add_weighted_edges_from(rows)
+    with pytest.raises(nx.NetworkXNoPath):
+        nx.dijkstra_path(ng, 0, 3)
+    with pytest.raises(gnx.NetworkXNoPath):
+        gnx.dijkstra_path(gg, 0, 3)
+
+
+def test_all_simple_edge_paths_source_equals_target(disc_g, disc_nxd):
+    """nx yields one empty path when source == target."""
+    want = list(nx.all_simple_edge_paths(disc_nxd, 0, 0))
+    got = list(gnx.all_simple_edge_paths(disc_g, 0, 0))
+    assert got == want
+
+
+def test_greedy_color_ignores_selfloops(loop_g, loop_nxd):
+    """nx.greedy_color colors a self-loop node normally (the loop edge
+    is ignored); the facade must terminate and stay proper on the
+    non-loop edges."""
+    want = nx.greedy_color(loop_nxd)
+    got = gnx.greedy_color(loop_g)
+    assert set(got) == set(want)
+    for u, v in LOOP_EDGES:
+        if u != v:
+            assert got[u] != got[v]
+
+
+def test_bfs_predecessors_successors_selfloop_graph(loop_g, loop_nxd):
+    want_p = dict(nx.bfs_predecessors(loop_nxd, 0))
+    got_p = dict(gnx.bfs_predecessors(loop_g, 0))
+    assert got_p == want_p
+    want_s = {k: sorted(v) for k, v in nx.bfs_successors(loop_nxd, 0)}
+    got_s = {k: sorted(v) for k, v in gnx.bfs_successors(loop_g, 0).items()}
+    assert got_s == want_s
+
+
+def test_louvain_partition_validity(disc_ug):
+    comms = gnx.louvain_communities(disc_ug)
+    seen = [v for c in comms for v in c]
+    assert len(seen) == len(set(seen))           # disjoint
+    assert set(seen) == set(DISC_VERTICES)       # covers every node
+
+
+def test_topological_generations_forest_with_isolate(spark):
+    edges = [(0, 1), (0, 2), (10, 11)]
+    verts = [0, 1, 2, 10, 11, 20]
+    gg = _g(spark, edges, verts)
+    ng = nx.DiGraph()
+    ng.add_nodes_from(verts)
+    ng.add_edges_from(edges)
+    want = [sorted(gen) for gen in nx.topological_generations(ng)]
+    got = [sorted(gen) for gen in gnx.topological_generations(gg)]
+    assert got == want
