@@ -353,6 +353,11 @@ def numeric_assortativity_coefficient(g: Graph, attrs: DataFrame) -> float:
 
 
 def average_degree_connectivity(g: Graph) -> dict:
+    """Documented deviation: self-loops are IGNORED (the symmetrized
+    LDBC edge set is loop-free), while nx counts a loop as degree 2 and
+    as a self-neighbor.  Differential tests therefore use loop-free
+    inputs; every other convention (isolates class, undirected degree)
+    matches nx."""
     out = {r["degree"]: r["knn"] for r in A.average_degree_connectivity(g).collect()}
     # NX includes the degree-0 class (isolated vertices) as {0: 0}; the
     # core op's domain is vertices with edges (LDBC convention)
