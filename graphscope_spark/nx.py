@@ -55,6 +55,24 @@ class NetworkXNotImplemented(NetworkXException, ValueError):
     self-loops)."""
 
 
+class NodeNotFound(NetworkXException, ValueError):
+    """nx.NodeNotFound analog (path query endpoint absent from the
+    graph — distinct from NetworkXNoPath, which means both endpoints
+    exist but are disconnected)."""
+
+
+def _require_nodes(g: Graph, *nodes: int) -> None:
+    """Raise NodeNotFound (nx convention) for any endpoint not in the
+    vertex set — one broadcast-trivial isin filter."""
+    want = set(int(n) for n in nodes)
+    have = {
+        r[VID]
+        for r in g.vertices.where(F.col(VID).isin(*want)).select(VID).collect()
+    }
+    for n in sorted(want - have):
+        raise NodeNotFound(f"Node {n} is not in G")
+
+
 def _to_dict(df: DataFrame, key: str = VID) -> dict:
     cols = [c for c in df.columns if c != key]
     if len(cols) == 1:
@@ -212,6 +230,7 @@ def shortest_path_length(g: Graph, source: int, weight: str | None = None) -> di
 
 
 def has_path(g: Graph, source: int, target: int) -> bool:
+    _require_nodes(g, source, target)
     return bool(_scalar(A.sssp_has_path(g, source=source, target=target)))
 
 
@@ -225,13 +244,16 @@ def average_shortest_path_length(g: Graph) -> float:
 
 
 def bfs_predecessors(g: Graph, source: int) -> dict:
+    _require_nodes(g, source)
     rows = A.bfs_parent(g, source=source).collect()
     return {r[VID]: r["parent"] for r in rows if r["depth"] > 0}
 
 
 def bfs_successors(g: Graph, source: int) -> dict:
     """parent → sorted list of children in the (deterministic min-parent)
-    BFS tree (builtin.py bfs_successors analog)."""
+    BFS tree (builtin.py bfs_successors analog).  Missing source raises
+    (nx convention)."""
+    _require_nodes(g, source)
     rows = A.bfs_parent(g, source=source).collect()
     out: dict[int, list[int]] = {}
     for r in sorted(rows, key=lambda r: (r["depth"], r[VID])):
@@ -411,7 +433,9 @@ def _follow_tree(tree: dict, source: int, target: int) -> list:
 
 def shortest_path(g: Graph, source: int, target: int, weight: str | None = None) -> list:
     """One shortest path source→target as a node list (NX
-    shortest_path); unweighted hops when ``weight`` is None."""
+    shortest_path); unweighted hops when ``weight`` is None.  A missing
+    endpoint raises NodeNotFound (nx), NOT NetworkXNoPath."""
+    _require_nodes(g, source, target)
     tree = {
         r[VID]: r["pred"]
         for r in A.sssp_path(g, source=source, weight=weight).collect()

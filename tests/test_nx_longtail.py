@@ -644,3 +644,64 @@ def test_topological_generations_forest_with_isolate(spark):
     want = [sorted(gen) for gen in nx.topological_generations(ng)]
     got = [sorted(gen) for gen in gnx.topological_generations(gg)]
     assert got == want
+
+
+# -- round-5c batch: NodeNotFound, isolate/self-loop centrality tails --
+
+
+def test_missing_endpoint_raises_node_not_found(disc_g, disc_nxd):
+    """nx distinguishes NodeNotFound (endpoint absent) from
+    NetworkXNoPath (endpoints present, disconnected)."""
+    with pytest.raises(nx.NodeNotFound):
+        nx.shortest_path(disc_nxd, 0, 99)
+    with pytest.raises(gnx.NodeNotFound):
+        gnx.shortest_path(disc_g, 0, 99)
+    with pytest.raises(nx.NodeNotFound):
+        nx.has_path(disc_nxd, 99, 0)
+    with pytest.raises(gnx.NodeNotFound):
+        gnx.has_path(disc_g, 99, 0)
+    assert issubclass(gnx.NodeNotFound, ValueError)
+
+
+def test_closeness_with_isolate_wf_scaling(spark):
+    """nx closeness scales by (reachable-1)/(n-1) and gives isolates
+    0.0 — both conventions on one disconnected input."""
+    edges = [(0, 1), (1, 2)]
+    gg = _g(spark, edges, [0, 1, 2, 9], directed=False)
+    ng = nx.Graph(edges)
+    ng.add_node(9)
+    want = nx.closeness_centrality(ng)
+    got = gnx.closeness_centrality(gg)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_harmonic_ignores_selfloop(spark):
+    edges = [(0, 1), (1, 1)]
+    gg = _g(spark, edges, [0, 1], directed=False)
+    ng = nx.Graph(edges)
+    assert gnx.harmonic_centrality(gg) == pytest.approx(
+        nx.harmonic_centrality(ng), abs=1e-9
+    )
+
+
+def test_core_number_edgeless_all_zero(empty_g, empty_nxd):
+    assert gnx.core_number(empty_g) == nx.core_number(empty_nxd)
+    assert sorted(gnx.k_core(empty_g, 1)) == sorted(nx.k_core(empty_nxd, 1).nodes())
+
+
+def test_scc_selfloop_singleton(spark):
+    """A self-loop vertex is its own SCC — the loop neither merges nor
+    splits anything."""
+    edges = [(0, 1), (2, 2)]
+    gg = _g(spark, edges, [0, 1, 2])
+    ng = nx.DiGraph(edges)
+    want = sorted(sorted(c) for c in nx.strongly_connected_components(ng))
+    got = sorted(sorted(c) for c in gnx.strongly_connected_components(gg))
+    assert got == want
+
+
+def test_bfs_missing_source_raises(disc_g, disc_nxd):
+    with pytest.raises(nx.NetworkXError):
+        dict(nx.bfs_successors(disc_nxd, 99))
+    with pytest.raises((gnx.NetworkXError, gnx.NodeNotFound)):
+        gnx.bfs_successors(disc_g, 99)
